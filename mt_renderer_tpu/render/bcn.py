@@ -1,0 +1,408 @@
+"""BC1 / BC7 block-compressed texture decoding.
+
+The reference never decodes BCn on the CPU — it uploads raw blocks and lets
+GPU texture hardware decode (``TEXTURE_COMPRESSION_BC`` feature,
+``/root/reference/src/renderer_app_manager.rs:107``).  TPUs have no BCn
+samplers, so this module implements the decoders from the public BC1/BC7
+specifications (Khronos Data Format / D3D11 functional spec):
+
+* fully vectorised NumPy for host-side (load-time) decode, and
+* a jnp BC1 path reused by the on-device decode benchmark/config.
+
+Both produce byte-exact results per the spec's integer interpolation
+``(a*(64-w) + b*w + 32) >> 6``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BC1 (DXT1): 8-byte blocks: 2x RGB565 endpoints + 32x 2-bit indices
+# ---------------------------------------------------------------------------
+
+
+def _rgb565_to_rgb888(c):
+    r = (c >> 11) & 0x1F
+    g = (c >> 5) & 0x3F
+    b = c & 0x1F
+    r = (r << 3) | (r >> 2)
+    g = (g << 2) | (g >> 4)
+    b = (b << 3) | (b >> 2)
+    return r, g, b
+
+
+def decode_bc1_numpy(data, width: int, height: int) -> np.ndarray:
+    """Decode BC1 blocks to (height, width, 4) uint8."""
+    bw, bh = (width + 3) // 4, (height + 3) // 4
+    n = bw * bh
+    blocks = np.frombuffer(data, dtype="<u2", count=n * 4).reshape(n, 4)
+    c0 = blocks[:, 0].astype(np.uint32)
+    c1 = blocks[:, 1].astype(np.uint32)
+    bits = (blocks[:, 2].astype(np.uint32)
+            | (blocks[:, 3].astype(np.uint32) << 16))
+
+    r0, g0, b0 = _rgb565_to_rgb888(c0)
+    r1, g1, b1 = _rgb565_to_rgb888(c1)
+
+    # palette (n, 4, 4) rgba
+    pal = np.zeros((n, 4, 4), dtype=np.uint16)
+    pal[:, 0] = np.stack([r0, g0, b0, np.full(n, 255)], axis=-1)
+    pal[:, 1] = np.stack([r1, g1, b1, np.full(n, 255)], axis=-1)
+
+    four_color = c0 > c1
+    # 4-color: c2 = (2*c0 + c1)/3, c3 = (c0 + 2*c1)/3 with alpha 255
+    c2_4 = np.stack([(2 * r0 + r1 + 1) // 3, (2 * g0 + g1 + 1) // 3,
+                     (2 * b0 + b1 + 1) // 3, np.full(n, 255)], axis=-1)
+    c3_4 = np.stack([(r0 + 2 * r1 + 1) // 3, (g0 + 2 * g1 + 1) // 3,
+                     (b0 + 2 * b1 + 1) // 3, np.full(n, 255)], axis=-1)
+    # 3-color: c2 = (c0+c1)/2, c3 = transparent black
+    c2_3 = np.stack([(r0 + r1) // 2, (g0 + g1) // 2,
+                     (b0 + b1) // 2, np.full(n, 255)], axis=-1)
+    c3_3 = np.zeros((n, 4), dtype=np.uint16)
+
+    fc = four_color[:, None]
+    pal[:, 2] = np.where(fc, c2_4, c2_3)
+    pal[:, 3] = np.where(fc, c3_4, c3_3)
+
+    texel = np.arange(16, dtype=np.uint32)
+    idx = (bits[:, None] >> (2 * texel)[None, :]) & 0x3          # (n, 16)
+    texels = np.take_along_axis(pal, idx[..., None].astype(np.intp), axis=1)
+
+    img = texels.reshape(bh, bw, 4, 4, 4).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(bh * 4, bw * 4, 4)[:height, :width]
+    return img.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# BC7: 16-byte blocks, 8 modes
+# ---------------------------------------------------------------------------
+
+# Subset assignment tables from the BC7 specification (64 partition shapes
+# for 2 and 3 subsets), texels in raster order within the 4x4 block.
+_P2 = np.array([
+    [0,0,1,1,0,0,1,1,0,0,1,1,0,0,1,1],[0,0,0,1,0,0,0,1,0,0,0,1,0,0,0,1],
+    [0,1,1,1,0,1,1,1,0,1,1,1,0,1,1,1],[0,0,0,1,0,0,1,1,0,0,1,1,0,1,1,1],
+    [0,0,0,0,0,0,0,1,0,0,0,1,0,0,1,1],[0,0,1,1,0,1,1,1,0,1,1,1,1,1,1,1],
+    [0,0,0,1,0,0,1,1,0,1,1,1,1,1,1,1],[0,0,0,0,0,0,0,1,0,0,1,1,0,1,1,1],
+    [0,0,0,0,0,0,0,0,0,0,0,1,0,0,1,1],[0,0,1,1,0,1,1,1,1,1,1,1,1,1,1,1],
+    [0,0,0,0,0,0,0,1,0,1,1,1,1,1,1,1],[0,0,0,0,0,0,0,0,0,0,0,1,0,1,1,1],
+    [0,0,0,1,0,1,1,1,1,1,1,1,1,1,1,1],[0,0,0,0,0,0,0,0,1,1,1,1,1,1,1,1],
+    [0,0,0,0,1,1,1,1,1,1,1,1,1,1,1,1],[0,0,0,0,0,0,0,0,0,0,0,0,1,1,1,1],
+    [0,0,0,0,1,0,0,0,1,1,1,0,1,1,1,1],[0,1,1,1,0,0,0,1,0,0,0,0,0,0,0,0],
+    [0,0,0,0,0,0,0,0,1,0,0,0,1,1,1,0],[0,1,1,1,0,0,1,1,0,0,0,1,0,0,0,0],
+    [0,0,1,1,0,0,0,1,0,0,0,0,0,0,0,0],[0,0,0,0,1,0,0,0,1,1,0,0,1,1,1,0],
+    [0,0,0,0,0,0,0,0,1,0,0,0,1,1,0,0],[0,1,1,1,0,0,1,1,0,0,1,1,0,0,0,1],
+    [0,0,1,1,0,0,0,1,0,0,0,1,0,0,0,0],[0,0,0,0,1,0,0,0,1,0,0,0,1,1,0,0],
+    [0,1,1,0,0,1,1,0,0,1,1,0,0,1,1,0],[0,0,1,1,0,1,1,0,0,1,1,0,1,1,0,0],
+    [0,0,0,1,0,1,1,1,1,1,1,0,1,0,0,0],[0,0,0,0,1,1,1,1,1,1,1,1,0,0,0,0],
+    [0,1,1,1,0,0,0,1,1,0,0,0,1,1,1,0],[0,0,1,1,1,0,0,1,1,0,0,1,1,1,0,0],
+    [0,1,0,1,0,1,0,1,0,1,0,1,0,1,0,1],[0,0,0,0,1,1,1,1,0,0,0,0,1,1,1,1],
+    [0,1,0,1,1,0,1,0,0,1,0,1,1,0,1,0],[0,0,1,1,0,0,1,1,1,1,0,0,1,1,0,0],
+    [0,0,1,1,1,1,0,0,0,0,1,1,1,1,0,0],[0,1,0,1,0,1,0,1,1,0,1,0,1,0,1,0],
+    [0,1,1,0,1,0,0,1,0,1,1,0,1,0,0,1],[0,1,0,1,1,0,1,0,1,0,1,0,0,1,0,1],
+    [0,1,1,1,0,0,1,1,1,1,0,0,1,1,1,0],[0,0,0,1,0,0,1,1,1,1,0,0,1,0,0,0],
+    [0,0,1,1,0,0,1,0,0,1,0,0,1,1,0,0],[0,0,1,1,1,0,1,1,1,1,0,1,1,1,0,0],
+    [0,1,1,0,1,0,0,1,1,0,0,1,0,1,1,0],[0,0,1,1,1,1,0,0,1,1,0,0,0,0,1,1],
+    [0,1,1,0,0,1,1,0,1,0,0,1,1,0,0,1],[0,0,0,0,0,1,1,0,0,1,1,0,0,0,0,0],
+    [0,1,0,0,1,1,1,0,0,1,0,0,0,0,0,0],[0,0,1,0,0,1,1,1,0,0,1,0,0,0,0,0],
+    [0,0,0,0,0,0,1,0,0,1,1,1,0,0,1,0],[0,0,0,0,0,1,0,0,1,1,1,0,0,1,0,0],
+    [0,1,1,0,1,1,0,0,1,0,0,1,0,0,1,1],[0,0,1,1,0,1,1,0,1,1,0,0,1,0,0,1],
+    [0,1,1,0,0,0,1,1,1,0,0,1,1,1,0,0],[0,0,1,1,1,0,0,1,1,1,0,0,0,1,1,0],
+    [0,1,1,0,1,1,0,0,1,1,0,0,1,0,0,1],[0,1,1,0,0,0,1,1,0,0,1,1,1,0,0,1],
+    [0,1,1,1,1,1,1,0,1,0,0,0,0,0,0,1],[0,0,0,1,1,0,0,0,1,1,1,0,0,1,1,1],
+    [0,0,0,0,1,1,1,1,0,0,1,1,0,0,1,1],[0,0,1,1,0,0,1,1,1,1,1,1,0,0,0,0],
+    [0,0,1,0,0,0,1,0,1,1,1,0,1,1,1,0],[0,1,0,0,0,1,0,0,1,1,0,1,1,1,0,1],
+], dtype=np.uint8)
+
+_P3 = np.array([
+    [0,0,1,1,0,0,1,1,0,2,2,1,2,2,2,2],[0,0,0,1,0,0,1,1,2,2,1,1,2,2,2,1],
+    [0,0,0,0,2,0,0,1,2,2,1,1,2,2,1,1],[0,2,2,2,0,0,2,2,0,0,1,1,0,1,1,1],
+    [0,0,0,0,0,0,0,0,1,1,2,2,1,1,2,2],[0,0,1,1,0,0,1,1,0,0,2,2,0,0,2,2],
+    [0,0,2,2,0,0,2,2,1,1,1,1,1,1,1,1],[0,0,1,1,0,0,1,1,2,2,1,1,2,2,1,1],
+    [0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2],[0,0,0,0,1,1,1,1,1,1,1,1,2,2,2,2],
+    [0,0,0,0,1,1,1,1,2,2,2,2,2,2,2,2],[0,0,1,2,0,0,1,2,0,0,1,2,0,0,1,2],
+    [0,1,1,2,0,1,1,2,0,1,1,2,0,1,1,2],[0,1,2,2,0,1,2,2,0,1,2,2,0,1,2,2],
+    [0,0,1,1,0,1,1,2,1,1,2,2,1,2,2,2],[0,0,1,1,2,0,0,1,2,2,0,0,2,2,2,0],
+    [0,0,0,1,0,0,1,1,0,1,1,2,1,1,2,2],[0,1,1,1,0,0,1,1,2,0,0,1,2,2,0,0],
+    [0,0,0,0,1,1,2,2,1,1,2,2,1,1,2,2],[0,0,2,2,0,0,2,2,0,0,2,2,1,1,1,1],
+    [0,1,1,1,0,1,1,1,0,2,2,2,0,2,2,2],[0,0,0,1,0,0,0,1,2,2,2,1,2,2,2,1],
+    [0,0,0,0,0,0,1,1,0,1,2,2,0,1,2,2],[0,0,0,0,1,1,0,0,2,2,1,0,2,2,1,0],
+    [0,1,2,2,0,1,2,2,0,0,1,1,0,0,0,0],[0,0,1,2,0,0,1,2,1,1,2,2,2,2,2,2],
+    [0,1,1,0,1,2,2,1,1,2,2,1,0,1,1,0],[0,0,0,0,0,1,1,0,1,2,2,1,1,2,2,1],
+    [0,0,2,2,1,1,0,2,1,1,0,2,0,0,2,2],[0,1,1,0,0,1,1,0,2,0,0,2,2,2,2,2],
+    [0,0,1,1,0,1,2,2,0,1,2,2,0,0,1,1],[0,0,0,0,2,0,0,0,2,2,1,1,2,2,2,1],
+    [0,0,0,0,0,0,0,2,1,1,2,2,1,2,2,2],[0,2,2,2,0,0,2,2,0,0,1,2,0,0,1,1],
+    [0,0,1,1,0,0,1,2,0,0,2,2,0,2,2,2],[0,1,2,0,0,1,2,0,0,1,2,0,0,1,2,0],
+    [0,0,0,0,1,1,1,1,2,2,2,2,0,0,0,0],[0,1,2,0,1,2,0,1,2,0,1,2,0,1,2,0],
+    [0,1,2,0,2,0,1,2,1,2,0,1,0,1,2,0],[0,0,1,1,2,2,0,0,1,1,2,2,0,0,1,1],
+    [0,0,1,1,1,1,2,2,2,2,0,0,0,0,1,1],[0,1,0,1,0,1,0,1,2,2,2,2,2,2,2,2],
+    [0,0,0,0,0,0,0,0,2,1,2,1,2,1,2,1],[0,0,2,2,1,1,2,2,0,0,2,2,1,1,2,2],
+    [0,0,2,2,0,0,1,1,0,0,2,2,0,0,1,1],[0,2,2,0,1,2,2,1,0,2,2,0,1,2,2,1],
+    [0,1,0,1,2,2,2,2,2,2,2,2,0,1,0,1],[0,0,0,0,2,1,2,1,2,1,2,1,2,1,2,1],
+    [0,1,0,1,0,1,0,1,0,1,0,1,2,2,2,2],[0,2,2,2,0,1,1,1,0,2,2,2,0,1,1,1],
+    [0,0,0,2,1,1,1,2,0,0,0,2,1,1,1,2],[0,0,0,0,2,1,1,2,2,1,1,2,2,1,1,2],
+    [0,2,2,2,0,1,1,1,0,1,1,1,0,2,2,2],[0,0,0,2,1,1,1,2,1,1,1,2,0,0,0,2],
+    [0,1,1,0,0,1,1,0,0,1,1,0,2,2,2,2],[0,0,0,0,0,0,0,0,2,1,1,2,2,1,1,2],
+    [0,1,1,0,0,1,1,0,2,2,2,2,2,2,2,2],[0,0,2,2,0,0,1,1,0,0,1,1,0,0,2,2],
+    [0,0,2,2,1,1,2,2,1,1,2,2,0,0,2,2],[0,0,0,0,0,0,0,0,0,0,0,0,2,1,1,2],
+    [0,0,0,2,0,0,0,1,0,0,0,2,0,0,0,1],[0,2,2,2,1,2,2,2,0,2,2,2,1,2,2,2],
+    [0,1,0,1,2,2,2,2,2,2,2,2,2,2,2,2],[0,1,1,1,2,0,1,1,2,2,0,1,2,2,2,0],
+], dtype=np.uint8)
+
+# Anchor texel index of subset 1 (2-subset modes) / subsets 1 and 2
+# (3-subset modes), per partition shape. Subset 0's anchor is texel 0.
+_ANCHOR2_1 = np.array([
+    15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,
+    15, 2, 8, 2, 2, 8, 8,15, 2, 8, 2, 2, 8, 8, 2, 2,
+    15,15, 6, 8, 2, 8,15,15, 2, 8, 2, 2, 2,15,15, 6,
+     6, 2, 6, 8,15,15, 2, 2,15,15,15,15,15, 2, 2,15,
+], dtype=np.uint8)
+_ANCHOR3_1 = np.array([
+     3, 3,15,15, 8, 3,15,15, 8, 8, 6, 6, 6, 5, 3, 3,
+     3, 3, 8,15, 3, 3, 6,10, 5, 8, 8, 6, 8, 5,15,15,
+     8,15, 3, 5, 6,10, 8,15,15, 3,15, 5,15,15,15,15,
+     3,15, 5, 5, 5, 8, 5,10, 5,10, 8,13,15,12, 3, 3,
+], dtype=np.uint8)
+_ANCHOR3_2 = np.array([
+    15, 8, 8, 3,15,15, 3, 8,15,15,15,15,15,15,15, 8,
+    15, 8,15, 3,15, 8,15, 8, 3,15, 6,10,15,15,10, 8,
+    15, 3,15,10,10, 8, 9,10, 6,15, 8,15, 3, 6, 6, 8,
+    15, 3,15,15,15,15,15,15,15,15,15,15, 3,15,15, 8,
+], dtype=np.uint8)
+
+_WEIGHTS = {
+    2: np.array([0, 21, 43, 64], dtype=np.uint16),
+    3: np.array([0, 9, 18, 27, 37, 46, 55, 64], dtype=np.uint16),
+    4: np.array([0, 4, 9, 13, 17, 21, 26, 30,
+                 34, 38, 43, 47, 51, 55, 60, 64], dtype=np.uint16),
+}
+
+# mode -> (subsets, partition_bits, rotation_bits, index_sel_bits,
+#          color_bits, alpha_bits, pbits_per_block, shared_pbits,
+#          index_bits, index2_bits)
+_MODES = {
+    0: (3, 4, 0, 0, 4, 0, 6, False, 3, 0),
+    1: (2, 6, 0, 0, 6, 0, 2, True, 3, 0),
+    2: (3, 6, 0, 0, 5, 0, 0, False, 2, 0),
+    3: (2, 6, 0, 0, 7, 0, 4, False, 2, 0),
+    4: (1, 0, 2, 1, 5, 6, 0, False, 2, 3),
+    5: (1, 0, 2, 0, 7, 8, 0, False, 2, 2),
+    6: (1, 0, 0, 0, 7, 7, 2, False, 4, 0),
+    7: (2, 6, 0, 0, 5, 5, 4, False, 2, 0),
+}
+
+
+def _get_bits(lo, hi, start, count):
+    """Extract ``count`` bits at ``start`` from 128-bit (lo, hi) pairs."""
+    if count == 0:
+        return np.zeros_like(lo, dtype=np.uint64)
+    mask = np.uint64((1 << count) - 1)
+    s = int(start)
+    if s + count <= 64:
+        return (lo >> np.uint64(s)) & mask
+    if s >= 64:
+        return (hi >> np.uint64(s - 64)) & mask
+    lo_part = lo >> np.uint64(s)
+    hi_part = hi << np.uint64(64 - s)
+    return (lo_part | hi_part) & mask
+
+
+def _unquantize(ep, bits, pbit=None):
+    """Expand a b-bit endpoint channel (optionally with p-bit) to 8 bits."""
+    ep = ep.astype(np.uint32)
+    if pbit is not None:
+        ep = (ep << 1) | pbit.astype(np.uint32)
+        bits = bits + 1
+    ep = ep << (8 - bits)
+    return ep | (ep >> bits)
+
+
+def _decode_mode_group(lo, hi, mode):
+    """Decode all blocks of one mode. Returns (n, 16, 4) uint8 texels."""
+    (nsub, pbits_n, rot_n, isb_n, cb, ab, npb, shared_pb, ib, ib2) = _MODES[mode]
+    n = lo.shape[0]
+    pos = mode + 1  # mode prefix: `mode` zeros then a 1
+
+    partition = _get_bits(lo, hi, pos, pbits_n).astype(np.intp); pos += pbits_n
+    rotation = _get_bits(lo, hi, pos, rot_n).astype(np.intp); pos += rot_n
+    idx_mode = _get_bits(lo, hi, pos, isb_n).astype(np.intp); pos += isb_n
+
+    neps = nsub * 2
+    # endpoint channels, stored channel-major: all R, all G, all B [, all A]
+    chans = []
+    nchan = 3 + (1 if ab else 0)
+    for _c in range(nchan):
+        bits_c = cb if _c < 3 else ab
+        vals = np.empty((n, neps), dtype=np.uint64)
+        for e in range(neps):
+            vals[:, e] = _get_bits(lo, hi, pos, bits_c)
+            pos += bits_c
+        chans.append(vals)
+
+    # p-bits
+    pvals = None
+    if npb:
+        pvals = np.empty((n, neps), dtype=np.uint64)
+        stored = npb
+        raw = np.empty((n, stored), dtype=np.uint64)
+        for i in range(stored):
+            raw[:, i] = _get_bits(lo, hi, pos, 1)
+            pos += 1
+        if shared_pb:  # one p-bit per subset, shared by both endpoints
+            for e in range(neps):
+                pvals[:, e] = raw[:, e // 2]
+        else:
+            pvals = raw
+
+    # dequantized endpoints -> (n, neps, 4)
+    eps = np.zeros((n, neps, 4), dtype=np.uint32)
+    for c in range(4):
+        if c < nchan:
+            bits_c = cb if c < 3 else ab
+            pb = pvals[:, :] if pvals is not None else None
+            eps[:, :, c] = _unquantize(
+                chans[c], bits_c, pb if pb is not None else None
+            )
+        else:
+            eps[:, :, c] = 255  # no alpha channel -> opaque
+
+    # subset of each texel
+    if nsub == 1:
+        subset = np.zeros((n, 16), dtype=np.intp)
+        anchors = [np.zeros(n, dtype=np.intp)]
+    elif nsub == 2:
+        subset = _P2[partition]
+        anchors = [np.zeros(n, dtype=np.intp), _ANCHOR2_1[partition].astype(np.intp)]
+    else:
+        subset = _P3[partition]
+        anchors = [np.zeros(n, dtype=np.intp),
+                   _ANCHOR3_1[partition].astype(np.intp),
+                   _ANCHOR3_2[partition].astype(np.intp)]
+    subset = subset.astype(np.intp)
+
+    def read_indices(width, anchor_list, start_pos):
+        """Per-texel indices with anchor texels storing width-1 bits."""
+        is_anchor = np.zeros((n, 16), dtype=bool)
+        for a in anchor_list:
+            is_anchor[np.arange(n), a] = True
+        widths = np.where(is_anchor, width - 1, width)
+        offs = np.zeros((n, 16), dtype=np.int64)
+        offs[:, 1:] = np.cumsum(widths[:, :-1], axis=1)
+        out = np.zeros((n, 16), dtype=np.uint32)
+        # bit positions vary per block; extract per texel with vector ops
+        for t in range(16):
+            s = start_pos + offs[:, t]
+            w = widths[:, t]
+            # gather bits: since s varies per block, do it via uint64 shifts
+            sel_lo = s < 64
+            res = np.zeros(n, dtype=np.uint64)
+            s_lo = np.where(sel_lo, s, 0).astype(np.uint64)
+            lo_part = (lo >> s_lo)
+            cross = (s < 64) & (s + w > 64)
+            hi_shift = np.where(cross, 64 - s, 0).astype(np.uint64)
+            lo_part = lo_part | np.where(cross, hi << hi_shift, 0)
+            s_hi = np.where(~sel_lo, s - 64, 0).astype(np.uint64)
+            hi_part = hi >> s_hi
+            res = np.where(sel_lo, lo_part, hi_part)
+            mask = (np.uint64(1) << w.astype(np.uint64)) - np.uint64(1)
+            out[:, t] = (res & mask).astype(np.uint32)
+        total = int(start_pos) if np.isscalar(start_pos) else start_pos
+        return out, offs[:, -1] + widths[:, -1] + total
+
+    idx1, _end = read_indices(ib, anchors, pos)
+    n_index1_bits = 16 * ib - len(anchors)
+    pos2 = pos + n_index1_bits
+    if ib2:
+        idx2, _ = read_indices(ib2, [np.zeros(n, dtype=np.intp)], pos2)
+    else:
+        idx2 = None
+
+    # select endpoints per texel
+    e0 = np.take_along_axis(
+        eps, (subset * 2)[..., None].repeat(4, -1), axis=1
+    ).astype(np.uint32)
+    e1 = np.take_along_axis(
+        eps, (subset * 2 + 1)[..., None].repeat(4, -1), axis=1
+    ).astype(np.uint32)
+
+    if mode == 4:
+        # idx_mode selects which index set drives color vs alpha
+        w_color = np.where(
+            (idx_mode == 0)[:, None], _WEIGHTS[2][idx1], _WEIGHTS[3][idx2]
+        ).astype(np.uint32)
+        w_alpha = np.where(
+            (idx_mode == 0)[:, None], _WEIGHTS[3][idx2], _WEIGHTS[2][idx1]
+        ).astype(np.uint32)
+    elif mode == 5:
+        w_color = _WEIGHTS[2][idx1].astype(np.uint32)
+        w_alpha = _WEIGHTS[2][idx2].astype(np.uint32)
+    else:
+        w_color = _WEIGHTS[ib][idx1].astype(np.uint32)
+        w_alpha = w_color
+
+    out = np.empty((n, 16, 4), dtype=np.uint8)
+    for c in range(4):
+        w = w_color if c < 3 else w_alpha
+        out[:, :, c] = (
+            (e0[:, :, c] * (64 - w) + e1[:, :, c] * w + 32) >> 6
+    ).astype(np.uint8)
+
+    # rotation: swap alpha with one color channel (modes 4, 5)
+    if rot_n:
+        for r, c in ((1, 0), (2, 1), (3, 2)):
+            m = rotation == r
+            if m.any():
+                tmp = out[m][:, :, c].copy()
+                out[m, :, c] = out[m][:, :, 3]
+                out[m, :, 3] = tmp
+    return out
+
+
+def decode_bc7_numpy(data, width: int, height: int) -> np.ndarray:
+    """Decode BC7 blocks to (height, width, 4) uint8 (all 8 modes)."""
+    bw, bh = (width + 3) // 4, (height + 3) // 4
+    n = bw * bh
+    words = np.frombuffer(data, dtype="<u8", count=n * 2).reshape(n, 2)
+    lo, hi = words[:, 0].copy(), words[:, 1].copy()
+
+    byte0 = (lo & np.uint64(0xFF)).astype(np.uint32)
+    texels = np.zeros((n, 16, 4), dtype=np.uint8)
+    for mode in range(8):
+        m = (byte0 & ((1 << (mode + 1)) - 1)) == (1 << mode)
+        if not m.any():
+            continue
+        texels[m] = _decode_mode_group(lo[m], hi[m], mode)
+
+    img = texels.reshape(bh, bw, 4, 4, 4).transpose(0, 2, 1, 3, 4)
+    return img.reshape(bh * 4, bw * 4, 4)[:height, :width].copy()
+
+
+# ---------------------------------------------------------------------------
+# reference scalar decoders (oracles for the vectorized paths' tests)
+# ---------------------------------------------------------------------------
+
+
+def decode_bc1_block_scalar(block: bytes):
+    """Decode one 8-byte BC1 block to a (4, 4, 4) uint8 array (test oracle)."""
+    c0 = block[0] | (block[1] << 8)
+    c1 = block[2] | (block[3] << 8)
+    bits = int.from_bytes(block[4:8], "little")
+
+    def expand(c):
+        r, g, b = (c >> 11) & 0x1F, (c >> 5) & 0x3F, c & 0x1F
+        return ((r << 3) | (r >> 2), (g << 2) | (g >> 4), (b << 3) | (b >> 2))
+
+    p0, p1 = expand(c0), expand(c1)
+    pal = [(*p0, 255), (*p1, 255)]
+    if c0 > c1:
+        pal.append(tuple((2 * a + b + 1) // 3 for a, b in zip(p0, p1)) + (255,))
+        pal.append(tuple((a + 2 * b + 1) // 3 for a, b in zip(p0, p1)) + (255,))
+    else:
+        pal.append(tuple((a + b) // 2 for a, b in zip(p0, p1)) + (255,))
+        pal.append((0, 0, 0, 0))
+
+    out = np.zeros((4, 4, 4), dtype=np.uint8)
+    for t in range(16):
+        out[t // 4, t % 4] = pal[(bits >> (2 * t)) & 3]
+    return out
