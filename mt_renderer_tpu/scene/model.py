@@ -1,0 +1,220 @@
+"""Scene assembly: parsed assets → flat draw batch.
+
+This is the analog of the reference's GPU scene construction
+(``/root/reference/src/model.rs:36-293``): resolve material → albedo
+texture, decode each primitive's vertices by its input layout, expand
+triangle strips, and emit one *batch* of device-friendly arrays.  Where the
+reference builds one ``wgpu::RenderPipeline`` per distinct
+``(vertex_stride, material_no, inputlayout)`` key (``model.rs:25,160-267``),
+the TPU pipeline consumes a single batched triangle soup with per-triangle
+material/texture ids — permutations become data, not compiled state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import dti as dti_mod
+from ..formats.mfx import ObjectType, Shader2File
+from ..formats.mod import ModelFile
+from ..formats.mrl import MaterialFile
+from ..formats.tex import TextureFile
+from ..render.vertex import decode_vertices, strip_to_triangles
+
+# the 20-color joint/debug palette from the reference fragment shader
+# (shaders/debug_ids.wgsl:23-46), rgb 0-255
+DEBUG_PALETTE = np.array([
+    [215, 62, 103], [95, 190, 80], [133, 95, 213], [180, 184, 53],
+    [213, 87, 180], [72, 138, 55], [145, 79, 158], [91, 196, 153],
+    [206, 78, 55], [74, 174, 209], [225, 133, 58], [92, 122, 198],
+    [207, 162, 81], [188, 144, 216], [152, 173, 92], [161, 71, 103],
+    [53, 133, 98], [225, 131, 152], [111, 111, 40], [162, 99, 55],
+], dtype=np.uint8)
+
+
+@dataclass
+class DrawBatch:
+    """Unified triangle soup + attributes for one model."""
+
+    positions: np.ndarray          # (V, 3) f32
+    uvs: np.ndarray                # (V, 2) f32
+    joints: np.ndarray             # (V, 4) i32 bone indices
+    weights: np.ndarray            # (V, 4) f32
+    tris: np.ndarray               # (T, 3) i32 into the pooled vertices
+    tri_texture: np.ndarray        # (T,) i32 texture id, -1 = untextured
+    tri_parts: np.ndarray          # (T,) i32 parts_no (visibility culling)
+    tri_debug_id: np.ndarray       # (T,) i32 joint debug id
+    textures: list[np.ndarray] = field(default_factory=list)  # (H,W,4) u8 each
+    # skinning inputs
+    inverse_bind_mats: np.ndarray = None   # (J, 4, 4) f32
+    joint_parents: np.ndarray = None       # (J,) i32, -1 = root
+    joint_offsets: np.ndarray = None       # (J, 3) f32
+    skinned: bool = False
+
+    @property
+    def num_vertices(self) -> int:
+        return len(self.positions)
+
+    @property
+    def num_triangles(self) -> int:
+        return len(self.tris)
+
+
+def build_draw_batch(
+    model: ModelFile,
+    material: MaterialFile | None,
+    shader2: Shader2File,
+    resource_manager=None,
+    parts_disp: list[bool] | None = None,
+) -> DrawBatch:
+    # material name -> albedo texture index (model.rs:60-75)
+    mat_to_tex: list[int | None] = []
+    for name in model.material_names:
+        info = material.material_by_name(name) if material else None
+        mat_to_tex.append(info.albedo_texture_idx if info else None)
+
+    # load + decode referenced textures once (model.rs:46-58)
+    textures: list[np.ndarray] = []
+    tex_remap: dict[int, int] = {}
+    if material is not None and resource_manager is not None:
+        for i, path in enumerate(material.textures):
+            try:
+                res = resource_manager.get_resource(
+                    path.replace("\\", "/"), dti_mod.from_name("rTexture")
+                )
+                textures.append(TextureFile(res.read()).decode_rgba8())
+                tex_remap[i] = len(textures) - 1
+            except FileNotFoundError:
+                pass
+
+    pos_parts, uv_parts, joint_parts, weight_parts = [], [], [], []
+    tri_parts_, tri_tex, tri_part_no, tri_debug = [], [], [], []
+    vert_base = 0
+    any_skin = False
+
+    vbuf = model.vertex_buf
+    for prim in model.primitives:
+        il_obj = shader2.get_object_by_handle(prim.inputlayout)
+        if il_obj is None or il_obj.obj_type != ObjectType.INPUTLAYOUT:
+            raise ValueError(
+                f"primitive inputlayout {prim.inputlayout:08x} not found"
+            )
+        attrs = decode_vertices(
+            vbuf, prim.vertex_base, prim.vertex_stride, prim.vertex_num,
+            il_obj.specific.elements,
+        )
+        n = prim.vertex_num
+        pos = attrs.get("Position")
+        if pos is None:
+            raise ValueError(f"inputlayout {il_obj.name} has no Position")
+        if pos.shape[1] < 3:
+            pos = np.pad(pos, ((0, 0), (0, 3 - pos.shape[1])))
+        pos_parts.append(pos[:, :3].astype(np.float32))
+
+        uv = attrs.get("TexCoord")
+        uv_parts.append(
+            uv[:, :2].astype(np.float32) if uv is not None
+            else np.zeros((n, 2), np.float32)
+        )
+
+        jn = attrs.get("Joint")
+        wt = attrs.get("Weight")
+        if jn is not None and prim.weight_num > 0:
+            any_skin = True
+            j4 = np.zeros((n, 4), np.int32)
+            w4 = np.zeros((n, 4), np.float32)
+            j4[:, :min(4, jn.shape[1])] = jn[:, :4].astype(np.int32)
+            if wt is not None:
+                w4[:, :min(4, wt.shape[1])] = wt[:, :4].astype(np.float32)
+            else:
+                w4[:, 0] = 1.0
+            # renormalise (engine data stores quantised weights)
+            s = w4.sum(axis=1, keepdims=True)
+            w4 = np.where(s > 0, w4 / np.maximum(s, 1e-8), w4)
+            joint_parts.append(j4)
+            weight_parts.append(w4)
+        else:
+            j4 = np.zeros((n, 4), np.int32)
+            w4 = np.zeros((n, 4), np.float32)
+            joint_parts.append(j4)
+            weight_parts.append(w4)
+
+        indices = model.index_buf[prim.index_ofs:prim.index_ofs + prim.index_num]
+        tris = strip_to_triangles(indices, prim.index_base) + vert_base
+        tri_parts_.append(tris)
+
+        t = len(tris)
+        raw_tex = mat_to_tex[prim.material_no]
+        tex_id = tex_remap.get(raw_tex, -1) if raw_tex is not None else -1
+        tri_tex.append(np.full(t, tex_id, np.int32))
+        tri_part_no.append(np.full(t, prim.parts_no, np.int32))
+        # debug id = joint of the primitive's boundary (model.rs:139-157)
+        if len(model.boundaries):
+            debug_id = int(model.boundaries[prim.boundary_num]["joint"])
+        else:
+            debug_id = 0
+        tri_debug.append(np.full(t, debug_id, np.int32))
+
+        vert_base += n
+
+    batch = DrawBatch(
+        positions=np.concatenate(pos_parts) if pos_parts else np.zeros((0, 3), np.float32),
+        uvs=np.concatenate(uv_parts) if uv_parts else np.zeros((0, 2), np.float32),
+        joints=np.concatenate(joint_parts) if joint_parts else np.zeros((0, 4), np.int32),
+        weights=np.concatenate(weight_parts) if weight_parts else np.zeros((0, 4), np.float32),
+        tris=np.concatenate(tri_parts_) if tri_parts_ else np.zeros((0, 3), np.int32),
+        tri_texture=np.concatenate(tri_tex) if tri_tex else np.zeros(0, np.int32),
+        tri_parts=np.concatenate(tri_part_no) if tri_part_no else np.zeros(0, np.int32),
+        tri_debug_id=np.concatenate(tri_debug) if tri_debug else np.zeros(0, np.int32),
+        textures=textures,
+        skinned=any_skin,
+    )
+
+    if model.joints:
+        batch.inverse_bind_mats = model.inverse_bind_mats.astype(np.float32)
+        batch.joint_parents = np.array(
+            [j.parent if j.parent != 255 else -1 for j in model.joints], np.int32
+        )
+        batch.joint_offsets = np.stack([j.offset for j in model.joints])
+
+    if parts_disp is not None:
+        keep = np.array(
+            [parts_disp[p] if p < len(parts_disp) else True
+             for p in batch.tri_parts], dtype=bool,
+        )
+        batch.tris = batch.tris[keep]
+        batch.tri_texture = batch.tri_texture[keep]
+        batch.tri_parts = batch.tri_parts[keep]
+        batch.tri_debug_id = batch.tri_debug_id[keep]
+
+    return batch
+
+
+class Model:
+    """High-level scene object mirroring the reference ``Model`` API."""
+
+    def __init__(self, model_file, material_file, shader2, resource_manager,
+                 parts_disp=None):
+        self.model_file = model_file
+        self.material_file = material_file
+        self.shader2 = shader2
+        self.resource_manager = resource_manager
+        self.parts_disp = parts_disp
+        self.batch = build_draw_batch(
+            model_file, material_file, shader2, resource_manager, parts_disp
+        )
+
+    def set_parts_disp(self, parts_disp):
+        self.parts_disp = list(parts_disp)
+        self.batch = build_draw_batch(
+            self.model_file, self.material_file, self.shader2,
+            self.resource_manager, self.parts_disp,
+        )
+
+    def joint_world_positions(self) -> np.ndarray:
+        """Joint offsets scaled like the overlay feed (model.rs:309-315)."""
+        if self.batch.joint_offsets is None:
+            return np.zeros((0, 3), np.float32)
+        return self.batch.joint_offsets * 0.01
