@@ -1,0 +1,349 @@
+"""Device (TPU) renderer — the jitted render pipeline.
+
+This is the TPU-native replacement for the reference's GPU draw path
+(``/root/reference/src/model.rs:299-362`` + the WGSL shaders): instead of
+per-primitive ``draw_indexed`` calls into a hardware rasterizer, the whole
+frame is one jitted function over batched arrays:
+
+1. **vertex stage** — bone-palette skinning + MVP transform (matmuls, MXU);
+2. **setup stage** — per-triangle screen coords, edge coefficients, depth
+   plane and validity mask (vectorised VPU work);
+3. **raster stage** — deferred visibility: a ``lax.scan`` over triangle
+   chunks computes per-pixel ``(depth, winner-triangle)`` with a pure
+   min-reduce — no scatter, no read-modify-write races;
+4. **shade stage** — gather the winner triangle's attributes per pixel,
+   perspective-correct interpolate, bilinear-sample the albedo atlas,
+   blend over the clear color (src-alpha, matching model.rs:242-247).
+
+Pixel rules (coverage at centers, top-left fill rule, back-face cull of
+area2 >= 0, ``z <= z_buf`` LessEqual depth with later-triangle tie wins)
+match ``render/cpu_reference.py`` exactly; the CPU path is the oracle the
+tests compare against.
+
+Triangle counts are padded to a multiple of 128 so shapes stay static
+across frames (jit caches one executable per (resolution, chunk) bucket —
+the analog of the reference's pipeline cache ``model.rs:25``).
+
+Known divergence from the ordered CPU path: triangles are resolved by
+depth only, so *translucent-over-translucent* stacking uses the nearest
+fragment instead of back-to-front accumulation. All reference content
+draws opaque albedo (alpha 255) where the two agree; proper ordered
+transparency is a planned depth-peeling pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene.model import DEBUG_PALETTE, DrawBatch
+
+W_EPS = 1e-6
+TRI_PAD = 128          # triangle-count padding quantum
+DEFAULT_CHUNK = 16     # triangles per scan step
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceScene:
+    """A DrawBatch uploaded once to device memory (``jax.device_put`` —
+    the analog of the reference's vertex/index/texture uploads,
+    model.rs:77-87 / texture.rs:12-30)."""
+
+    positions: jax.Array      # (V, 3) f32
+    uvs: jax.Array            # (V, 2) f32
+    joints: jax.Array         # (V, 4) i32
+    weights: jax.Array        # (V, 4) f32
+    tris: jax.Array           # (Tp, 3) i32, padded
+    tri_texture: jax.Array    # (Tp,) i32 atlas layer, -1 = untextured
+    tri_debug_id: jax.Array   # (Tp,) i32
+    tri_valid: jax.Array      # (Tp,) bool — False for padding
+    atlas: jax.Array          # (L, AH, AW, 4) u8 (L >= 1)
+    tex_size: jax.Array       # (L, 2) i32 actual (h, w) per layer
+    num_joints: int           # static
+    skinned: bool             # static
+
+    def tree_flatten(self):
+        children = (
+            self.positions, self.uvs, self.joints, self.weights, self.tris,
+            self.tri_texture, self.tri_debug_id, self.tri_valid, self.atlas,
+            self.tex_size,
+        )
+        return children, (self.num_joints, self.skinned)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def upload(batch: DrawBatch) -> DeviceScene:
+    """Pad + device_put a host DrawBatch. Called once at load time."""
+    t = len(batch.tris)
+    tp = max(TRI_PAD, -(-t // TRI_PAD) * TRI_PAD)
+    tris = np.zeros((tp, 3), np.int32)
+    tris[:t] = batch.tris
+    tri_tex = np.full(tp, -1, np.int32)
+    tri_tex[:t] = batch.tri_texture
+    tri_dbg = np.zeros(tp, np.int32)
+    tri_dbg[:t] = batch.tri_debug_id
+    valid = np.zeros(tp, bool)
+    valid[:t] = True
+
+    texs = batch.textures or []
+    if texs:
+        ah = max(x.shape[0] for x in texs)
+        aw = max(x.shape[1] for x in texs)
+        atlas = np.zeros((len(texs), ah, aw, 4), np.uint8)
+        sizes = np.zeros((len(texs), 2), np.int32)
+        for i, x in enumerate(texs):
+            atlas[i, : x.shape[0], : x.shape[1]] = x
+            sizes[i] = (x.shape[0], x.shape[1])
+    else:
+        atlas = np.zeros((1, 4, 4, 4), np.uint8)
+        sizes = np.array([[4, 4]], np.int32)
+
+    nj = len(batch.inverse_bind_mats) if batch.inverse_bind_mats is not None else 1
+
+    dp = jax.device_put
+    return DeviceScene(
+        positions=dp(batch.positions.astype(np.float32)),
+        uvs=dp(batch.uvs.astype(np.float32)),
+        joints=dp(batch.joints.astype(np.int32)),
+        weights=dp(batch.weights.astype(np.float32)),
+        tris=dp(tris), tri_texture=dp(tri_tex), tri_debug_id=dp(tri_dbg),
+        tri_valid=dp(valid), atlas=dp(atlas), tex_size=dp(sizes),
+        num_joints=nj, skinned=bool(batch.skinned),
+    )
+
+
+# ---------------------------------------------------------------- stages
+
+
+def vertex_stage(scene: DeviceScene, view_proj: jax.Array,
+                 bone_mats: jax.Array | None) -> jax.Array:
+    """Skin + transform → (V, 4) clip coords."""
+    pos = scene.positions
+    if scene.skinned and bone_mats is not None:
+        homo = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1), jnp.float32)], 1)
+        m = bone_mats[scene.joints]                       # (V, 4, 4, 4)
+        blended = jnp.einsum("vw,vwij->vij", scene.weights, m)
+        pos = jnp.einsum("vij,vj->vi", blended, homo)[:, :3]
+    homo = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1), jnp.float32)], 1)
+    return homo @ view_proj.T
+
+
+def setup_stage(scene: DeviceScene, clip: jax.Array, width: int, height: int):
+    """Per-triangle setup. Returns a dict of (Tp, ...) arrays."""
+    c = clip[scene.tris]                                  # (Tp, 3, 4)
+    w = c[..., 3]
+    inv_w = 1.0 / jnp.where(jnp.abs(w) < W_EPS, W_EPS, w)
+    ndc = c[..., :3] * inv_w[..., None]
+    sx = (ndc[..., 0] + 1.0) * (0.5 * width)              # (Tp, 3)
+    sy = (1.0 - ndc[..., 1]) * (0.5 * height)
+    sz = ndc[..., 2]
+
+    area2 = (sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0]) - (
+        sy[:, 1] - sy[:, 0]
+    ) * (sx[:, 2] - sx[:, 0])
+
+    valid = (
+        scene.tri_valid
+        & jnp.all(w > W_EPS, axis=1)                      # shared near-reject
+        & (area2 < 0.0)                                   # back-face cull
+    )
+
+    # edge i: from vertex (i+1) to (i+2); E(p) = A*px + B*py + C, positive
+    # inside front faces (cpu_reference.py sign convention)
+    ax = jnp.stack([sx[:, 1], sx[:, 2], sx[:, 0]], 1)
+    ay = jnp.stack([sy[:, 1], sy[:, 2], sy[:, 0]], 1)
+    bx = jnp.stack([sx[:, 2], sx[:, 0], sx[:, 1]], 1)
+    by = jnp.stack([sy[:, 2], sy[:, 0], sy[:, 1]], 1)
+    ea = by - ay
+    eb = -(bx - ax)
+    ec = ay * (bx - ax) - ax * (by - ay)
+    # top-left rule: boundary counts when the edge is horizontal going
+    # right-to-left or any edge going downward (y-down screen space)
+    topleft = ((ay == by) & (bx < ax)) | (by > ay)
+
+    # conservative screen bbox for cheap tile/chunk rejection
+    xmin = jnp.min(sx, 1)
+    xmax = jnp.max(sx, 1)
+    ymin = jnp.min(sy, 1)
+    ymax = jnp.max(sy, 1)
+
+    return dict(
+        ea=ea, eb=eb, ec=ec, topleft=topleft,
+        area=-area2, sz=sz, inv_w=inv_w, valid=valid,
+        uv=scene.uvs[scene.tris],                         # (Tp, 3, 2)
+        xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax,
+    )
+
+
+def _coverage(setup_chunk, px, py):
+    """Edge coverage of a chunk of triangles over a pixel grid.
+
+    setup_chunk arrays are (K, ...); px/py are (H, W). Returns
+    (cov (K,H,W) bool, bary e (K,3,H,W))."""
+    ea = setup_chunk["ea"][:, :, None, None]
+    eb = setup_chunk["eb"][:, :, None, None]
+    ec = setup_chunk["ec"][:, :, None, None]
+    tl = setup_chunk["topleft"][:, :, None, None]
+    e = ea * px[None, None] + eb * py[None, None] + ec    # (K, 3, H, W)
+    inside = (e > 0.0) | ((e == 0.0) & tl)
+    cov = jnp.all(inside, axis=1) & setup_chunk["valid"][:, None, None]
+    return cov, e
+
+
+def raster_stage(setup, width: int, height: int, chunk: int):
+    """Scan over triangle chunks → per-pixel (depth f32, winner id i32).
+
+    Winner id is -1 where nothing covers. Later triangles win depth ties
+    (LessEqual, matching the ordered CPU path)."""
+    tp = setup["ea"].shape[0]
+    nchunks = tp // chunk
+
+    px = jnp.arange(width, dtype=jnp.float32) + 0.5
+    py = jnp.arange(height, dtype=jnp.float32) + 0.5
+    px = jnp.broadcast_to(px[None, :], (height, width))
+    py = jnp.broadcast_to(py[:, None], (height, width))
+
+    def reshape_chunks(x):
+        return x.reshape((nchunks, chunk) + x.shape[1:])
+
+    scan_in = {k: reshape_chunks(v) for k, v in setup.items()
+               if k not in ("uv",)}
+
+    def step(carry, ch):
+        zbest, ibest = carry
+        cov, e = _coverage(ch, px, py)
+        inv_area = 1.0 / ch["area"][:, None, None]
+        b = e * inv_area[:, None]                          # (K, 3, H, W)
+        z = jnp.einsum("kp,kphw->khw", ch["sz"], b)
+        zok = cov & (z <= zbest[None]) & (z >= 0.0)
+        # in-chunk resolve: later triangle wins ties → iterate via min on
+        # (z, -index) lexicographic key. Encode: z primary; among equal z
+        # prefer larger global index.
+        ids = ch["ids"][:, None, None]
+        z_masked = jnp.where(zok, z, jnp.inf)
+        # argmin returns the FIRST min; flipping the chunk first makes the
+        # last (highest-index) tied triangle win, like the ordered path
+        zr = z_masked[::-1]
+        idr = jnp.broadcast_to(ids, z.shape)[::-1]
+        k = jnp.argmin(zr, axis=0)                         # first = largest id
+        zmin = jnp.take_along_axis(zr, k[None], 0)[0]
+        imin = jnp.take_along_axis(idr, k[None], 0)[0]
+        upd = (zmin <= zbest) & jnp.isfinite(zmin)
+        zbest = jnp.where(upd, zmin, zbest)
+        ibest = jnp.where(upd, imin, ibest)
+        return (zbest, ibest), None
+
+    scan_in["ids"] = reshape_chunks(
+        jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)[:, 0]
+    )
+    init = (
+        jnp.full((height, width), jnp.inf, jnp.float32),
+        jnp.full((height, width), -1, jnp.int32),
+    )
+    (zb, ib), _ = jax.lax.scan(step, init, scan_in)
+    zb = jnp.where(ib >= 0, zb, 1.0)
+    return zb, ib
+
+
+def sample_bilinear(atlas, tex_size, layer, u, v):
+    """Bilinear clamp-to-edge sample from the texture atlas.
+
+    layer/u/v are (H, W); returns (H, W, 4) f32 in 0-255."""
+    size = tex_size[jnp.clip(layer, 0, tex_size.shape[0] - 1)]
+    th = size[..., 0].astype(jnp.float32)
+    tw = size[..., 1].astype(jnp.float32)
+    x = u * tw - 0.5
+    y = v * th - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    wmax = size[..., 1] - 1
+    hmax = size[..., 0] - 1
+    x0c = jnp.clip(x0i, 0, wmax)
+    x1c = jnp.clip(x0i + 1, 0, wmax)
+    y0c = jnp.clip(y0i, 0, hmax)
+    y1c = jnp.clip(y0i + 1, 0, hmax)
+    lc = jnp.clip(layer, 0, atlas.shape[0] - 1)
+    t = atlas.astype(jnp.float32)
+    c00 = t[lc, y0c, x0c]
+    c10 = t[lc, y0c, x1c]
+    c01 = t[lc, y1c, x0c]
+    c11 = t[lc, y1c, x1c]
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def shade_stage(scene: DeviceScene, setup, zb, ib, width: int, height: int,
+                clear_color):
+    """Winner-takes-all deferred shading."""
+    covered = ib >= 0
+    idx = jnp.maximum(ib, 0)
+
+    px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+    py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+
+    ea = setup["ea"][idx]                                  # (H, W, 3)
+    eb = setup["eb"][idx]
+    ec = setup["ec"][idx]
+    e = ea * px[..., None] + eb * py[..., None] + ec
+    b = e / setup["area"][idx][..., None]                  # (H, W, 3)
+
+    inv_w = setup["inv_w"][idx]                            # (H, W, 3)
+    pw = jnp.sum(b * inv_w, axis=-1)                       # (H, W)
+    uv = setup["uv"][idx]                                  # (H, W, 3, 2)
+    uvp = jnp.einsum("hwp,hwpc->hwc", b * inv_w, uv) / pw[..., None]
+
+    layer = scene.tri_texture[idx]
+    textured = layer >= 0
+    albedo = sample_bilinear(
+        scene.atlas, scene.tex_size, layer, uvp[..., 0], uvp[..., 1]
+    )
+
+    palette = jnp.asarray(
+        np.concatenate(
+            [DEBUG_PALETTE.astype(np.float32),
+             np.full((20, 1), 255.0, np.float32)], axis=1,
+        )
+    )
+    debug_rgba = palette[scene.tri_debug_id[idx] % 20]
+
+    src = jnp.where(textured[..., None], albedo, debug_rgba)
+
+    clear = jnp.asarray(np.asarray(clear_color, np.float32))
+    dst = jnp.broadcast_to(clear, (height, width, 4))
+    a = src[..., 3:4] / 255.0
+    out_rgb = src[..., :3] * a + dst[..., :3] * (1.0 - a)
+    out = jnp.concatenate([out_rgb, src[..., 3:4]], axis=-1)
+    out = jnp.where(covered[..., None], out, dst)
+    return jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.uint8)
+
+
+# ------------------------------------------------------------- frontends
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "chunk", "clear_color")
+)
+def render_frame(scene: DeviceScene, view_proj: jax.Array,
+                 bone_mats: jax.Array | None = None, *,
+                 width: int = 512, height: int = 512,
+                 chunk: int = DEFAULT_CHUNK,
+                 clear_color: tuple = (255, 255, 255, 255)):
+    """Render one frame → ((H, W, 4) uint8, (H, W) f32 depth)."""
+    clip = vertex_stage(scene, view_proj, bone_mats)
+    setup = setup_stage(scene, clip, width, height)
+    zb, ib = raster_stage(setup, width, height, chunk)
+    color = shade_stage(scene, setup, zb, ib, width, height, clear_color)
+    return color, zb

@@ -1,0 +1,114 @@
+"""Differential tests: jitted device renderer vs the CPU reference oracle.
+
+Runs on the CPU backend (conftest forces JAX_PLATFORMS=cpu with 8 virtual
+devices); the same code compiles for TPU unchanged.
+"""
+
+import numpy as np
+import pytest
+
+from mt_renderer_tpu import dti as dti_mod
+from mt_renderer_tpu import fixtures
+from mt_renderer_tpu.app.camera import Camera
+from mt_renderer_tpu.formats.mfx import Shader2File
+from mt_renderer_tpu.formats.mod import ModelFile
+from mt_renderer_tpu.formats.mrl import MaterialFile
+from mt_renderer_tpu.render import cpu_reference, device
+from mt_renderer_tpu.resources.manager import ResourceManager
+from mt_renderer_tpu.scene.model import build_draw_batch
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    fixtures.write_fixture_tree(root)
+    rm = ResourceManager(root)
+    shader2 = Shader2File(
+        rm.get_resource(fixtures.SHADER_PACKAGE_PATH, dti_mod.from_name("rShader2")).read()
+    )
+    model = ModelFile(
+        rm.get_resource(fixtures.MODEL_PATH, dti_mod.from_name("rModel")).read()
+    )
+    material = MaterialFile(
+        rm.get_resource(fixtures.MODEL_PATH, dti_mod.from_name("rMaterial")).read(),
+        shader2,
+    )
+    return rm, shader2, model, material
+
+
+def _vp(yaw=20.0, pitch=-15.0, pos=(1.5, 1.2, 4.0)):
+    cam = Camera(position=list(pos), yaw=yaw, pitch=pitch)
+    cam.aspect = 1.0
+    return cam.view_proj()
+
+
+def assert_frames_match(got, want, max_bad_frac=0.003, tol=1):
+    """Frames match when all but a sliver of edge pixels agree within tol.
+
+    Float associativity differs between the two paths, so pixels exactly on
+    triangle edges/depth ties may resolve differently; everything else must
+    agree to within `tol` color steps.
+    """
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32)).max(axis=-1)
+    bad = (diff > tol).mean()
+    assert bad <= max_bad_frac, f"{bad:.4%} pixels differ (> {tol})"
+
+
+class TestDeviceVsCpu:
+    def test_textured_static(self, scene):
+        rm, shader2, model, material = scene
+        batch = build_draw_batch(model, material, shader2, rm)
+        vp = _vp()
+        want, want_depth = cpu_reference.render(batch, vp, 128, 128)
+        dscene = device.upload(batch)
+        got, got_depth = device.render_frame(
+            dscene, vp, width=128, height=128
+        )
+        got = np.asarray(got)
+        assert_frames_match(got, want)
+        # depth buffers agree off edges too
+        dd = np.abs(np.asarray(got_depth) - want_depth)
+        assert (dd < 1e-4).mean() > 0.997
+
+    def test_untextured_debug_palette(self, scene):
+        rm, shader2, model, _ = scene
+        batch = build_draw_batch(model, None, shader2, rm)
+        vp = _vp(yaw=-35.0, pitch=10.0, pos=(-1.0, -0.8, 3.5))
+        want, _ = cpu_reference.render(batch, vp, 96, 96)
+        got, _ = device.render_frame(device.upload(batch), vp, width=96, height=96)
+        assert_frames_match(np.asarray(got), want)
+
+    def test_skinned(self, scene):
+        rm, shader2, _, material = scene
+        model = ModelFile(
+            rm.get_resource("model/fixture_cube_skinned", dti_mod.from_name("rModel")).read()
+        )
+        batch = build_draw_batch(model, material, shader2, rm)
+        bones = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+        bones[1, 0, 3] = 0.8  # swing the +z half sideways
+        vp = _vp()
+        want, _ = cpu_reference.render(batch, vp, 128, 128, bone_mats=bones)
+        got, _ = device.render_frame(
+            device.upload(batch), vp, bones, width=128, height=128
+        )
+        assert_frames_match(np.asarray(got), want)
+
+    def test_empty_scene_clears(self, scene):
+        rm, shader2, model, material = scene
+        batch = build_draw_batch(model, material, shader2, rm, parts_disp=[False])
+        got, depth = device.render_frame(
+            device.upload(batch), _vp(), width=64, height=64
+        )
+        assert (np.asarray(got) == 255).all()
+        assert (np.asarray(depth) == 1.0).all()
+
+    def test_jit_cache_stable_across_frames(self, scene):
+        # same (resolution, chunk) must not retrace for new camera/bones
+        rm, shader2, model, material = scene
+        batch = build_draw_batch(model, material, shader2, rm)
+        dscene = device.upload(batch)
+        f = device.render_frame
+        f(dscene, _vp(), width=64, height=64)
+        misses_before = f._cache_size()
+        f(dscene, _vp(yaw=90.0), width=64, height=64)
+        assert f._cache_size() == misses_before
