@@ -54,19 +54,21 @@ def perspective_rh(fov_deg: float, aspect: float,
 
 class Camera:
     def __init__(self, position, yaw: float = 0.0, pitch: float = 0.0,
-                 fov: float = 50.0):
+                 fov: float = 50.0, near: float = NEAR, far: float = FAR):
         self.position = np.asarray(position, dtype=np.float32)
         self.yaw = float(yaw)
         self.pitch = float(pitch)
         self.fov = float(fov)
         self.aspect = 1.0
+        self.near = float(near)
+        self.far = float(far)
 
     def view(self) -> np.ndarray:
         m = translation(self.position) @ rotation_y(self.yaw) @ rotation_x(self.pitch)
         return np.linalg.inv(m).astype(np.float32)
 
     def proj(self) -> np.ndarray:
-        return perspective_rh(self.fov, self.aspect)
+        return perspective_rh(self.fov, self.aspect, self.near, self.far)
 
     def view_proj(self) -> np.ndarray:
         return (self.proj() @ self.view()).astype(np.float32)

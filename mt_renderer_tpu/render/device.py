@@ -198,18 +198,27 @@ def _coverage(setup_chunk, px, py):
     return cov, e
 
 
-def raster_stage(setup, width: int, height: int, chunk: int):
+def raster_stage(setup, width: int, height: int, chunk: int,
+                 origin=(0, 0), band=None):
     """Scan over triangle chunks → per-pixel (depth f32, winner id i32).
 
     Winner id is -1 where nothing covers. Later triangles win depth ties
-    (LessEqual, matching the ordered CPU path)."""
+    (LessEqual, matching the ordered CPU path).
+
+    ``origin``/``band`` select a screen sub-rectangle (origin may be a
+    traced value — it is how shard_map gives each chip its own band of
+    the frame); the viewport transform itself always uses the full
+    width/height.
+    """
+    bw, bh = band if band is not None else (width, height)
+    x0, y0 = origin
     tp = setup["ea"].shape[0]
     nchunks = tp // chunk
 
-    px = jnp.arange(width, dtype=jnp.float32) + 0.5
-    py = jnp.arange(height, dtype=jnp.float32) + 0.5
-    px = jnp.broadcast_to(px[None, :], (height, width))
-    py = jnp.broadcast_to(py[:, None], (height, width))
+    px = jnp.arange(bw, dtype=jnp.float32) + (jnp.float32(x0) + 0.5)
+    py = jnp.arange(bh, dtype=jnp.float32) + (jnp.float32(y0) + 0.5)
+    px = jnp.broadcast_to(px[None, :], (bh, bw))
+    py = jnp.broadcast_to(py[:, None], (bh, bw))
 
     def reshape_chunks(x):
         return x.reshape((nchunks, chunk) + x.shape[1:])
@@ -244,9 +253,12 @@ def raster_stage(setup, width: int, height: int, chunk: int):
     scan_in["ids"] = reshape_chunks(
         jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)[:, 0]
     )
+    # add 0*origin so the carry inherits the origin's shard_map
+    # "varying over mesh axis" type when the band origin is per-device
+    ovary = jnp.int32(x0) * 0 + jnp.int32(y0) * 0
     init = (
-        jnp.full((height, width), jnp.inf, jnp.float32),
-        jnp.full((height, width), -1, jnp.int32),
+        jnp.full((bh, bw), jnp.inf, jnp.float32) + ovary.astype(jnp.float32),
+        jnp.full((bh, bw), -1, jnp.int32) + ovary,
     )
     (zb, ib), _ = jax.lax.scan(step, init, scan_in)
     zb = jnp.where(ib >= 0, zb, 1.0)
@@ -286,13 +298,15 @@ def sample_bilinear(atlas, tex_size, layer, u, v):
 
 
 def shade_stage(scene: DeviceScene, setup, zb, ib, width: int, height: int,
-                clear_color):
+                clear_color, origin=(0, 0), band=None):
     """Winner-takes-all deferred shading."""
+    bw, bh = band if band is not None else (width, height)
+    x0, y0 = origin
     covered = ib >= 0
     idx = jnp.maximum(ib, 0)
 
-    px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
-    py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+    px = (jnp.arange(bw, dtype=jnp.float32) + (jnp.float32(x0) + 0.5))[None, :]
+    py = (jnp.arange(bh, dtype=jnp.float32) + (jnp.float32(y0) + 0.5))[:, None]
 
     ea = setup["ea"][idx]                                  # (H, W, 3)
     eb = setup["eb"][idx]
@@ -322,7 +336,7 @@ def shade_stage(scene: DeviceScene, setup, zb, ib, width: int, height: int,
     src = jnp.where(textured[..., None], albedo, debug_rgba)
 
     clear = jnp.asarray(np.asarray(clear_color, np.float32))
-    dst = jnp.broadcast_to(clear, (height, width, 4))
+    dst = jnp.broadcast_to(clear, (bh, bw, 4))
     a = src[..., 3:4] / 255.0
     out_rgb = src[..., :3] * a + dst[..., :3] * (1.0 - a)
     out = jnp.concatenate([out_rgb, src[..., 3:4]], axis=-1)

@@ -1,0 +1,34 @@
+"""Minimal dependency-free PNG writer for headless frame output."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def write_png(path, img: np.ndarray) -> None:
+    """Write (H, W, 4) or (H, W, 3) uint8 (or (H, W) grayscale) to PNG."""
+    img = np.ascontiguousarray(img)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    h, w, c = img.shape
+    color_type = {3: 2, 4: 6}[c]
+
+    raw = b"".join(b"\x00" + img[i].tobytes() for i in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    hdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", hdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b"")
+        )
