@@ -25,10 +25,12 @@ def parse_args(argv):
     p = argparse.ArgumentParser()
     p.add_argument("--preset", choices=["smoke", "full"], default="full")
     p.add_argument("--instances", type=int, default=None)
-    p.add_argument("--frames", type=int, default=20)
+    p.add_argument("--frames", type=int, default=50)
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--chunk", type=int, default=None)
+    p.add_argument("--backend", choices=["scan", "pallas"], default="pallas")
+    p.add_argument("--maxc", type=int, default=256)
     p.add_argument("--png", default=None, help="write last frame here")
     return p.parse_args(argv)
 
@@ -44,7 +46,7 @@ def main(argv=None):
     else:
         width = args.width or 1920
         height = args.height or 1080
-        instances = args.instances or 64
+        instances = args.instances or 4096
         frames = args.frames
         png = args.png
 
@@ -61,11 +63,12 @@ def main(argv=None):
     chunk = args.chunk or device.DEFAULT_CHUNK
 
     def frame(t):
-        cam.yaw = 15.0 + 3.0 * t
+        cam.yaw = 15.0 + 8.0 * np.sin(0.25 * t)
         vp = np.asarray(cam.view_proj())
         bones = demo.demo_bone_mats(0.3 * t)
         return device.render_frame(
-            scene, vp, bones, width=width, height=height, chunk=chunk
+            scene, vp, bones, width=width, height=height, chunk=chunk,
+            backend=args.backend, maxc=args.maxc,
         )
 
     # compile + warm up

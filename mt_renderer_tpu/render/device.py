@@ -130,10 +130,12 @@ def vertex_stage(scene: DeviceScene, view_proj: jax.Array,
     if scene.skinned and bone_mats is not None:
         homo = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1), jnp.float32)], 1)
         m = bone_mats[scene.joints]                       # (V, 4, 4, 4)
-        blended = jnp.einsum("vw,vwij->vij", scene.weights, m)
-        pos = jnp.einsum("vij,vj->vi", blended, homo)[:, :3]
+        blended = jnp.einsum("vw,vwij->vij", scene.weights, m,
+                             precision=jax.lax.Precision.HIGHEST)
+        pos = jnp.einsum("vij,vj->vi", blended, homo,
+                         precision=jax.lax.Precision.HIGHEST)[:, :3]
     homo = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1), jnp.float32)], 1)
-    return homo @ view_proj.T
+    return jnp.matmul(homo, view_proj.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def setup_stage(scene: DeviceScene, clip: jax.Array, width: int, height: int):
@@ -231,7 +233,8 @@ def raster_stage(setup, width: int, height: int, chunk: int,
         cov, e = _coverage(ch, px, py)
         inv_area = 1.0 / ch["area"][:, None, None]
         b = e * inv_area[:, None]                          # (K, 3, H, W)
-        z = jnp.einsum("kp,kphw->khw", ch["sz"], b)
+        z = jnp.einsum("kp,kphw->khw", ch["sz"], b,
+                       precision=jax.lax.Precision.HIGHEST)
         zok = cov & (z <= zbest[None]) & (z >= 0.0)
         # in-chunk resolve: later triangle wins ties → iterate via min on
         # (z, -index) lexicographic key. Encode: z primary; among equal z
@@ -317,7 +320,8 @@ def shade_stage(scene: DeviceScene, setup, zb, ib, width: int, height: int,
     inv_w = setup["inv_w"][idx]                            # (H, W, 3)
     pw = jnp.sum(b * inv_w, axis=-1)                       # (H, W)
     uv = setup["uv"][idx]                                  # (H, W, 3, 2)
-    uvp = jnp.einsum("hwp,hwpc->hwc", b * inv_w, uv) / pw[..., None]
+    uvp = jnp.einsum("hwp,hwpc->hwc", b * inv_w, uv,
+                     precision=jax.lax.Precision.HIGHEST) / pw[..., None]
 
     layer = scene.tri_texture[idx]
     textured = layer >= 0
@@ -348,16 +352,38 @@ def shade_stage(scene: DeviceScene, setup, zb, ib, width: int, height: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "chunk", "clear_color")
+    jax.jit,
+    static_argnames=("width", "height", "chunk", "clear_color", "backend",
+                     "maxc"),
 )
 def render_frame(scene: DeviceScene, view_proj: jax.Array,
                  bone_mats: jax.Array | None = None, *,
                  width: int = 512, height: int = 512,
                  chunk: int = DEFAULT_CHUNK,
-                 clear_color: tuple = (255, 255, 255, 255)):
-    """Render one frame → ((H, W, 4) uint8, (H, W) f32 depth)."""
+                 clear_color: tuple = (255, 255, 255, 255),
+                 backend: str = "scan", maxc: int | None = None):
+    """Render one frame → ((H, W, 4) uint8, (H, W) f32 depth).
+
+    ``backend``: "scan" (all-triangles lax.scan — exact, good for small
+    scenes) or "pallas" (binned tile kernel — the production path; caps
+    candidate chunks per tile at ``maxc``)."""
     clip = vertex_stage(scene, view_proj, bone_mats)
     setup = setup_stage(scene, clip, width, height)
+    if backend == "pallas":
+        from . import pallas_raster as pr
+
+        pw = -(-width // pr.TILE_W) * pr.TILE_W
+        ph = -(-height // pr.TILE_H) * pr.TILE_H
+        interp = jax.default_backend() != "tpu"
+        zb, ib = pr.raster_pallas(
+            setup, 0, 0, width=pw, height=ph,
+            maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
+        )
+        color = shade_stage(
+            scene, setup, zb, ib, width, height, clear_color,
+            band=(pw, ph),
+        )
+        return color[:height, :width], zb[:height, :width]
     zb, ib = raster_stage(setup, width, height, chunk)
     color = shade_stage(scene, setup, zb, ib, width, height, clear_color)
     return color, zb

@@ -1,0 +1,251 @@
+"""Pallas tile rasterizer — the production raster path.
+
+The reference delegates rasterization to GPU fixed-function hardware via
+``draw_indexed`` (model.rs:354-361). The TPU has no rasterizer, so this
+module implements one as a tiled, binned Pallas kernel engineered for the
+hardware:
+
+* the screen splits into (TILE_H, TILE_W) tiles; each grid step owns one
+  tile, whose z/winner accumulators live in **VMEM** for the whole pass;
+* triangles are packed into chunks of ``K``; per-frame **binning** (plain
+  XLA: chunk-aggregate bboxes + ``top_k``) gives each tile the ordered
+  list of chunks that may touch it — work is O(overlapping chunks ×
+  pixels), not O(all triangles × pixels);
+* the kernel grid is ``(n_tiles,)``; each tile runs a *dynamic*
+  ``fori_loop`` over exactly its chunk count (scalar-prefetched from
+  SMEM), with the chunk setup blocks DMA'd HBM→VMEM by hand, double
+  buffered so the copy of chunk ``s+1`` overlaps the math of chunk ``s``;
+* layouts are chosen so no vector transposes/relayouts are needed:
+  setup blocks are ``(K, 128)`` (triangles in sublanes, coefficient
+  columns in lanes — a ``(K, 1)`` column slice broadcasts naturally),
+  pixels are flattened to ``(1, P)`` row vectors, and all per-(triangle,
+  pixel) math is exact-f32 VPU broadcast FMA over ``(K, P)``;
+* the top-left fill rule and the validity mask are folded into a
+  per-edge *bias*: ``inside = e >= bias`` with bias 0 for top/left
+  edges, FLT_MIN for others (exactly ``e > 0`` under flush-to-zero),
+  and +3e38 for invalid/padding triangles (always outside).
+
+Coverage/tie rules (LessEqual z, later-triangle-wins ties) match
+``cpu_reference.py``; depth values differ only by float associativity
+(the oracle interpolates barycentrics, this evaluates the equivalent
+screen-space plane).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 32
+TILE_W = 128
+P = TILE_H * TILE_W      # flattened pixels per tile
+K = 128                  # triangles per chunk (sublane dim of setup block)
+NF = 128                 # field columns per triangle (15 used, rest pad)
+MAXC_DEFAULT = 256       # binning cap: candidate chunks per tile
+
+FLT_MIN = 1.1754944e-38  # smallest normal f32: e >= FLT_MIN  <=>  e > 0 (FTZ)
+REJECT = 3.0e38          # bias that can never be reached -> always outside
+
+# setup block column layout (per-triangle lanes):
+# 0:3 ea   3:6 eb   6:9 ec   9:12 edge bias   12 za   13 zb   14 zc
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def pack_setup(setup):
+    """Pack the setup dict into (C, K, NF) f32 + per-chunk bboxes."""
+    tp = setup["ea"].shape[0]
+    c = tp // K
+    area = setup["area"]
+    inv_area = jnp.where(area != 0.0, 1.0 / jnp.where(area == 0.0, 1.0, area), 0.0)
+    hi = jax.lax.Precision.HIGHEST
+    za = jnp.einsum("tp,tp->t", setup["ea"], setup["sz"], precision=hi) * inv_area
+    zb = jnp.einsum("tp,tp->t", setup["eb"], setup["sz"], precision=hi) * inv_area
+    zc = jnp.einsum("tp,tp->t", setup["ec"], setup["sz"], precision=hi) * inv_area
+
+    valid = setup["valid"]
+    bias = jnp.where(setup["topleft"], 0.0, FLT_MIN).astype(jnp.float32)
+    bias = jnp.where(valid[:, None], bias, REJECT)
+
+    cols = jnp.concatenate(
+        [
+            setup["ea"], setup["eb"], setup["ec"], bias,
+            za[:, None], zb[:, None], zc[:, None],
+        ],
+        axis=1,
+    )                                                    # (T, 15)
+    packed = jnp.zeros((tp, NF), jnp.float32).at[:, :15].set(cols)
+    packed = packed.reshape(c, K, NF)
+
+    big = jnp.float32(1e30)
+    v = valid
+    xmin = jnp.where(v, setup["xmin"], big).reshape(c, K).min(1)
+    xmax = jnp.where(v, setup["xmax"], -big).reshape(c, K).max(1)
+    ymin = jnp.where(v, setup["ymin"], big).reshape(c, K).min(1)
+    ymax = jnp.where(v, setup["ymax"], -big).reshape(c, K).max(1)
+    return packed, (xmin, xmax, ymin, ymax)
+
+
+def bin_chunks(bbox, n_ty: int, n_tx: int, maxc: int, x0, y0):
+    """Order-preserving per-tile chunk lists.
+
+    Returns (lists (n_tiles, maxc) i32 with -1 padding, counts (n_tiles,)).
+    x0/y0: band origin in pixels (may be traced, for shard_map bands)."""
+    xmin, xmax, ymin, ymax = bbox
+    c = xmin.shape[0]
+    ty = jnp.arange(n_ty, dtype=jnp.float32)
+    tx = jnp.arange(n_tx, dtype=jnp.float32)
+    ty0 = ty * TILE_H + jnp.float32(y0)
+    tx0 = tx * TILE_W + jnp.float32(x0)
+    ovy = (ymax[:, None] >= ty0[None, :]) & (
+        ymin[:, None] <= ty0[None, :] + TILE_H
+    )                                                    # (C, n_ty)
+    ovx = (xmax[:, None] >= tx0[None, :]) & (
+        xmin[:, None] <= tx0[None, :] + TILE_W
+    )                                                    # (C, n_tx)
+    ov = ovy[:, :, None] & ovx[:, None, :]               # (C, n_ty, n_tx)
+    ov = ov.reshape(c, n_ty * n_tx).T                    # (tiles, C)
+
+    counts = jnp.minimum(ov.sum(axis=1), maxc).astype(jnp.int32)
+    # top_k over key = C - cid keeps earliest chunks, in ascending order
+    key = jnp.where(ov, jnp.int32(c) - jnp.arange(c, dtype=jnp.int32), 0)
+    topk, _ = jax.lax.top_k(key, maxc)                   # (tiles, maxc) desc
+    lists = jnp.where(topk > 0, jnp.int32(c) - topk, -1)
+    return lists, counts
+
+
+def _raster_kernel(counts_ref, lists_ref, origin_ref, setup_hbm,
+                   zbuf_ref, win_ref, scratch, sems):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+
+    zbuf_ref[0] = jnp.full((1, P), jnp.inf, jnp.float32)
+    win_ref[0] = jnp.full((1, P), -1, jnp.int32)
+
+    n_tx = origin_ref[2]
+    ty = t // n_tx
+    tx = t % n_tx
+    px0 = (tx * TILE_W + origin_ref[0]).astype(jnp.float32)
+    py0 = (ty * TILE_H + origin_ref[1]).astype(jnp.float32)
+    flat = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (flat % TILE_W).astype(jnp.float32) + (px0 + 0.5)   # (1, P)
+    py = (flat // TILE_W).astype(jnp.float32) + (py0 + 0.5)  # (1, P)
+
+    def dma(slot, s):
+        return pltpu.make_async_copy(
+            setup_hbm.at[lists_ref[t, s]], scratch.at[slot], sems.at[slot]
+        )
+
+    @pl.when(count > 0)
+    def _():
+        dma(0, 0).start()
+
+        def body(s, _):
+            slot = jax.lax.rem(s, 2)
+
+            @pl.when(s + 1 < count)
+            def _():
+                dma(1 - slot, s + 1).start()
+
+            dma(slot, s).wait()
+            blk = scratch[slot]                          # (K, NF)
+
+            def col(i):
+                return blk[:, i][:, None]                # (K, 1)
+
+            def edge_ok(i):
+                e = col(i) * px + col(3 + i) * py + col(6 + i)  # (K, P)
+                return e >= col(9 + i)
+
+            inside = edge_ok(0) & edge_ok(1) & edge_ok(2)
+            z = col(12) * px + col(13) * py + col(14)    # (K, P)
+            zok = inside & (z >= 0.0) & (z <= zbuf_ref[0])
+            zm = jnp.where(zok, z, jnp.inf)
+            zmin = jnp.min(zm, axis=0, keepdims=True)    # (1, P)
+            kids = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
+            winner_k = jnp.max(
+                jnp.where(zok & (zm == zmin), kids, -1), axis=0, keepdims=True
+            )
+            upd = jnp.isfinite(zmin) & (zmin <= zbuf_ref[0])
+            cid = lists_ref[t, s]
+            zbuf_ref[0] = jnp.where(upd, zmin, zbuf_ref[0])
+            win_ref[0] = jnp.where(upd, cid * K + winner_k, win_ref[0])
+            return 0
+
+        jax.lax.fori_loop(0, count, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "maxc", "interpret"),
+)
+def raster_pallas(setup, x0, y0, *, width: int, height: int,
+                  maxc: int = MAXC_DEFAULT, interpret: bool = False):
+    """Binned Pallas raster → per-pixel (depth f32, winner i32).
+
+    Same contract as ``device.raster_stage`` over the band
+    ``[x0, x0+width) × [y0, y0+height)`` of the full frame (the caller's
+    setup must already be in full-frame viewport coordinates). width and
+    height must be multiples of the tile size.
+    """
+    if width % TILE_W or height % TILE_H:
+        raise ValueError(f"band {width}x{height} not tile-aligned "
+                         f"({TILE_W}x{TILE_H})")
+    n_ty = height // TILE_H
+    n_tx = width // TILE_W
+    n_tiles = n_ty * n_tx
+
+    packed, bbox = pack_setup(setup)
+    maxc = min(maxc, packed.shape[0])
+    lists, counts = bin_chunks(bbox, n_ty, n_tx, maxc, x0, y0)
+    origin = jnp.stack(
+        [jnp.int32(x0), jnp.int32(y0), jnp.int32(n_tx)]
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, P),
+                index_map=lambda t, counts_ref, lists_ref, origin_ref: (t, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, P),
+                index_map=lambda t, counts_ref, lists_ref, origin_ref: (t, 0, 0),
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, K, NF), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    zb, ib = pl.pallas_call(
+        _raster_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts, lists, origin, packed)
+
+    def unflatten(x):
+        return (
+            x.reshape(n_ty, n_tx, TILE_H, TILE_W)
+            .transpose(0, 2, 1, 3)
+            .reshape(height, width)
+        )
+
+    zb = unflatten(zb)
+    ib = unflatten(ib)
+    zb = jnp.where(ib >= 0, zb, 1.0)
+    return zb, ib
