@@ -1,0 +1,141 @@
+"""modelviewer — the flagship viewer (headless: renders orbit frames).
+
+Reference contract (``/root/reference/src/bin/modelviewer.rs:74-136``):
+``modelviewer <data-root> <character.prp>``. The character XFS names the
+model resource (``mpModel``) and per-part visibility (``PartsDisp``); the
+shader set loads from ``custom_shaders/CustomShaderPackage``. The
+reference opens a fly-camera window; headless here renders ``--frames``
+orbit frames to PNG, with the joint-cube debug overlay available via
+``--overlay`` (model.rs:309-315).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from .. import dti as dti_mod
+from ..app.camera import Camera
+from ..app.manager import RendererApp, RendererAppManager
+from ..formats.mod import ModelFile
+from ..formats.mrl import MaterialFile
+from ..render import device
+from ..resources import ResourceManager
+from ..scene.model import Model, merge_batches
+from ..scene.overlay import DebugOverlay
+from ._common import load_shader2
+
+
+def load_character(rm: ResourceManager, prp_path: str):
+    """character .prp → (model path, parts_disp list)."""
+    from ..formats.xfs import deserialize, strip_prpz
+
+    with open(prp_path, "rb") as f:
+        root = deserialize(strip_prpz(f.read()))
+    mp = root.get_prop("mpModel")
+    if not mp:
+        raise ValueError(f"{prp_path}: no mpModel property")
+    # dynamic custom prop: list of [type name, resource path]
+    model_path = mp[0][1] if isinstance(mp[0], (list, tuple)) else str(mp[0])
+    parts = root.get_prop("PartsDisp") or []
+    return model_path.replace("\\", "/"), [bool(x) for x in parts]
+
+
+class ModelViewerApp(RendererApp):
+    def __init__(self, data_root: str, prp_path: str, overlay: bool = False,
+                 backend: str = "pallas"):
+        self.data_root = data_root
+        self.prp_path = prp_path
+        self.show_overlay = overlay
+        self.backend = backend
+        self.overlay = DebugOverlay()
+
+    def setup(self, mgr: RendererAppManager) -> None:
+        rm = ResourceManager(self.data_root)
+        shader2 = load_shader2(rm)
+        model_path, parts_disp = load_character(rm, self.prp_path)
+        print(f"model: {model_path}  parts_disp: {parts_disp}")
+
+        model_res = rm.get_resource(model_path, dti_mod.from_name("rModel"))
+        model_file = ModelFile(model_res.read())
+        try:
+            mat_res = rm.get_resource(model_path, dti_mod.from_name("rMaterial"))
+            material = MaterialFile(mat_res.read(), shader2)
+        except FileNotFoundError:
+            material = None
+        self.model = Model(model_file, material, shader2, rm,
+                           parts_disp=parts_disp or None)
+        b = self.model.batch
+        print(f"{b.num_vertices} verts, {b.num_triangles} tris, "
+              f"{len(b.textures)} textures, skinned={b.skinned}")
+
+        # frame the model from its AABB
+        lo = b.positions.min(0) if b.num_vertices else np.zeros(3)
+        hi = b.positions.max(0) if b.num_vertices else np.ones(3)
+        center = (lo + hi) / 2
+        radius = float(np.linalg.norm(hi - lo)) / 2 + 1e-3
+        mgr.camera = Camera(
+            position=center + [0, 0, radius * 2.4],
+            far=max(50.0, radius * 10),
+        )
+        mgr.camera.aspect = mgr.aspect
+        self._center = center
+        self._radius = radius
+        self._rebuild()
+
+    def _rebuild(self):
+        batch = self.model.batch
+        if self.show_overlay:
+            self.overlay.clear()
+            for pos in self.model.joint_world_positions():
+                self.overlay.add_cube_at(pos, scale=self._radius * 0.02)
+            ob = self.overlay.batch()
+            if ob is not None:
+                batch = merge_batches(batch, ob)
+        self.scene = device.upload(batch)
+        self.bones = (
+            np.tile(np.eye(4, dtype=np.float32),
+                    (self.scene.num_joints, 1, 1))
+        )
+
+    def render(self, mgr: RendererAppManager):
+        # orbit: one slow turn around the model
+        ang = np.radians(mgr.frame_index * 6.0)
+        r = self._radius * 2.4
+        mgr.camera.position = self._center + np.array(
+            [np.sin(ang) * r, 0.3 * r, np.cos(ang) * r], np.float32
+        )
+        mgr.camera.yaw = np.degrees(ang)
+        mgr.camera.pitch = -12.0
+        color, _ = device.render_frame(
+            self.scene, mgr.camera.view_proj(), self.bones,
+            width=mgr.width, height=mgr.height, backend=self.backend,
+        )
+        return color
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="modelviewer", description=__doc__)
+    p.add_argument("data_root", help="game data root directory")
+    p.add_argument("prp_path", help="character .prp file path")
+    p.add_argument("--out", default="frame_{i}.png",
+                   help="output PNG path ({i} = frame index)")
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--width", type=int, default=768)
+    p.add_argument("--height", type=int, default=768)
+    p.add_argument("--overlay", action="store_true",
+                   help="draw joint debug cubes")
+    p.add_argument("--backend", choices=["scan", "pallas"], default="pallas")
+    args = p.parse_args(argv)
+
+    app = ModelViewerApp(args.data_root, args.prp_path,
+                         overlay=args.overlay, backend=args.backend)
+    mgr = RendererAppManager(app, width=args.width, height=args.height)
+    mgr.run_headless(frames=args.frames, out_path=args.out)
+    print(f"rendered {args.frames} frame(s), last frame_time="
+          f"{mgr.frame_time * 1000:.1f}ms")
+
+
+if __name__ == "__main__":
+    main()

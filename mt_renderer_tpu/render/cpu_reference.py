@@ -41,7 +41,10 @@ def skin_positions(batch: DrawBatch, bone_mats: np.ndarray | None) -> np.ndarray
     m = bone_mats[batch.joints]                # (V, 4, 4, 4)
     skinned = np.einsum("vwij,vj->vwi", m, homo)  # (V, 4, 4)
     blended = (skinned * batch.weights[..., None]).sum(axis=1)
-    return blended[:, :3].astype(np.float32)
+    # zero-weight vertices (merged unskinned geometry, e.g. overlay cubes)
+    # pass through untransformed
+    has_w = batch.weights.sum(axis=1, keepdims=True) > 0
+    return np.where(has_w, blended[:, :3], pos).astype(np.float32)
 
 
 def sample_bilinear(tex: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
@@ -91,6 +94,7 @@ def render(
         color, depth, pos, batch.tris, view_proj,
         uvs=batch.uvs, tri_texture=batch.tri_texture,
         tri_debug_id=batch.tri_debug_id, textures=batch.textures,
+        tri_flat=batch.tri_flat,
         blend=True,
     )
 
@@ -108,7 +112,7 @@ def render(
 
 def _raster_soup(color, depth, pos, tris, view_proj, uvs=None,
                  tri_texture=None, tri_debug_id=None, textures=None,
-                 flat_color=None, blend=True):
+                 flat_color=None, tri_flat=None, blend=True):
     height, width = depth.shape
     if len(tris) == 0:
         return
@@ -195,6 +199,10 @@ def _raster_soup(color, depth, pos, tris, view_proj, uvs=None,
                 v = (b0 * uv[0, 1] * inv_w[0] + b1 * uv[1, 1] * inv_w[1]
                      + b2 * uv[2, 1] * inv_w[2]) / pw
                 frag = sample_bilinear(textures[tex_id], u[passing], v[passing])
+            elif tri_flat is not None and tri_flat[t, 3] >= 0:
+                frag = np.broadcast_to(
+                    tri_flat[t].astype(np.float32), (int(passing.sum()), 4)
+                )
             else:
                 rgb = DEBUG_PALETTE[int(tri_debug_id[t]) % 20]
                 frag = np.broadcast_to(

@@ -61,6 +61,7 @@ class DeviceScene:
     tris: jax.Array           # (Tp, 3) i32, padded
     tri_texture: jax.Array    # (Tp,) i32 atlas layer, -1 = untextured
     tri_debug_id: jax.Array   # (Tp,) i32
+    tri_flat: jax.Array       # (Tp, 4) f32 flat color 0-255; alpha<0 = unused
     tri_valid: jax.Array      # (Tp,) bool — False for padding
     atlas: jax.Array          # (L, AH, AW, 4) u8 (L >= 1)
     tex_size: jax.Array       # (L, 2) i32 actual (h, w) per layer
@@ -70,8 +71,8 @@ class DeviceScene:
     def tree_flatten(self):
         children = (
             self.positions, self.uvs, self.joints, self.weights, self.tris,
-            self.tri_texture, self.tri_debug_id, self.tri_valid, self.atlas,
-            self.tex_size,
+            self.tri_texture, self.tri_debug_id, self.tri_flat,
+            self.tri_valid, self.atlas, self.tex_size,
         )
         return children, (self.num_joints, self.skinned)
 
@@ -90,6 +91,9 @@ def upload(batch: DrawBatch) -> DeviceScene:
     tri_tex[:t] = batch.tri_texture
     tri_dbg = np.zeros(tp, np.int32)
     tri_dbg[:t] = batch.tri_debug_id
+    tri_flat = np.full((tp, 4), -1.0, np.float32)
+    if batch.tri_flat is not None:
+        tri_flat[:t] = batch.tri_flat
     valid = np.zeros(tp, bool)
     valid[:t] = True
 
@@ -115,6 +119,7 @@ def upload(batch: DrawBatch) -> DeviceScene:
         joints=dp(batch.joints.astype(np.int32)),
         weights=dp(batch.weights.astype(np.float32)),
         tris=dp(tris), tri_texture=dp(tri_tex), tri_debug_id=dp(tri_dbg),
+        tri_flat=dp(tri_flat),
         tri_valid=dp(valid), atlas=dp(atlas), tex_size=dp(sizes),
         num_joints=nj, skinned=bool(batch.skinned),
     )
@@ -132,8 +137,11 @@ def vertex_stage(scene: DeviceScene, view_proj: jax.Array,
         m = bone_mats[scene.joints]                       # (V, 4, 4, 4)
         blended = jnp.einsum("vw,vwij->vij", scene.weights, m,
                              precision=jax.lax.Precision.HIGHEST)
-        pos = jnp.einsum("vij,vj->vi", blended, homo,
-                         precision=jax.lax.Precision.HIGHEST)[:, :3]
+        skinned = jnp.einsum("vij,vj->vi", blended, homo,
+                             precision=jax.lax.Precision.HIGHEST)[:, :3]
+        # zero-weight vertices (merged unskinned geometry) pass through
+        has_w = jnp.sum(scene.weights, axis=1, keepdims=True) > 0
+        pos = jnp.where(has_w, skinned, pos)
     homo = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1), jnp.float32)], 1)
     return jnp.matmul(homo, view_proj.T, precision=jax.lax.Precision.HIGHEST)
 
@@ -336,8 +344,10 @@ def shade_stage(scene: DeviceScene, setup, zb, ib, width: int, height: int,
         )
     )
     debug_rgba = palette[scene.tri_debug_id[idx] % 20]
+    flat = scene.tri_flat[idx]
+    untextured = jnp.where(flat[..., 3:4] >= 0.0, flat, debug_rgba)
 
-    src = jnp.where(textured[..., None], albedo, debug_rgba)
+    src = jnp.where(textured[..., None], albedo, untextured)
 
     clear = jnp.asarray(np.asarray(clear_color, np.float32))
     dst = jnp.broadcast_to(clear, (bh, bw, 4))

@@ -46,6 +46,7 @@ class DrawBatch:
     tri_texture: np.ndarray        # (T,) i32 texture id, -1 = untextured
     tri_parts: np.ndarray          # (T,) i32 parts_no (visibility culling)
     tri_debug_id: np.ndarray       # (T,) i32 joint debug id
+    tri_flat: np.ndarray = None    # (T, 4) f32 0-255 flat color; alpha<0 = unused
     textures: list[np.ndarray] = field(default_factory=list)  # (H,W,4) u8 each
     # skinning inputs
     inverse_bind_mats: np.ndarray = None   # (J, 4, 4) f32
@@ -218,3 +219,33 @@ class Model:
         if self.batch.joint_offsets is None:
             return np.zeros((0, 3), np.float32)
         return self.batch.joint_offsets * 0.01
+
+
+def merge_batches(a: DrawBatch, b: DrawBatch) -> DrawBatch:
+    """Concatenate two batches (b's textures must be shared/empty).
+
+    Used to composite overlay geometry into the frame's draw set — the
+    analog of the reference's second render pass (debug_overlay.rs:202).
+    """
+    def flat(batch):
+        if batch.tri_flat is not None:
+            return batch.tri_flat
+        return np.full((batch.num_triangles, 4), -1.0, np.float32)
+
+    va = a.num_vertices
+    return DrawBatch(
+        positions=np.concatenate([a.positions, b.positions]),
+        uvs=np.concatenate([a.uvs, b.uvs]),
+        joints=np.concatenate([a.joints, np.zeros((b.num_vertices, 4), np.int32)]),
+        weights=np.concatenate([a.weights, np.zeros((b.num_vertices, 4), np.float32)]),
+        tris=np.concatenate([a.tris, b.tris + va]),
+        tri_texture=np.concatenate([a.tri_texture, np.full(b.num_triangles, -1, np.int32)]),
+        tri_parts=np.concatenate([a.tri_parts, np.zeros(b.num_triangles, np.int32)]),
+        tri_debug_id=np.concatenate([a.tri_debug_id, b.tri_debug_id]),
+        tri_flat=np.concatenate([flat(a), flat(b)]).astype(np.float32),
+        textures=a.textures,
+        inverse_bind_mats=a.inverse_bind_mats,
+        joint_parents=a.joint_parents,
+        joint_offsets=a.joint_offsets,
+        skinned=a.skinned,
+    )

@@ -1,0 +1,146 @@
+"""App framework, debug overlay, viewer CLI, and texture-view tests."""
+
+import numpy as np
+import pytest
+
+from mt_renderer_tpu import fixtures
+from mt_renderer_tpu.app.manager import RendererApp, RendererAppManager
+from mt_renderer_tpu.render import cpu_reference, device
+from mt_renderer_tpu.render.texture_view import view_texture, ycbcr_to_rgba
+from mt_renderer_tpu.scene import demo
+from mt_renderer_tpu.scene.model import merge_batches
+from mt_renderer_tpu.scene.overlay import DebugOverlay, OVERLAY_RGBA
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    fixtures.write_fixture_tree(root)
+    return root
+
+
+class TestOverlay:
+    def test_batch_geometry(self):
+        ov = DebugOverlay()
+        ov.add_cube_at([1.0, 2.0, 3.0], scale=0.1)
+        ov.add_cube_at([0.0, 0.0, 0.0], scale=1.0)
+        b = ov.batch()
+        assert b.num_vertices == 16 and b.num_triangles == 24
+        # first cube spans [1±.05, 2±.05, 3±.05]
+        np.testing.assert_allclose(b.positions[:8].mean(0), [1, 2, 3], atol=1e-6)
+        assert (b.tri_flat == OVERLAY_RGBA).all()
+        ov.clear()
+        assert ov.batch() is None
+
+    def test_overlay_renders_flat_color(self):
+        ov = DebugOverlay()
+        ov.add_cube_at([0, 0, 0], scale=1.0)
+        batch = ov.batch()
+        from mt_renderer_tpu.app.camera import Camera
+
+        cam = Camera(position=[0, 0, 3])
+        c, d = device.render_frame(
+            device.upload(batch), cam.view_proj(), None, width=64, height=64
+        )
+        c = np.asarray(c)
+        covered = np.asarray(d) < 1.0
+        assert covered.any()
+        expect = (OVERLAY_RGBA + 0.5).astype(np.uint8)
+        assert (c[covered] == expect).all()
+
+    def test_merged_overlay_matches_cpu(self):
+        # skinned model + unskinned overlay in one batch, both paths agree
+        batch = demo.build_demo_batch(instances=1, skinned=True)
+        ov = DebugOverlay()
+        ov.add_cube_at([0, 0, 2.0], scale=0.5)
+        merged = merge_batches(batch, ov.batch())
+        cam = demo.demo_camera(1, 96, 96)
+        vp = np.asarray(cam.view_proj())
+        bones = demo.demo_bone_mats(0.8)
+        want, _ = cpu_reference.render(merged, vp, 96, 96, bone_mats=bones)
+        got, _ = device.render_frame(
+            device.upload(merged), vp, bones, width=96, height=96
+        )
+        diff = np.abs(np.asarray(got).astype(int) - want.astype(int)).max(-1)
+        assert (diff > 1).mean() <= 0.005
+
+    def test_instance_cap(self):
+        ov = DebugOverlay()
+        for _ in range(1024):
+            ov.add_cube_at([0, 0, 0])
+        with pytest.raises(ValueError):
+            ov.add_cube_at([0, 0, 0])
+
+
+class TestAppManager:
+    def test_frame_cycle(self):
+        frames = []
+
+        class App(RendererApp):
+            def setup(self, mgr):
+                self.n = 0
+
+            def render(self, mgr):
+                self.n += 1
+                return np.full((mgr.height, mgr.width, 4), self.n, np.uint8)
+
+        mgr = RendererAppManager(App(), width=8, height=8)
+        out = mgr.run_headless(frames=3)
+        assert (out == 3).all()
+        assert mgr.frame_index == 3
+        assert mgr.frame_time >= 0
+
+    def test_png_output(self, tmp_path):
+        class App(RendererApp):
+            def setup(self, mgr):
+                pass
+
+            def render(self, mgr):
+                return np.zeros((4, 4, 4), np.uint8)
+
+        mgr = RendererAppManager(App(), width=4, height=4)
+        mgr.run_headless(frames=2, out_path=str(tmp_path / "f_{i}.png"))
+        assert (tmp_path / "f_0.png").exists()
+        assert (tmp_path / "f_1.png").exists()
+
+
+class TestTextureView:
+    def test_ycbcr_identity_gray(self):
+        # Y=0.5, Cb=Cr=bias, A=1 -> gray 0.5
+        s = np.array([0.482353002, 1.0, 0.482353002, 0.5], np.float32)
+        rgba = np.asarray(ycbcr_to_rgba(s))
+        np.testing.assert_allclose(rgba, [0.5, 0.5, 0.5, 1.0], atol=1e-5)
+
+    def test_aspect_fit_letterbox(self):
+        tex = np.zeros((32, 64, 4), np.uint8)  # wide texture
+        tex[..., 3] = 255
+        frame = np.asarray(view_texture(tex, width=64, height=64, ycbcr=False))
+        # top/bottom letterboxed white, center black
+        assert (frame[0] == 255).all()
+        assert (frame[63] == 255).all()
+        assert (frame[32, 32, :3] == 0).all()
+
+
+class TestViewerClis:
+    def test_modelviewer(self, fixture_root, tmp_path, capsys):
+        from mt_renderer_tpu.cli import modelviewer
+
+        out = tmp_path / "mv_{i}.png"
+        modelviewer.main([
+            str(fixture_root), str(fixture_root / "chara/fixture_character.chr"),
+            "--out", str(out), "--frames", "2", "--width", "96",
+            "--height", "96", "--overlay",
+        ])
+        assert (tmp_path / "mv_0.png").exists()
+        assert (tmp_path / "mv_1.png").exists()
+        assert "tris" in capsys.readouterr().out
+
+    def test_textureviewer(self, fixture_root, tmp_path, capsys):
+        from mt_renderer_tpu.cli import textureviewer
+
+        out = tmp_path / "t.png"
+        textureviewer.main([
+            str(fixture_root / "model/fixture_albedo.tex"),
+            "--out", str(out), "--raw", "--width", "64", "--height", "64",
+        ])
+        assert out.exists()
