@@ -44,11 +44,13 @@ def load_character(rm: ResourceManager, prp_path: str):
 
 class ModelViewerApp(RendererApp):
     def __init__(self, data_root: str, prp_path: str, overlay: bool = False,
-                 backend: str = "pallas"):
+                 backend: str = "pallas", sdl_path: str | None = None):
         self.data_root = data_root
         self.prp_path = prp_path
         self.show_overlay = overlay
         self.backend = backend
+        self.sdl_path = sdl_path
+        self.animator = None
         self.overlay = DebugOverlay()
 
     def setup(self, mgr: RendererAppManager) -> None:
@@ -82,6 +84,18 @@ class ModelViewerApp(RendererApp):
         mgr.camera.aspect = mgr.aspect
         self._center = center
         self._radius = radius
+
+        if self.sdl_path:
+            from ..formats.sdl import SchedulerFile
+            from ..scene.animation import BoneAnimator, Timeline
+
+            timeline = Timeline(SchedulerFile(open(self.sdl_path, "rb").read()))
+            sk = self.model.skeleton
+            if sk is not None:
+                self.animator = BoneAnimator(timeline, sk)
+                self._duration = max(timeline.duration, 1)
+                print(f"animation: {len(self.animator.params)} bone tracks, "
+                      f"{self._duration} frames")
         self._rebuild()
 
     def _rebuild(self):
@@ -108,6 +122,11 @@ class ModelViewerApp(RendererApp):
         )
         mgr.camera.yaw = np.degrees(ang)
         mgr.camera.pitch = -12.0
+        if self.animator is not None:
+            t = (mgr.frame_index * 2.0) % self._duration
+            self.bones = np.asarray(self.animator.bone_mats_device(
+                np.float32(t)
+            ))
         color, _ = device.render_frame(
             self.scene, mgr.camera.view_proj(), self.bones,
             width=mgr.width, height=mgr.height, backend=self.backend,
@@ -127,10 +146,13 @@ def main(argv=None):
     p.add_argument("--overlay", action="store_true",
                    help="draw joint debug cubes")
     p.add_argument("--backend", choices=["scan", "pallas"], default="pallas")
+    p.add_argument("--sdl", default=None,
+                   help="scheduler (.sdl) file animating the bone palette")
     args = p.parse_args(argv)
 
     app = ModelViewerApp(args.data_root, args.prp_path,
-                         overlay=args.overlay, backend=args.backend)
+                         overlay=args.overlay, backend=args.backend,
+                         sdl_path=args.sdl)
     mgr = RendererAppManager(app, width=args.width, height=args.height)
     mgr.run_headless(frames=args.frames, out_path=args.out)
     print(f"rendered {args.frames} frame(s), last frame_time="

@@ -226,14 +226,14 @@ def build_material() -> bytes:
     )
 
 
-def build_character_prp(parts_disp=(True, True)) -> bytes:
+def build_character_prp(parts_disp=(True, True), model_path=MODEL_PATH) -> bytes:
     """Character definition: mpModel resource path + PartsDisp bools."""
     spec = xfs.ClassSpec("nGO::rCharacter", [
         xfs.PropSpec("mpModel", xfs.PropType.custom, attr=xfs.PROP_ATTR_DYNAMIC),
         xfs.PropSpec("PartsDisp", xfs.PropType.bool_, attr=0),
     ])
     root = ("nGO::rCharacter", {
-        "mpModel": [["rModel", MODEL_PATH]],
+        "mpModel": [["rModel", model_path]],
         "PartsDisp": list(parts_disp),
     })
     return xfs.serialize(root, [spec])
@@ -262,6 +262,28 @@ def build_scheduler() -> bytes:
             keys=[sdl.Key(0, 0, True), sdl.Key(15, 0, False)],
         ),
     ]
+    return sdl.write_scheduler(tracks)
+
+
+def build_scheduler_bones(frames: int = 60) -> bytes:
+    """Bone-animation timeline: joint 1 swings (joint1:rx) and slides
+    (joint1:tx) over ``frames`` frames with linear keys (mode 1)."""
+    import math
+
+    tracks = [sdl.Track(sdl.TrackType.TYPE_ROOT, 0, "root", 0)]
+
+    def float_track(name, kv):
+        return sdl.Track(
+            sdl.TrackType.TYPE_FLOAT, int(dti_mod.PropType.f32), name, 0,
+            keys=[sdl.Key(f, 1, v) for f, v in kv],
+        )
+
+    tracks.append(float_track("joint1:rx", [
+        (0, 0.0), (frames // 2, math.pi / 3), (frames, 0.0),
+    ]))
+    tracks.append(float_track("joint1:tx", [
+        (0, 0.0), (frames // 2, 0.6), (frames, 0.0),
+    ]))
     return sdl.write_scheduler(tracks)
 
 
@@ -298,6 +320,9 @@ def write_fixture_tree(root) -> None:
     put(MODEL_PATH, "rMaterial", build_material())
     put(TEXTURE_PATH, "rTexture", build_texture_rgba())
     put("model/fixture_albedo_bc1", "rTexture", build_texture_bc1())
+    put("motion/fixture_bones", "rScheduler", build_scheduler_bones())
+    put("chara/fixture_character_skinned", "nGO::rCharacter",
+        build_character_prp(model_path="model\\fixture_cube_skinned"))
     put(CHARACTER_PATH, "nGO::rCharacter", build_character_prp())
     put("gui/fixture_messages", "rGUIMessage", build_gmd())
     put("motion/fixture_timeline", "rScheduler", build_scheduler())

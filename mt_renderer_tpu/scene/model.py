@@ -214,11 +214,20 @@ class Model:
             self.resource_manager, self.parts_disp,
         )
 
-    def joint_world_positions(self) -> np.ndarray:
-        """Joint offsets scaled like the overlay feed (model.rs:309-315)."""
-        if self.batch.joint_offsets is None:
+    @property
+    def skeleton(self):
+        from .skeleton import Skeleton
+
+        if not hasattr(self, "_skeleton"):
+            self._skeleton = Skeleton.from_model(self.model_file)
+        return self._skeleton
+
+    def joint_world_positions(self, deltas=None) -> np.ndarray:
+        """World joint origins (overlay feed, model.rs:309-315)."""
+        sk = self.skeleton
+        if sk is None:
             return np.zeros((0, 3), np.float32)
-        return self.batch.joint_offsets * 0.01
+        return sk.joint_world_positions(deltas)
 
 
 def merge_batches(a: DrawBatch, b: DrawBatch) -> DrawBatch:
