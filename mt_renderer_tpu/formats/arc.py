@@ -136,10 +136,22 @@ class ArchiveWriter:
 
     def tobytes(self) -> bytes:
         n = len(self._entries)
-        with ThreadPoolExecutor(max_workers=min(32, (os.cpu_count() or 4))) as pool:
-            compressed = list(pool.map(
-                lambda e: zlib.compress(e[3], self._level), self._entries
-            ))
+        # native C++ thread-pool deflate (the reference's rayon analog,
+        # rarchive.rs:228-238); GIL-free ThreadPoolExecutor fallback
+        from .. import native
+
+        if native.available():
+            compressed = native.deflate_many(
+                [e[3] for e in self._entries],
+                6 if self._level < 0 else self._level,
+            )
+        else:
+            with ThreadPoolExecutor(
+                max_workers=min(32, (os.cpu_count() or 4))
+            ) as pool:
+                compressed = list(pool.map(
+                    lambda e: zlib.compress(e[3], self._level), self._entries
+                ))
 
         toc = np.zeros(n, dtype=RESOURCE_INFO_DTYPE)
         offset = HEADER_DTYPE.itemsize + n * RESOURCE_INFO_DTYPE.itemsize

@@ -134,7 +134,9 @@ class TextureFile:
                 .copy()
             )
         if fmt == TextureFormat.BC1:
-            return bcn.decode_bc1_numpy(self.data, w, h)
+            from .. import native
+
+            return native.decode_bc1(self.data, w, h)
         if fmt in (TextureFormat.BC7, TextureFormat.BC7_42):
             return bcn.decode_bc7_numpy(self.data, w, h)
         raise ValueError(f"unhandled texture format {fmt}")
