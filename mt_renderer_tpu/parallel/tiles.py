@@ -43,7 +43,8 @@ def make_row_mesh(n_devices: int | None = None) -> Mesh:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "width", "height", "chunk", "clear_color"),
+    static_argnames=("mesh", "width", "height", "chunk", "clear_color",
+                     "backend", "maxc"),
 )
 def render_frame_multichip(
     scene: dev.DeviceScene,
@@ -55,10 +56,13 @@ def render_frame_multichip(
     height: int = 512,
     chunk: int = dev.DEFAULT_CHUNK,
     clear_color: tuple = (255, 255, 255, 255),
+    backend: str = "pallas",
+    maxc: int | None = None,
 ):
     """Render one frame with the raster+shade stages sharded over screen
     bands. Returns ((H, W, 4) uint8, (H, W) f32), row-sharded over the
-    mesh."""
+    mesh. ``backend`` as in ``device.render_frame``; the pallas path pads
+    each band up to tile alignment and crops."""
     n = mesh.devices.size
     if height % n:
         raise ValueError(f"height {height} not divisible by {n} devices")
@@ -68,6 +72,21 @@ def render_frame_multichip(
         clip = dev.vertex_stage(scene, view_proj, bone_mats)
         setup = dev.setup_stage(scene, clip, width, height)
         y0 = jax.lax.axis_index("rows") * band_h
+        if backend == "pallas":
+            from ..render import pallas_raster as pr
+
+            pw = -(-width // pr.TILE_W) * pr.TILE_W
+            pb = -(-band_h // pr.TILE_H) * pr.TILE_H
+            interp = jax.default_backend() != "tpu"
+            zb, ib = pr.raster_pallas(
+                setup, 0, y0, width=pw, height=pb,
+                maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
+            )
+            color = dev.shade_stage(
+                scene, setup, zb, ib, width, height, clear_color,
+                origin=(0, y0), band=(pw, pb),
+            )
+            return color[:band_h, :width], zb[:band_h, :width]
         zb, ib = dev.raster_stage(
             setup, width, height, chunk,
             origin=(0, y0), band=(width, band_h),
@@ -83,6 +102,9 @@ def render_frame_multichip(
         mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=(P("rows", None, None), P("rows", None)),
+        # pallas_call's out_shape carries no varying-mesh-axis info;
+        # band partitioning is trivially correct, so skip the vma check
+        check_vma=False,
     )
     if bone_mats is None:
         bone_mats = jnp.tile(

@@ -24,11 +24,11 @@ Triangle counts are padded to a multiple of 128 so shapes stay static
 across frames (jit caches one executable per (resolution, chunk) bucket —
 the analog of the reference's pipeline cache ``model.rs:25``).
 
-Known divergence from the ordered CPU path: triangles are resolved by
-depth only, so *translucent-over-translucent* stacking uses the nearest
-fragment instead of back-to-front accumulation. All reference content
-draws opaque albedo (alpha 255) where the two agree; proper ordered
-transparency is a planned depth-peeling pass.
+``render_frame`` resolves one (nearest) fragment per pixel — exact for
+the opaque content the reference wires up. ``render_frame_peeled`` adds
+order-independent transparency: the L nearest fragments per pixel
+(single-pass multilayer scan, or multi-pass zlow peeling on the Pallas
+backend) composite back-to-front with the reference blend state.
 """
 
 from __future__ import annotations
@@ -43,6 +43,7 @@ import numpy as np
 from ..scene.model import DEBUG_PALETTE, DrawBatch
 
 W_EPS = 1e-6
+PEEL_EPS = 1e-6        # depth-peel layer separation (NDC depth units)
 TRI_PAD = 128          # triangle-count padding quantum
 DEFAULT_CHUNK = 16     # triangles per scan step
 
@@ -179,6 +180,15 @@ def setup_stage(scene: DeviceScene, clip: jax.Array, width: int, height: int):
     # right-to-left or any edge going downward (y-down screen space)
     topleft = ((ay == by) & (bx < ax)) | (by > ay)
 
+    # edge-snap band: |e| below this counts as exactly on-edge, so the
+    # top-left rule decides deterministically regardless of how each
+    # call site's FMA fusion rounds the evaluation. 1e-6 of the
+    # coefficient scale ≈ 0.002 px at 1080p — far above eval noise
+    # (~2e-7 of scale), far below pixel scale.
+    esnap = 1e-6 * (
+        jnp.abs(ea) * width + jnp.abs(eb) * height + jnp.abs(ec)
+    )
+
     # conservative screen bbox for cheap tile/chunk rejection
     xmin = jnp.min(sx, 1)
     xmax = jnp.max(sx, 1)
@@ -186,7 +196,7 @@ def setup_stage(scene: DeviceScene, clip: jax.Array, width: int, height: int):
     ymax = jnp.max(sy, 1)
 
     return dict(
-        ea=ea, eb=eb, ec=ec, topleft=topleft,
+        ea=ea, eb=eb, ec=ec, topleft=topleft, esnap=esnap,
         area=-area2, sz=sz, inv_w=inv_w, valid=valid,
         uv=scene.uvs[scene.tris],                         # (Tp, 3, 2)
         xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax,
@@ -197,19 +207,22 @@ def _coverage(setup_chunk, px, py):
     """Edge coverage of a chunk of triangles over a pixel grid.
 
     setup_chunk arrays are (K, ...); px/py are (H, W). Returns
-    (cov (K,H,W) bool, bary e (K,3,H,W))."""
+    (cov (K,H,W) bool, bary e (K,3,H,W)). Values within the per-edge
+    snap band count as exactly on-edge (top-left rule decides)."""
     ea = setup_chunk["ea"][:, :, None, None]
     eb = setup_chunk["eb"][:, :, None, None]
     ec = setup_chunk["ec"][:, :, None, None]
     tl = setup_chunk["topleft"][:, :, None, None]
+    snap = setup_chunk["esnap"][:, :, None, None]
     e = ea * px[None, None] + eb * py[None, None] + ec    # (K, 3, H, W)
-    inside = (e > 0.0) | ((e == 0.0) & tl)
+    on_edge = jnp.abs(e) <= snap
+    inside = (~on_edge & (e > 0.0)) | (on_edge & tl)
     cov = jnp.all(inside, axis=1) & setup_chunk["valid"][:, None, None]
     return cov, e
 
 
 def raster_stage(setup, width: int, height: int, chunk: int,
-                 origin=(0, 0), band=None):
+                 origin=(0, 0), band=None, zlow=None):
     """Scan over triangle chunks → per-pixel (depth f32, winner id i32).
 
     Winner id is -1 where nothing covers. Later triangles win depth ties
@@ -218,7 +231,8 @@ def raster_stage(setup, width: int, height: int, chunk: int,
     ``origin``/``band`` select a screen sub-rectangle (origin may be a
     traced value — it is how shard_map gives each chip its own band of
     the frame); the viewport transform itself always uses the full
-    width/height.
+    width/height. ``zlow`` (band-shaped, optional) excludes fragments at
+    or nearer than a previous depth layer — the depth-peeling hook.
     """
     bw, bh = band if band is not None else (width, height)
     x0, y0 = origin
@@ -244,6 +258,8 @@ def raster_stage(setup, width: int, height: int, chunk: int,
         z = jnp.einsum("kp,kphw->khw", ch["sz"], b,
                        precision=jax.lax.Precision.HIGHEST)
         zok = cov & (z <= zbest[None]) & (z >= 0.0)
+        if zlow is not None:
+            zok &= z > zlow[None]
         # in-chunk resolve: later triangle wins ties → iterate via min on
         # (z, -index) lexicographic key. Encode: z primary; among equal z
         # prefer larger global index.
@@ -274,6 +290,70 @@ def raster_stage(setup, width: int, height: int, chunk: int,
     (zb, ib), _ = jax.lax.scan(step, init, scan_in)
     zb = jnp.where(ib >= 0, zb, 1.0)
     return zb, ib
+
+
+def raster_multilayer(setup, width: int, height: int, chunk: int,
+                      layers: int, origin=(0, 0), band=None):
+    """Single-pass L-layer visibility: the ``layers`` nearest fragments
+    per pixel in one scan over triangle chunks.
+
+    Carries a depth-sorted (z, id) list per pixel; each chunk's fragments
+    merge in via ``lax.sort`` keyed on (z, -id) so depth ties resolve to
+    the later triangle, exactly like the single-layer path. Returns
+    (z (L, bh, bw) — inf beyond the last fragment, ib (L, bh, bw) — -1).
+
+    One pass over all triangles regardless of L (the multi-pass zlow
+    formulation is only used by the Pallas backend, where the compiled
+    kernel guarantees bit-identical z across passes).
+    """
+    bw, bh = band if band is not None else (width, height)
+    x0, y0 = origin
+    tp = setup["ea"].shape[0]
+    nchunks = tp // chunk
+
+    px = jnp.arange(bw, dtype=jnp.float32) + (jnp.float32(x0) + 0.5)
+    py = jnp.arange(bh, dtype=jnp.float32) + (jnp.float32(y0) + 0.5)
+    px = jnp.broadcast_to(px[None, :], (bh, bw))
+    py = jnp.broadcast_to(py[:, None], (bh, bw))
+
+    def reshape_chunks(x):
+        return x.reshape((nchunks, chunk) + x.shape[1:])
+
+    scan_in = {k: reshape_chunks(v) for k, v in setup.items()
+               if k not in ("uv",)}
+    scan_in["ids"] = reshape_chunks(
+        jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)[:, 0]
+    )
+
+    ovary = jnp.int32(x0) * 0 + jnp.int32(y0) * 0
+    init = (
+        jnp.full((layers, bh, bw), jnp.inf, jnp.float32)
+        + ovary.astype(jnp.float32),
+        jnp.full((layers, bh, bw), -1, jnp.int32) + ovary,
+    )
+
+    def step(carry, ch):
+        zbest, ibest = carry
+        cov, e = _coverage(ch, px, py)
+        inv_area = 1.0 / ch["area"][:, None, None]
+        b = e * inv_area[:, None]
+        z = jnp.einsum("kp,kphw->khw", ch["sz"], b,
+                       precision=jax.lax.Precision.HIGHEST)
+        zok = cov & (z >= 0.0)
+        zm = jnp.where(zok, z, jnp.inf)
+        ids = jnp.broadcast_to(ch["ids"][:, None, None], zm.shape)
+
+        allz = jnp.concatenate([zbest, zm], axis=0)        # (L+K, bh, bw)
+        allid = jnp.concatenate([ibest, ids], axis=0)
+        z_s, negid_s, id_s = jax.lax.sort(
+            (allz, -allid, allid), dimension=0, num_keys=2
+        )
+        return (z_s[:layers], id_s[:layers]), None
+
+    (zl, il), _ = jax.lax.scan(step, init, scan_in)
+    il = jnp.where(jnp.isfinite(zl), il, -1)
+    zl = jnp.where(il >= 0, zl, 1.0)
+    return zl, il
 
 
 def sample_bilinear(atlas, tex_size, layer, u, v):
@@ -308,9 +388,11 @@ def sample_bilinear(atlas, tex_size, layer, u, v):
     return top * (1 - fy) + bot * fy
 
 
-def shade_stage(scene: DeviceScene, setup, zb, ib, width: int, height: int,
-                clear_color, origin=(0, 0), band=None):
-    """Winner-takes-all deferred shading."""
+def shade_src(scene: DeviceScene, setup, ib, width: int, height: int,
+              origin=(0, 0), band=None):
+    """Per-pixel source color of the winner triangle (pre-blend).
+
+    Returns (src (bh, bw, 4) f32 0-255, covered (bh, bw) bool)."""
     bw, bh = band if band is not None else (width, height)
     x0, y0 = origin
     covered = ib >= 0
@@ -348,13 +430,26 @@ def shade_stage(scene: DeviceScene, setup, zb, ib, width: int, height: int,
     untextured = jnp.where(flat[..., 3:4] >= 0.0, flat, debug_rgba)
 
     src = jnp.where(textured[..., None], albedo, untextured)
+    return src, covered
 
-    clear = jnp.asarray(np.asarray(clear_color, np.float32))
-    dst = jnp.broadcast_to(clear, (bh, bw, 4))
+
+def blend_over(src, covered, dst):
+    """src-alpha / one-minus-src-alpha over ``dst``; output alpha = src
+    alpha (the reference blend state, model.rs:242-247). Float 0-255."""
     a = src[..., 3:4] / 255.0
     out_rgb = src[..., :3] * a + dst[..., :3] * (1.0 - a)
     out = jnp.concatenate([out_rgb, src[..., 3:4]], axis=-1)
-    out = jnp.where(covered[..., None], out, dst)
+    return jnp.where(covered[..., None], out, dst)
+
+
+def shade_stage(scene: DeviceScene, setup, zb, ib, width: int, height: int,
+                clear_color, origin=(0, 0), band=None):
+    """Winner-takes-all deferred shading, blended over the clear color."""
+    bw, bh = band if band is not None else (width, height)
+    src, covered = shade_src(scene, setup, ib, width, height, origin, band)
+    clear = jnp.asarray(np.asarray(clear_color, np.float32))
+    dst = jnp.broadcast_to(clear, (bh, bw, 4))
+    out = blend_over(src, covered, dst)
     return jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.uint8)
 
 
@@ -397,3 +492,68 @@ def render_frame(scene: DeviceScene, view_proj: jax.Array,
     zb, ib = raster_stage(setup, width, height, chunk)
     color = shade_stage(scene, setup, zb, ib, width, height, clear_color)
     return color, zb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "chunk", "clear_color", "backend",
+                     "maxc", "layers"),
+)
+def render_frame_peeled(scene: DeviceScene, view_proj: jax.Array,
+                        bone_mats: jax.Array | None = None, *,
+                        width: int = 512, height: int = 512,
+                        layers: int = 4,
+                        chunk: int = DEFAULT_CHUNK,
+                        clear_color: tuple = (255, 255, 255, 255),
+                        backend: str = "scan", maxc: int | None = None):
+    """Order-independent transparency via depth peeling.
+
+    Rasterises the ``layers`` nearest fragments per pixel (each pass
+    excludes depths <= the previous layer + PEEL_EPS — the epsilon absorbs
+    cross-pass float reassociation, so surfaces closer than ~1e-6 NDC
+    depth collapse into one layer), then composites back-to-front with
+    the reference blend state. With opaque content this matches
+    ``render_frame``; with translucent fragments it produces the correct
+    back-to-front stack regardless of draw order — where the reference's
+    single-pass pipeline (model.rs:242-261) is draw-order-dependent.
+
+    Returns ((H, W, 4) uint8, (H, W) f32 nearest depth)."""
+    clip = vertex_stage(scene, view_proj, bone_mats)
+    setup = setup_stage(scene, clip, width, height)
+
+    if backend == "pallas":
+        from . import pallas_raster as pr
+
+        pw = -(-width // pr.TILE_W) * pr.TILE_W
+        ph = -(-height // pr.TILE_H) * pr.TILE_H
+        interp = jax.default_backend() != "tpu"
+        band = (pw, ph)
+    else:
+        pw, ph = width, height
+        band = None
+
+    passes = []
+    if backend == "pallas":
+        zlow = None
+        for _ in range(layers):
+            zb, ib = pr.raster_pallas(
+                setup, 0, 0, width=pw, height=ph,
+                maxc=maxc or pr.MAXC_DEFAULT, interpret=interp, zlow=zlow,
+            )
+            src, covered = shade_src(scene, setup, ib, width, height,
+                                     band=band)
+            passes.append((src, covered, zb))
+            zlow = jnp.where(ib >= 0, zb + PEEL_EPS, jnp.inf)
+    else:
+        zl, il = raster_multilayer(setup, width, height, chunk, layers)
+        for k in range(layers):
+            src, covered = shade_src(scene, setup, il[k], width, height,
+                                     band=band)
+            passes.append((src, covered, zl[k]))
+
+    clear = jnp.asarray(np.asarray(clear_color, np.float32))
+    dst = jnp.broadcast_to(clear, (ph, pw, 4))
+    for src, covered, _ in reversed(passes):
+        dst = blend_over(src, covered, dst)
+    out = jnp.clip(dst + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    return out[:height, :width], passes[0][2][:height, :width]

@@ -20,10 +20,10 @@ hardware:
   columns in lanes — a ``(K, 1)`` column slice broadcasts naturally),
   pixels are flattened to ``(1, P)`` row vectors, and all per-(triangle,
   pixel) math is exact-f32 VPU broadcast FMA over ``(K, P)``;
-* the top-left fill rule and the validity mask are folded into a
-  per-edge *bias*: ``inside = e >= bias`` with bias 0 for top/left
-  edges, FLT_MIN for others (exactly ``e > 0`` under flush-to-zero),
-  and +3e38 for invalid/padding triangles (always outside).
+* the top-left fill rule, the edge-snap band (see device.setup_stage)
+  and the validity mask all fold into a per-edge *bias*:
+  ``inside = e > bias`` with bias just below -snap for top/left edges,
+  +snap for others, and +3e38 for invalid/padding triangles.
 
 Coverage/tie rules (LessEqual z, later-triangle-wins ties) match
 ``cpu_reference.py``; depth values differ only by float associativity
@@ -47,7 +47,6 @@ K = 128                  # triangles per chunk (sublane dim of setup block)
 NF = 128                 # field columns per triangle (15 used, rest pad)
 MAXC_DEFAULT = 256       # binning cap: candidate chunks per tile
 
-FLT_MIN = 1.1754944e-38  # smallest normal f32: e >= FLT_MIN  <=>  e > 0 (FTZ)
 REJECT = 3.0e38          # bias that can never be reached -> always outside
 
 # setup block column layout (per-triangle lanes):
@@ -70,7 +69,12 @@ def pack_setup(setup):
     zc = jnp.einsum("tp,tp->t", setup["ec"], setup["sz"], precision=hi) * inv_area
 
     valid = setup["valid"]
-    bias = jnp.where(setup["topleft"], 0.0, FLT_MIN).astype(jnp.float32)
+    # inside test in-kernel is ``e > bias``: top/left edges include the
+    # snap band (bias just below -snap), others exclude it (bias +snap)
+    snap = setup["esnap"]
+    bias = jnp.where(
+        setup["topleft"], -snap * 1.000001, snap
+    ).astype(jnp.float32)
     bias = jnp.where(valid[:, None], bias, REJECT)
 
     cols = jnp.concatenate(
@@ -120,7 +124,7 @@ def bin_chunks(bbox, n_ty: int, n_tx: int, maxc: int, x0, y0):
     return lists, counts
 
 
-def _raster_kernel(counts_ref, lists_ref, origin_ref, setup_hbm,
+def _raster_kernel(counts_ref, lists_ref, origin_ref, setup_hbm, zlow_ref,
                    zbuf_ref, win_ref, scratch, sems):
     t = pl.program_id(0)
     count = counts_ref[t]
@@ -161,11 +165,12 @@ def _raster_kernel(counts_ref, lists_ref, origin_ref, setup_hbm,
 
             def edge_ok(i):
                 e = col(i) * px + col(3 + i) * py + col(6 + i)  # (K, P)
-                return e >= col(9 + i)
+                return e > col(9 + i)
 
             inside = edge_ok(0) & edge_ok(1) & edge_ok(2)
             z = col(12) * px + col(13) * py + col(14)    # (K, P)
-            zok = inside & (z >= 0.0) & (z <= zbuf_ref[0])
+            zok = (inside & (z >= 0.0) & (z <= zbuf_ref[0])
+                   & (z > zlow_ref[0]))
             zm = jnp.where(zok, z, jnp.inf)
             zmin = jnp.min(zm, axis=0, keepdims=True)    # (1, P)
             kids = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
@@ -186,7 +191,8 @@ def _raster_kernel(counts_ref, lists_ref, origin_ref, setup_hbm,
     static_argnames=("width", "height", "maxc", "interpret"),
 )
 def raster_pallas(setup, x0, y0, *, width: int, height: int,
-                  maxc: int = MAXC_DEFAULT, interpret: bool = False):
+                  maxc: int = MAXC_DEFAULT, interpret: bool = False,
+                  zlow=None):
     """Binned Pallas raster → per-pixel (depth f32, winner i32).
 
     Same contract as ``device.raster_stage`` over the band
@@ -204,6 +210,16 @@ def raster_pallas(setup, x0, y0, *, width: int, height: int,
     packed, bbox = pack_setup(setup)
     maxc = min(maxc, packed.shape[0])
     lists, counts = bin_chunks(bbox, n_ty, n_tx, maxc, x0, y0)
+
+    # depth-peeling lower bound, tiled to match the flat output layout
+    if zlow is None:
+        zlow_t = jnp.full((n_tiles, 1, P), -jnp.inf, jnp.float32)
+    else:
+        zlow_t = (
+            zlow.reshape(n_ty, TILE_H, n_tx, TILE_W)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_tiles, 1, P)
+        )
     origin = jnp.stack(
         [jnp.int32(x0), jnp.int32(y0), jnp.int32(n_tx)]
     ).astype(jnp.int32)
@@ -211,7 +227,13 @@ def raster_pallas(setup, x0, y0, *, width: int, height: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 1, P),
+                index_map=lambda t, counts_ref, lists_ref, origin_ref: (t, 0, 0),
+            ),
+        ],
         out_specs=[
             pl.BlockSpec(
                 (1, 1, P),
@@ -236,7 +258,7 @@ def raster_pallas(setup, x0, y0, *, width: int, height: int,
             jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.int32),
         ],
         interpret=interpret,
-    )(counts, lists, origin, packed)
+    )(counts, lists, origin, packed, zlow_t)
 
     def unflatten(x):
         return (

@@ -3,6 +3,7 @@
 single-device frame — bands partition the pixel work exactly."""
 
 import numpy as np
+import pytest
 
 from mt_renderer_tpu.parallel.tiles import make_row_mesh, render_frame_multichip
 from mt_renderer_tpu.render import device
@@ -19,14 +20,16 @@ def _scene():
 
 
 class TestMultichip:
-    def test_sharded_matches_single(self):
+    @pytest.mark.parametrize("backend", ["scan", "pallas"])
+    def test_sharded_matches_single(self, backend):
         scene, vp, bones = _scene()
         mesh = make_row_mesh(8)
         got_c, got_d = render_frame_multichip(
-            scene, vp, bones, mesh=mesh, width=64, height=64
+            scene, vp, bones, mesh=mesh, width=64, height=64,
+            backend=backend,
         )
         want_c, want_d = device.render_frame(
-            scene, vp, bones, width=64, height=64
+            scene, vp, bones, width=64, height=64, backend=backend
         )
         np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
         np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want_d))
@@ -36,7 +39,7 @@ class TestMultichip:
         scene, vp, bones = _scene()
         mesh = make_row_mesh(2)
         c, d = render_frame_multichip(
-            scene, vp, bones, mesh=mesh, width=32, height=32
+            scene, vp, bones, mesh=mesh, width=32, height=32, backend="scan"
         )
         assert np.asarray(c).shape == (32, 32, 4)
 
