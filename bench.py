@@ -25,6 +25,8 @@ def parse_args(argv):
     p = argparse.ArgumentParser()
     p.add_argument("--preset", choices=["smoke", "full"], default="full")
     p.add_argument("--instances", type=int, default=None)
+    p.add_argument("--subdiv", type=int, default=None,
+                   help="cube subdivision (12*n^2 tris per instance)")
     p.add_argument("--frames", type=int, default=50)
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
@@ -32,6 +34,10 @@ def parse_args(argv):
     p.add_argument("--backend", choices=["scan", "pallas"], default="pallas")
     p.add_argument("--maxc", type=int, default=256)
     p.add_argument("--png", default=None, help="write last frame here")
+    p.add_argument("--trace", default=None,
+                   help="write a JAX profiler trace to this directory")
+    p.add_argument("--peel", type=int, default=0,
+                   help="depth-peel layer count (0 = single-layer)")
     return p.parse_args(argv)
 
 
@@ -43,12 +49,16 @@ def main(argv=None):
         instances = args.instances or 9
         frames = min(args.frames, 5)
         png = args.png or "/tmp/mtr_frame.png"
+        if args.subdiv is None:
+            args.subdiv = 0
     else:
         width = args.width or 1920
         height = args.height or 1080
-        instances = args.instances or 4096
+        instances = args.instances or 1024
         frames = args.frames
         png = args.png
+        if args.subdiv is None:
+            args.subdiv = 4    # 196k triangles — a realistic scene load
 
     import jax
 
@@ -56,7 +66,8 @@ def main(argv=None):
     from mt_renderer_tpu.scene import demo
 
     platform = jax.devices()[0].platform
-    batch = demo.build_demo_batch(instances=instances, skinned=True)
+    batch = demo.build_demo_batch(instances=instances, skinned=True,
+                                  subdiv=args.subdiv or 0)
     scene = device.upload(batch)
     cam = demo.demo_camera(instances, width, height)
 
@@ -66,6 +77,12 @@ def main(argv=None):
         cam.yaw = 15.0 + 8.0 * np.sin(0.25 * t)
         vp = np.asarray(cam.view_proj())
         bones = demo.demo_bone_mats(0.3 * t)
+        if args.peel:
+            return device.render_frame_peeled(
+                scene, vp, bones, width=width, height=height,
+                layers=args.peel, chunk=chunk, backend=args.backend,
+                maxc=args.maxc,
+            )
         return device.render_frame(
             scene, vp, bones, width=width, height=height, chunk=chunk,
             backend=args.backend, maxc=args.maxc,
@@ -75,11 +92,17 @@ def main(argv=None):
     color, depth = frame(0)
     jax.block_until_ready((color, depth))
 
-    t0 = time.perf_counter()
-    for i in range(1, frames + 1):
-        color, depth = frame(i)
-    jax.block_until_ready((color, depth))
-    dt = time.perf_counter() - t0
+    import contextlib
+
+    from mt_renderer_tpu.utils.profiling import trace
+
+    ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
+    with ctx:
+        t0 = time.perf_counter()
+        for i in range(1, frames + 1):
+            color, depth = frame(i)
+        jax.block_until_ready((color, depth))
+        dt = time.perf_counter() - t0
 
     fps = frames / dt
     tris = batch.num_triangles

@@ -151,7 +151,96 @@ def _cube_mesh():
     return corners, uvs, strip_a, strip_b
 
 
-def build_model(skinned: bool = False) -> bytes:
+def _pack_model(positions: np.ndarray, uvs: np.ndarray,
+                index_stream: np.ndarray, skinned: bool) -> bytes:
+    """Pack arbitrary strip geometry into a one-primitive model."""
+    nverts = len(positions)
+    if skinned:
+        stride, layout, weight_num = 28, INPUTLAYOUT_SKIN, 1
+    else:
+        stride, layout, weight_num = 20, INPUTLAYOUT_STATIC, 0
+    vbuf = np.zeros((nverts, stride), dtype=np.uint8)
+    vbuf[:, 0:12] = positions.astype("<f4").view(np.uint8).reshape(nverts, 12)
+    vbuf[:, 12:20] = uvs.astype("<f4").view(np.uint8).reshape(nverts, 8)
+    joints = []
+    imats = None
+    if skinned:
+        bone = (positions[:, 2] > 0).astype(np.uint8)
+        vbuf[:, 20] = bone
+        vbuf[:, 24] = 255
+        joints = [
+            Joint(no=0, parent=255, symmetry=0, radius=1.0, length=1.0,
+                  offset=np.array([0, 0, -1], np.float32)),
+            Joint(no=1, parent=0, symmetry=1, radius=1.0, length=1.0,
+                  offset=np.array([0, 0, 1], np.float32)),
+        ]
+        imats = np.tile(np.eye(4, dtype="<f4"), (2, 1, 1))
+    prim = Primitive(
+        draw_mode=0, vertex_num=nverts, parts_no=0, material_no=0,
+        lod=0xFF, weight_num=weight_num, alphapri=0, vertex_stride=stride,
+        topology=4, vertex_ofs=0, vertex_base=0,
+        inputlayout=mfx.object_handle(layout),
+        index_ofs=0, index_num=len(index_stream), index_base=0,
+        envelope=0, boundary_num=0, connect_id=0,
+        min_index=0, max_index=nverts - 1,
+        disp=True, shape=False, sort=False,
+        binormal_flip=False, bridge=False,
+    )
+    return write_model(
+        material_names=["fixture_mat"],
+        primitives=[prim],
+        vertex_buf=vbuf.tobytes(),
+        index_buf=index_stream,
+        joints=joints,
+        inverse_bind_mats=imats,
+    )
+
+
+def _subdivided_cube(n: int):
+    """Unit cube with each face an n×n grid, one triangle strip per row.
+
+    Returns (positions (V,3), uvs (V,2), index stream with 0xffff
+    restarts between rows). Winding is CCW seen from outside (front
+    faces outward under the renderer's cull rule).
+    """
+    import itertools
+
+    verts, uvs, strips = [], [], []
+    axes = np.eye(3, dtype=np.float32)
+    for axis, sign in itertools.product(range(3), (1.0, -1.0)):
+        normal = axes[axis] * sign
+        udir = axes[(axis + 1) % 3]
+        vdir = axes[(axis + 2) % 3]
+        if np.dot(np.cross(vdir, udir), normal) < 0:
+            udir, vdir = vdir, udir
+        base = len(verts)
+        for vi in range(n + 1):
+            for ui in range(n + 1):
+                p = (normal + udir * (2.0 * ui / n - 1.0)
+                     + vdir * (2.0 * vi / n - 1.0))
+                verts.append(p)
+                uvs.append([ui / n, vi / n])
+        for vi in range(n):
+            row = []
+            for ui in range(n + 1):
+                row.append(base + (vi + 1) * (n + 1) + ui)   # B (next row)
+                row.append(base + vi * (n + 1) + ui)         # A (this row)
+            strips.append(np.array(row, np.uint16))
+    index = []
+    for i, s in enumerate(strips):
+        if i:
+            index.append(np.array([0xFFFF], np.uint16))
+        index.append(s)
+    return (np.array(verts, np.float32), np.array(uvs, np.float32),
+            np.concatenate(index))
+
+
+def build_model(skinned: bool = False, subdiv: int = 0) -> bytes:
+    """Fixture model; ``subdiv`` > 0 swaps in an n×n-per-face cube (for
+    triangle-load benchmarking) while keeping the same layouts."""
+    if subdiv:
+        corners, uvs, index_stream = _subdivided_cube(subdiv)
+        return _pack_model(corners, uvs, index_stream, skinned)
     corners, uvs, strip_a, strip_b = _cube_mesh()
     nverts = len(corners)
 

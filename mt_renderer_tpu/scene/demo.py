@@ -58,14 +58,16 @@ def grid_offsets(instances: int, spacing: float = 3.0) -> np.ndarray:
 
 
 def build_demo_batch(instances: int = 1, skinned: bool = True,
-                     texture_size: int = 64) -> DrawBatch:
-    """Parse the fixture assets fully in-memory and instance them."""
+                     texture_size: int = 64, subdiv: int = 0) -> DrawBatch:
+    """Parse the fixture assets fully in-memory and instance them.
+
+    ``subdiv`` > 0 uses the n×n-per-face cube (12n² tris per instance)."""
     rm = MemoryResourceManager()
     d = dti_mod.from_name
     rm.put(fixtures.TEXTURE_PATH, d("rTexture"),
            fixtures.build_texture_rgba(texture_size))
     shader2 = Shader2File(fixtures.build_shader2())
-    model = ModelFile(fixtures.build_model(skinned=skinned))
+    model = ModelFile(fixtures.build_model(skinned=skinned, subdiv=subdiv))
     material = MaterialFile(fixtures.build_material(), shader2)
     batch = build_draw_batch(model, material, shader2, rm)
     if instances > 1:

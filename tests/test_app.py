@@ -144,3 +144,42 @@ class TestViewerClis:
             "--out", str(out), "--raw", "--width", "64", "--height", "64",
         ])
         assert out.exists()
+
+
+class TestProfiling:
+    def test_frame_stats(self):
+        from mt_renderer_tpu.utils.profiling import FrameStats
+
+        st = FrameStats(window=4)
+        for _ in range(10):
+            st.push(0.01, triangles=1000, texels=5000)
+        assert abs(st.fps - 100.0) < 1e-6
+        assert abs(st.frame_time_ms - 10.0) < 1e-6
+        assert abs(st.mtri_per_s - 0.1) < 1e-6
+        assert "fps" in st.summary()
+        assert st.frames == 10
+
+    def test_stage_timer_fences(self):
+        import jax.numpy as jnp
+
+        from mt_renderer_tpu.utils.profiling import stage_timer
+
+        times = {}
+        with stage_timer(times, "op") as fence:
+            fence(jnp.ones((64, 64)) * 2.0)
+        assert times["op"] > 0
+
+    def test_manager_tracks_stats(self):
+        import numpy as np
+
+        class App(RendererApp):
+            def setup(self, mgr):
+                pass
+
+            def render(self, mgr):
+                return np.zeros((4, 4, 4), np.uint8)
+
+        mgr = RendererAppManager(App(), width=4, height=4)
+        mgr.run_headless(frames=5)
+        assert mgr.stats.frames == 5
+        assert mgr.stats.fps > 0

@@ -415,3 +415,27 @@ class TestShaderPackage:
         assert sp.inputs[0].layouts[0].name == fixtures.INPUTLAYOUT_STATIC
         assert sp.vertex_shaders[0].code == b"\xde\xad\xbe\xef"
         assert sp.pixel_shaders[0].code == b"\xca\xfe"
+
+
+class TestBc1Device:
+    def test_device_matches_numpy(self):
+        from mt_renderer_tpu.fixtures import checkerboard_rgba, encode_bc1_simple
+        from mt_renderer_tpu.render.bcn import decode_bc1_device, decode_bc1_numpy
+
+        img = checkerboard_rgba(64)
+        data = encode_bc1_simple(img)
+        want = decode_bc1_numpy(data, 64, 64)
+        got = np.asarray(decode_bc1_device(np.frombuffer(data, np.uint8), 64, 64))
+        np.testing.assert_array_equal(got, want)
+
+    def test_jit_and_nonaligned(self):
+        import jax
+
+        from mt_renderer_tpu.render.bcn import decode_bc1_device, decode_bc1_numpy
+
+        rng = np.random.default_rng(7)
+        data = rng.integers(0, 256, size=8 * 4 * 4, dtype=np.uint8).tobytes()
+        want = decode_bc1_numpy(data, 13, 10)  # non-multiple-of-4 crop
+        f = jax.jit(decode_bc1_device, static_argnums=(1, 2))
+        got = np.asarray(f(np.frombuffer(data, np.uint8), 13, 10))
+        np.testing.assert_array_equal(got, want)

@@ -276,3 +276,33 @@ class TestCpuReference:
         # halfway between texels 0 and 1 horizontally
         v = cpu_reference.sample_bilinear(tex, np.array([0.5]), np.array([0.25]))
         assert abs(v[0, 0] - 150) < 1e-4
+
+
+class TestSubdividedCube:
+    def test_same_silhouette_as_plain_cube(self):
+        # winding/strip correctness: the subdivided cube must cover the
+        # exact same pixels as the plain cube from any viewpoint
+        from mt_renderer_tpu.scene import demo
+
+        plain = demo.build_demo_batch(instances=1, skinned=False)
+        sub = demo.build_demo_batch(instances=1, skinned=False, subdiv=4)
+        assert sub.num_triangles == 12 * 16
+        vp = _look_at_cube_vp()
+        _, d0 = cpu_reference.render(plain, vp, 96, 96)
+        _, d1 = cpu_reference.render(sub, vp, 96, 96)
+        np.testing.assert_array_equal(d0 < 1.0, d1 < 1.0)
+
+    def test_device_matches_cpu(self):
+        from mt_renderer_tpu.render import device
+        from mt_renderer_tpu.scene import demo
+
+        sub = demo.build_demo_batch(instances=1, skinned=True, subdiv=4)
+        vp = _look_at_cube_vp()
+        bones = demo.demo_bone_mats(0.9)
+        want, _ = cpu_reference.render(sub, vp, 96, 96, bone_mats=bones)
+        got, _ = device.render_frame(
+            device.upload(sub), vp, bones, width=96, height=96,
+            backend="pallas",
+        )
+        diff = np.abs(np.asarray(got).astype(int) - want.astype(int)).max(-1)
+        assert (diff > 1).mean() <= 0.003
