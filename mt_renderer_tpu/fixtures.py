@@ -384,6 +384,10 @@ def build_archive() -> bytes:
     w.add_file(SHADER_PACKAGE_PATH, d("rShaderPackage"), 0, build_shader_package())
     w.add_file(MODEL_PATH, d("rModel"), 0, build_model())
     w.add_file(MODEL_PATH, d("rMaterial"), 0, build_material())
+    w.add_file("model\\fixture_cube_skinned", d("rModel"),
+               0, build_model(skinned=True))
+    w.add_file("model\\fixture_cube_skinned", d("rMaterial"),
+               0, build_material())
     w.add_file(TEXTURE_PATH, d("rTexture"), 0, build_texture_rgba())
     w.add_file(CHARACTER_PATH, d("nGO::rCharacter"), 0, build_character_prp())
     return w.tobytes()

@@ -230,11 +230,16 @@ class Model:
         return sk.joint_world_positions(deltas)
 
 
-def merge_batches(a: DrawBatch, b: DrawBatch) -> DrawBatch:
-    """Concatenate two batches (b's textures must be shared/empty).
+def merge_batches(a: DrawBatch, b: DrawBatch,
+                  keep_b_skin: bool = False) -> DrawBatch:
+    """Concatenate two batches; b's texture ids remap into a's atlas.
 
-    Used to composite overlay geometry into the frame's draw set — the
-    analog of the reference's second render pass (debug_overlay.rs:202).
+    Used to composite overlay geometry (the analog of the reference's
+    second render pass, debug_overlay.rs:202) and to assemble whole-
+    archive scenes. Skinning data (palette indices) follows ``a``; by
+    default b's vertices merge unskinned (zero weights → positions pass
+    through the vertex stage untouched). ``keep_b_skin=True`` keeps b's
+    weights/joints only when both batches share a's skeleton.
     """
     def flat(batch):
         if batch.tri_flat is not None:
@@ -242,17 +247,25 @@ def merge_batches(a: DrawBatch, b: DrawBatch) -> DrawBatch:
         return np.full((batch.num_triangles, 4), -1.0, np.float32)
 
     va = a.num_vertices
+    ntex_a = len(a.textures)
+    b_tex = np.where(b.tri_texture >= 0, b.tri_texture + ntex_a, -1)
+    if keep_b_skin:
+        b_joints = b.joints.astype(np.int32)
+        b_weights = b.weights.astype(np.float32)
+    else:
+        b_joints = np.zeros((b.num_vertices, 4), np.int32)
+        b_weights = np.zeros((b.num_vertices, 4), np.float32)
     return DrawBatch(
         positions=np.concatenate([a.positions, b.positions]),
         uvs=np.concatenate([a.uvs, b.uvs]),
-        joints=np.concatenate([a.joints, np.zeros((b.num_vertices, 4), np.int32)]),
-        weights=np.concatenate([a.weights, np.zeros((b.num_vertices, 4), np.float32)]),
+        joints=np.concatenate([a.joints, b_joints]),
+        weights=np.concatenate([a.weights, b_weights]),
         tris=np.concatenate([a.tris, b.tris + va]),
-        tri_texture=np.concatenate([a.tri_texture, np.full(b.num_triangles, -1, np.int32)]),
+        tri_texture=np.concatenate([a.tri_texture, b_tex]).astype(np.int32),
         tri_parts=np.concatenate([a.tri_parts, np.zeros(b.num_triangles, np.int32)]),
         tri_debug_id=np.concatenate([a.tri_debug_id, b.tri_debug_id]),
         tri_flat=np.concatenate([flat(a), flat(b)]).astype(np.float32),
-        textures=a.textures,
+        textures=list(a.textures) + list(b.textures),
         inverse_bind_mats=a.inverse_bind_mats,
         joint_parents=a.joint_parents,
         joint_offsets=a.joint_offsets,

@@ -183,3 +183,39 @@ class TestProfiling:
         mgr.run_headless(frames=5)
         assert mgr.stats.frames == 5
         assert mgr.stats.fps > 0
+
+
+class TestSceneViewer:
+    def test_archive_scene_composes(self, fixture_root, tmp_path, capsys):
+        from mt_renderer_tpu.cli import sceneviewer
+
+        out = tmp_path / "scene.png"
+        sceneviewer.main([
+            str(fixture_root), "fixture_scene", "--out", str(out),
+            "--overlay", "--width", "192", "--height", "96",
+        ])
+        assert out.exists()
+        text = capsys.readouterr().out
+        assert "2 models" in text
+        assert "2 textures" in text
+
+    def test_merge_remaps_textures(self):
+        a = demo.build_demo_batch(instances=1, skinned=False)
+        b = demo.build_demo_batch(instances=1, skinned=False)
+        b.positions = b.positions + np.array([3.0, 0, 0], np.float32)
+        m = merge_batches(a, b)
+        assert len(m.textures) == 2
+        # b's triangles now point at the second texture layer
+        assert (m.tri_texture[a.num_triangles:] == 1).all()
+        assert (m.tri_texture[: a.num_triangles] == 0).all()
+
+    def test_sceneviewer_multichip(self, fixture_root, tmp_path):
+        from mt_renderer_tpu.cli import sceneviewer
+
+        out = tmp_path / "scene8.png"
+        sceneviewer.main([
+            str(fixture_root), "fixture_scene", "--out", str(out),
+            "--width", "128", "--height", "64", "--devices", "8",
+            "--backend", "scan",
+        ])
+        assert out.exists()

@@ -94,9 +94,9 @@ class TestArchive:
     def test_unpack_repack(self, tmp_path):
         (tmp_path / "t.arc").write_bytes(fixtures.build_archive())
         n = arc.unpack_archive(tmp_path / "t.arc", tmp_path / "out")
-        assert n == 6
+        assert n == 8
         manifest = json.loads((tmp_path / "out" / "info.json").read_text())
-        assert len(manifest) == 6
+        assert len(manifest) == 8
         arc.repack_archive(tmp_path / "out", tmp_path / "t2.arc")
         # repacked archive serves identical content
         a1 = arc.ArchiveFile((tmp_path / "t.arc").read_bytes())
