@@ -439,3 +439,40 @@ class TestBc1Device:
         f = jax.jit(decode_bc1_device, static_argnums=(1, 2))
         got = np.asarray(f(np.frombuffer(data, np.uint8), 13, 10))
         np.testing.assert_array_equal(got, want)
+
+
+class TestBc7Device:
+    def _random_blocks_of_mode(self, mode, count, rng):
+        blocks = rng.integers(0, 256, size=(count, 16), dtype=np.uint8)
+        blocks[:, 0] = (1 << mode) | (
+            (blocks[:, 0] << (mode + 1)) & 0xFF
+        )  # force the mode prefix, randomize the rest of byte 0
+        return blocks
+
+    @pytest.mark.parametrize("mode", range(8))
+    def test_each_mode_matches_numpy(self, mode):
+        from mt_renderer_tpu.render.bcn import decode_bc7_device, decode_bc7_numpy
+
+        rng = np.random.default_rng(mode)
+        blocks = self._random_blocks_of_mode(mode, 8 * 8, rng)  # 32x32 px
+        data = blocks.tobytes()
+        want = decode_bc7_numpy(data, 32, 32)
+        got = np.asarray(
+            decode_bc7_device(np.frombuffer(data, np.uint8), 32, 32)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_mixed_modes_jit(self):
+        import jax
+
+        from mt_renderer_tpu.render.bcn import decode_bc7_device, decode_bc7_numpy
+
+        rng = np.random.default_rng(99)
+        blocks = np.concatenate([
+            self._random_blocks_of_mode(m, 4, rng) for m in range(8)
+        ])
+        data = blocks.tobytes()  # 32 blocks -> 16x8 blocks? use 8x4 grid
+        want = decode_bc7_numpy(data, 32, 16)
+        f = jax.jit(decode_bc7_device, static_argnums=(1, 2))
+        got = np.asarray(f(np.frombuffer(data, np.uint8), 32, 16))
+        np.testing.assert_array_equal(got, want)
