@@ -107,6 +107,10 @@ class ArchiveFile:
             return None
         return self.get_resource_by_info(info)
 
+    def raw_resource_bytes(self, info: ResourceInfo) -> bytes:
+        """The still-compressed zlib stream of one resource."""
+        return bytes(self._data[info.offset:info.offset + info.size_compressed])
+
     def get_resource_by_info(self, info: ResourceInfo) -> bytes:
         comp = self._data[info.offset:info.offset + info.size_compressed]
         out = zlib.decompress(comp)
@@ -188,9 +192,23 @@ def unpack_archive(archive_path: Path, out_dir: Path) -> int:
     with open(archive_path, "rb") as f:
         arc = ArchiveFile(f)
 
+    # batch-inflate every stream through the native thread pool (the
+    # reference inflates serially behind a Mutex, rarchive.rs:143-176)
+    from .. import native
+
+    infos = list(arc.resource_infos())
+    blobs = native.inflate_many(
+        [arc.raw_resource_bytes(i) for i in infos],
+        [i.size_uncompressed for i in infos],
+    )
+
     file_infos = []
-    for info in arc.resource_infos():
-        data = arc.get_resource_by_info(info)
+    for info, data in zip(infos, blobs):
+        if len(data) != info.size_uncompressed:
+            raise ValueError(
+                f"{info.path}: decompressed {len(data)} != "
+                f"TOC {info.size_uncompressed}"
+            )
         ext = info.dti.file_ext
         if ext is None:
             raise ValueError(f"DTI {info.dti.name} has no file extension")

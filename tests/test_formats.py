@@ -476,3 +476,47 @@ class TestBc7Device:
         f = jax.jit(decode_bc7_device, static_argnums=(1, 2))
         got = np.asarray(f(np.frombuffer(data, np.uint8), 32, 16))
         np.testing.assert_array_equal(got, want)
+
+
+class TestConcurrency:
+    def test_concurrent_archive_reads(self, tmp_path):
+        """The reference serialises archive reads behind a Mutex
+        (rarchive.rs:69,158) because its reader seeks; this ArchiveFile
+        is backed by immutable bytes so concurrent reads need no lock."""
+        import io
+        from concurrent.futures import ThreadPoolExecutor
+
+        from mt_renderer_tpu import dti, fixtures
+        from mt_renderer_tpu.formats.arc import ArchiveFile
+
+        archive = ArchiveFile(io.BytesIO(fixtures.build_archive()))
+        infos = archive.resource_infos()
+        want = [archive.get_resource_by_info(i) for i in infos]
+
+        def read_all(_):
+            return [archive.get_resource_by_info(i) for i in infos]
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(read_all, range(32)))
+        for r in results:
+            assert r == want
+
+    def test_concurrent_resource_manager(self, tmp_path):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from mt_renderer_tpu import dti, fixtures
+        from mt_renderer_tpu.resources import ResourceManager
+
+        fixtures.write_fixture_tree(tmp_path)
+        rm = ResourceManager(tmp_path)
+        d = dti.from_name
+
+        def fetch(_):
+            return rm.get_resource_fancy(
+                "fixture_scene:" + fixtures.MODEL_PATH.replace("\\", "/"),
+                d("rModel"),
+            ).read()
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(fetch, range(16)))
+        assert len({r for r in results}) == 1
