@@ -38,6 +38,8 @@ def parse_args(argv):
                    help="write a JAX profiler trace to this directory")
     p.add_argument("--peel", type=int, default=0,
                    help="depth-peel layer count (0 = single-layer)")
+    p.add_argument("--mipmap", action="store_true",
+                   help="trilinear mipmapped minification")
     return p.parse_args(argv)
 
 
@@ -85,7 +87,7 @@ def main(argv=None):
             )
         return device.render_frame(
             scene, vp, bones, width=width, height=height, chunk=chunk,
-            backend=args.backend, maxc=args.maxc,
+            backend=args.backend, maxc=args.maxc, mipmap=args.mipmap,
         )
 
     # compile + warm up

@@ -51,6 +51,7 @@ class ModelViewerApp(RendererApp):
         self.backend = backend
         self.sdl_path = sdl_path
         self.animator = None
+        self.mipmap = False
         self.overlay = DebugOverlay()
 
     def setup(self, mgr: RendererAppManager) -> None:
@@ -130,6 +131,7 @@ class ModelViewerApp(RendererApp):
         color, _ = device.render_frame(
             self.scene, mgr.camera.view_proj(), self.bones,
             width=mgr.width, height=mgr.height, backend=self.backend,
+            mipmap=self.mipmap,
         )
         return color
 
@@ -148,11 +150,14 @@ def main(argv=None):
     p.add_argument("--backend", choices=["scan", "pallas"], default="pallas")
     p.add_argument("--sdl", default=None,
                    help="scheduler (.sdl) file animating the bone palette")
+    p.add_argument("--mipmap", action="store_true",
+                   help="trilinear mipmapped minification")
     args = p.parse_args(argv)
 
     app = ModelViewerApp(args.data_root, args.prp_path,
                          overlay=args.overlay, backend=args.backend,
                          sdl_path=args.sdl)
+    app.mipmap = args.mipmap
     mgr = RendererAppManager(app, width=args.width, height=args.height)
     mgr.run_headless(frames=args.frames, out_path=args.out)
     print(f"rendered {args.frames} frame(s), last frame_time="

@@ -64,18 +64,22 @@ class DeviceScene:
     tri_debug_id: jax.Array   # (Tp,) i32
     tri_flat: jax.Array       # (Tp, 4) f32 flat color 0-255; alpha<0 = unused
     tri_valid: jax.Array      # (Tp,) bool — False for padding
-    atlas: jax.Array          # (L, AH, AW, 4) u8 (L >= 1)
+    atlas: jax.Array          # (L, AH, AW, 4) u8 (L >= 1) — mip 0
     tex_size: jax.Array       # (L, 2) i32 actual (h, w) per layer
+    mip_pool: jax.Array       # (P, 4) u8 — all mip levels, flattened
+    mip_table: jax.Array      # (L, M, 3) i32 — (offset, h, w) per mip
     num_joints: int           # static
     skinned: bool             # static
+    num_mips: int = 1         # static
 
     def tree_flatten(self):
         children = (
             self.positions, self.uvs, self.joints, self.weights, self.tris,
             self.tri_texture, self.tri_debug_id, self.tri_flat,
             self.tri_valid, self.atlas, self.tex_size,
+            self.mip_pool, self.mip_table,
         )
-        return children, (self.num_joints, self.skinned)
+        return children, (self.num_joints, self.skinned, self.num_mips)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -111,6 +115,46 @@ def upload(batch: DrawBatch) -> DeviceScene:
         atlas = np.zeros((1, 4, 4, 4), np.uint8)
         sizes = np.array([[4, 4]], np.int32)
 
+    # mip pyramids (2x2 box filter) flattened into one texel pool — the
+    # minification path the reference lacks (it uploads only the first
+    # mip, rtexture.rs:126-130)
+    def downsample(img):
+        h, w = img.shape[:2]
+        h2, w2 = max(h // 2, 1), max(w // 2, 1)
+        x = img[: h2 * 2, : w2 * 2].astype(np.uint16)
+        if h >= 2 and w >= 2:
+            x = (x.reshape(h2, 2, w2, 2, 4).sum((1, 3)) + 2) >> 2
+        elif w >= 2:
+            x = (x.reshape(h2, w2, 2, 4).sum(2) + 1) >> 1
+        elif h >= 2:
+            x = (x.reshape(h2, 2, w2, 4).sum(1) + 1) >> 1
+        return x.astype(np.uint8)
+
+    pool_parts, tables = [], []
+    offset = 0
+    n_mips = 1
+    src_texs = texs if texs else [atlas[0]]
+    for img in src_texs:
+        chain, cur = [], img
+        chain.append(cur)
+        while cur.shape[0] > 1 or cur.shape[1] > 1:
+            cur = downsample(cur)
+            chain.append(cur)
+        n_mips = max(n_mips, len(chain))
+        tables.append(chain)
+    table = np.zeros((len(src_texs), n_mips, 3), np.int32)
+    for li, chain in enumerate(tables):
+        for mi in range(n_mips):
+            img = chain[min(mi, len(chain) - 1)]
+            if mi < len(chain):
+                pool_parts.append(img.reshape(-1, 4))
+                table[li, mi] = (offset, img.shape[0], img.shape[1])
+                offset += img.shape[0] * img.shape[1]
+            else:
+                table[li, mi] = table[li, len(chain) - 1]
+    mip_pool = (np.concatenate(pool_parts) if pool_parts
+                else np.zeros((1, 4), np.uint8))
+
     nj = len(batch.inverse_bind_mats) if batch.inverse_bind_mats is not None else 1
 
     dp = jax.device_put
@@ -122,7 +166,8 @@ def upload(batch: DrawBatch) -> DeviceScene:
         tris=dp(tris), tri_texture=dp(tri_tex), tri_debug_id=dp(tri_dbg),
         tri_flat=dp(tri_flat),
         tri_valid=dp(valid), atlas=dp(atlas), tex_size=dp(sizes),
-        num_joints=nj, skinned=bool(batch.skinned),
+        mip_pool=dp(mip_pool), mip_table=dp(table),
+        num_joints=nj, skinned=bool(batch.skinned), num_mips=n_mips,
     )
 
 
@@ -388,8 +433,66 @@ def sample_bilinear(atlas, tex_size, layer, u, v):
     return top * (1 - fy) + bot * fy
 
 
+def _sample_mip_bilinear(pool, table, layer, mip, u, v):
+    """Bilinear sample one mip level from the flat texel pool.
+
+    pool (P, 4) u8; table (L, M, 3); layer/mip/u/v are (H, W)."""
+    entry = table[layer, mip]                              # (H, W, 3)
+    off = entry[..., 0]
+    th = entry[..., 1].astype(jnp.float32)
+    tw = entry[..., 2].astype(jnp.float32)
+    x = u * tw - 0.5
+    y = v * th - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    wmax = entry[..., 2] - 1
+    hmax = entry[..., 1] - 1
+    x0c = jnp.clip(x0i, 0, wmax)
+    x1c = jnp.clip(x0i + 1, 0, wmax)
+    y0c = jnp.clip(y0i, 0, hmax)
+    y1c = jnp.clip(y0i + 1, 0, hmax)
+    stride = entry[..., 2]
+    t = pool.astype(jnp.float32)
+    c00 = t[off + y0c * stride + x0c]
+    c10 = t[off + y0c * stride + x1c]
+    c01 = t[off + y1c * stride + x0c]
+    c11 = t[off + y1c * stride + x1c]
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_trilinear(scene: DeviceScene, layer, u, v, lod):
+    """Trilinear (bilinear × 2 mips + lerp) from the mip pool."""
+    lc = jnp.clip(layer, 0, scene.mip_table.shape[0] - 1)
+    lod = jnp.clip(lod, 0.0, float(scene.num_mips - 1))
+    m0 = jnp.floor(lod).astype(jnp.int32)
+    m1 = jnp.minimum(m0 + 1, scene.num_mips - 1)
+    fm = (lod - m0.astype(jnp.float32))[..., None]
+    s0 = _sample_mip_bilinear(scene.mip_pool, scene.mip_table, lc, m0, u, v)
+    s1 = _sample_mip_bilinear(scene.mip_pool, scene.mip_table, lc, m1, u, v)
+    return s0 * (1 - fm) + s1 * fm
+
+
+def _uv_lod(uvp, tex_hw):
+    """Per-pixel LOD from screen-space UV derivatives (forward
+    differences; edge pixels clamp like GPU quad derivatives)."""
+    du_dx = jnp.diff(uvp, axis=1, append=uvp[:, -1:])
+    du_dy = jnp.diff(uvp, axis=0, append=uvp[-1:])
+    tx = tex_hw[..., 1].astype(jnp.float32)[..., None]
+    ty = tex_hw[..., 0].astype(jnp.float32)[..., None]
+    sx = jnp.abs(du_dx) * jnp.concatenate([tx, ty], -1)
+    sy = jnp.abs(du_dy) * jnp.concatenate([tx, ty], -1)
+    rho = jnp.maximum(jnp.max(sx, -1), jnp.max(sy, -1))
+    return jnp.log2(jnp.maximum(rho, 1e-6))
+
+
 def shade_src(scene: DeviceScene, setup, ib, width: int, height: int,
-              origin=(0, 0), band=None):
+              origin=(0, 0), band=None, mipmap: bool = False):
     """Per-pixel source color of the winner triangle (pre-blend).
 
     Returns (src (bh, bw, 4) f32 0-255, covered (bh, bw) bool)."""
@@ -415,9 +518,14 @@ def shade_src(scene: DeviceScene, setup, ib, width: int, height: int,
 
     layer = scene.tri_texture[idx]
     textured = layer >= 0
-    albedo = sample_bilinear(
-        scene.atlas, scene.tex_size, layer, uvp[..., 0], uvp[..., 1]
-    )
+    if mipmap:
+        tex_hw = scene.tex_size[jnp.clip(layer, 0, scene.tex_size.shape[0] - 1)]
+        lod = _uv_lod(uvp, tex_hw)
+        albedo = sample_trilinear(scene, layer, uvp[..., 0], uvp[..., 1], lod)
+    else:
+        albedo = sample_bilinear(
+            scene.atlas, scene.tex_size, layer, uvp[..., 0], uvp[..., 1]
+        )
 
     palette = jnp.asarray(
         np.concatenate(
@@ -443,10 +551,11 @@ def blend_over(src, covered, dst):
 
 
 def shade_stage(scene: DeviceScene, setup, zb, ib, width: int, height: int,
-                clear_color, origin=(0, 0), band=None):
+                clear_color, origin=(0, 0), band=None, mipmap: bool = False):
     """Winner-takes-all deferred shading, blended over the clear color."""
     bw, bh = band if band is not None else (width, height)
-    src, covered = shade_src(scene, setup, ib, width, height, origin, band)
+    src, covered = shade_src(scene, setup, ib, width, height, origin, band,
+                             mipmap=mipmap)
     clear = jnp.asarray(np.asarray(clear_color, np.float32))
     dst = jnp.broadcast_to(clear, (bh, bw, 4))
     out = blend_over(src, covered, dst)
@@ -459,14 +568,15 @@ def shade_stage(scene: DeviceScene, setup, zb, ib, width: int, height: int,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "chunk", "clear_color", "backend",
-                     "maxc"),
+                     "maxc", "mipmap"),
 )
 def render_frame(scene: DeviceScene, view_proj: jax.Array,
                  bone_mats: jax.Array | None = None, *,
                  width: int = 512, height: int = 512,
                  chunk: int = DEFAULT_CHUNK,
                  clear_color: tuple = (255, 255, 255, 255),
-                 backend: str = "scan", maxc: int | None = None):
+                 backend: str = "scan", maxc: int | None = None,
+                 mipmap: bool = False):
     """Render one frame → ((H, W, 4) uint8, (H, W) f32 depth).
 
     ``backend``: "scan" (all-triangles lax.scan — exact, good for small
@@ -486,11 +596,12 @@ def render_frame(scene: DeviceScene, view_proj: jax.Array,
         )
         color = shade_stage(
             scene, setup, zb, ib, width, height, clear_color,
-            band=(pw, ph),
+            band=(pw, ph), mipmap=mipmap,
         )
         return color[:height, :width], zb[:height, :width]
     zb, ib = raster_stage(setup, width, height, chunk)
-    color = shade_stage(scene, setup, zb, ib, width, height, clear_color)
+    color = shade_stage(scene, setup, zb, ib, width, height, clear_color,
+                        mipmap=mipmap)
     return color, zb
 
 

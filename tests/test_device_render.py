@@ -112,3 +112,50 @@ class TestDeviceVsCpu:
         misses_before = f._cache_size()
         f(dscene, _vp(yaw=90.0), width=64, height=64)
         assert f._cache_size() == misses_before
+
+
+class TestMipmapping:
+    def test_upload_builds_pyramid(self, scene):
+        from mt_renderer_tpu.scene import demo
+
+        batch = demo.build_demo_batch(instances=1, skinned=False)
+        ds = device.upload(batch)
+        # 64x64 texture -> 7 mip levels (64..1)
+        assert ds.num_mips == 7
+        off, h, w = np.asarray(ds.mip_table)[0, -1]
+        assert (h, w) == (1, 1)
+        # top of the pyramid is the average color of the texture
+        avg = batch.textures[0].astype(np.float64).mean((0, 1))
+        top = np.asarray(ds.mip_pool)[off]
+        assert np.abs(top.astype(np.float64) - avg).max() < 12
+
+    def test_mip0_matches_bilinear(self, scene):
+        # a close-up view magnifies: lod <= 0 -> trilinear == bilinear mip0
+        from mt_renderer_tpu.scene import demo
+
+        batch = demo.build_demo_batch(instances=1, skinned=False)
+        ds = device.upload(batch)
+        cam_vp = _vp(pos=(0.2, 0.1, 2.2))
+        c0, _ = device.render_frame(ds, cam_vp, None, width=96, height=96)
+        c1, _ = device.render_frame(ds, cam_vp, None, width=96, height=96,
+                                    mipmap=True)
+        diff = np.abs(np.asarray(c0).astype(int) - np.asarray(c1).astype(int))
+        assert (diff.max(-1) > 2).mean() < 0.02
+
+    def test_minification_reduces_aliasing(self, scene):
+        # far away, the checkerboard aliases without mips; with mips the
+        # covered pixels converge toward the texture average -> lower
+        # local variance
+        from mt_renderer_tpu.scene import demo
+
+        batch = demo.build_demo_batch(instances=1, skinned=False)
+        ds = device.upload(batch)
+        vp = _vp(pos=(0.0, 0.0, 40.0))
+        c0, d = device.render_frame(ds, vp, None, width=96, height=96)
+        c1, _ = device.render_frame(ds, vp, None, width=96, height=96,
+                                    mipmap=True)
+        cov = np.asarray(d) < 1.0
+        assert cov.sum() > 20
+        v0 = np.asarray(c0)[cov][:, :3].astype(np.float64).var(0).mean()
+        v1 = np.asarray(c1)[cov][:, :3].astype(np.float64).var(0).mean()
+        assert v1 < v0 * 0.6
