@@ -56,3 +56,32 @@ class TestMultichip:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestServingExport:
+    def test_export_roundtrip(self):
+        """The render step exports to a self-contained artifact and
+        serves identical frames after deserialisation."""
+        import numpy as np
+
+        from mt_renderer_tpu import serving
+        from mt_renderer_tpu.render import device
+        from mt_renderer_tpu.scene import demo
+
+        batch = demo.build_demo_batch(instances=4, skinned=True)
+        scene = device.upload(batch)
+        cam = demo.demo_camera(4, 64, 64)
+        vp = np.asarray(cam.view_proj())
+        bones = demo.demo_bone_mats(0.4)
+
+        blob = serving.export_render(scene, width=64, height=64,
+                                     backend="scan")
+        assert len(blob) > 1000
+
+        served = serving.load_render(blob)
+        got_c, got_d = served(scene, vp, bones)
+        want_c, want_d = device.render_frame(
+            scene, vp, bones, width=64, height=64, backend="scan"
+        )
+        np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+        np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want_d))
