@@ -1,4 +1,6 @@
-"""Multi-chip frame rendering: screen-band sharding over an ICI mesh.
+"""Multi-chip frame rendering over an ICI mesh — two strategies:
+screen-band sharding (zero-collective pixel split) and geometry
+sharding (triangle split with pmin/pmax/psum depth merge).
 
 The reference is single-GPU (one wgpu device, renderer_app_manager.rs:103);
 its implicit SIMT parallelism becomes explicit SPMD here. The frame is
@@ -27,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..render import device as dev
@@ -36,8 +39,6 @@ def make_row_mesh(n_devices: int | None = None) -> Mesh:
     """A 1-D mesh over the first ``n_devices`` devices, axis name 'rows'."""
     devices = jax.devices()
     n = n_devices or len(devices)
-    import numpy as np
-
     return Mesh(np.array(devices[:n]), ("rows",))
 
 
@@ -104,6 +105,88 @@ def render_frame_multichip(
         out_specs=(P("rows", None, None), P("rows", None)),
         # pallas_call's out_shape carries no varying-mesh-axis info;
         # band partitioning is trivially correct, so skip the vma check
+        check_vma=False,
+    )
+    if bone_mats is None:
+        bone_mats = jnp.tile(
+            jnp.eye(4, dtype=jnp.float32), (scene.num_joints, 1, 1)
+        )
+    return shard_fn(scene, view_proj, bone_mats)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "height", "chunk", "clear_color"),
+)
+def render_frame_geomsplit(
+    scene: dev.DeviceScene,
+    view_proj: jax.Array,
+    bone_mats: jax.Array | None = None,
+    *,
+    mesh: Mesh,
+    width: int = 512,
+    height: int = 512,
+    chunk: int = dev.DEFAULT_CHUNK,
+    clear_color: tuple = (255, 255, 255, 255),
+):
+    """Geometry-split multi-chip rendering: each chip rasterises a
+    contiguous shard of the triangles over the FULL frame, then the
+    per-pixel depth contest resolves with ICI collectives:
+
+    * ``pmin`` over chips → global nearest depth per pixel,
+    * ``pmax`` of the winner id among depth-tied chips → the exact
+      later-triangle-wins tie rule across shards,
+    * each chip shades only the pixels its shard won; a ``psum``
+      composites the disjoint contributions into the full frame.
+
+    Complements the screen-band split (``render_frame_multichip``):
+    geometry split keeps per-chip raster load balanced when triangles
+    cluster in one screen region, at the cost of three all-reduces.
+    Returns the full frame replicated on every chip.
+    """
+    n = mesh.devices.size
+    tp = scene.tris.shape[0]
+    if tp % n:
+        raise ValueError(f"padded triangle count {tp} not divisible by {n}")
+    shard_t = tp // n
+
+    def shard_render(scene, view_proj, bone_mats):
+        r = jax.lax.axis_index("rows")
+        clip = dev.vertex_stage(scene, view_proj, bone_mats)
+        setup = dev.setup_stage(scene, clip, width, height)
+        base = r * shard_t
+        # this chip's triangle shard (all per-triangle setup rows)
+        shard_setup = {
+            k: jax.lax.dynamic_slice_in_dim(v, base, shard_t, axis=0)
+            for k, v in setup.items()
+        }
+        zb, ib = dev.raster_stage(shard_setup, width, height, chunk)
+        ib = jnp.where(ib >= 0, ib + base, -1)             # globalise ids
+
+        z = jnp.where(ib >= 0, zb, jnp.inf)
+        zmin = jax.lax.pmin(z, "rows")
+        tied = (z == zmin) & (ib >= 0)
+        win_id = jax.lax.pmax(jnp.where(tied, ib, -1), "rows")
+        mine = tied & (ib == win_id)
+
+        src, _cov = dev.shade_src(scene, setup, jnp.where(mine, ib, -1),
+                                  width, height)
+        contrib = jnp.where(mine[..., None], src, 0.0)
+        src_all = jax.lax.psum(contrib, "rows")
+        covered = jax.lax.psum(mine.astype(jnp.int32), "rows") > 0
+
+        clear = jnp.asarray(np.asarray(clear_color, np.float32))
+        dst = jnp.broadcast_to(clear, (height, width, 4))
+        out = dev.blend_over(src_all, covered, dst)
+        color = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.uint8)
+        depth = jnp.where(covered, zmin, 1.0)
+        return color, depth
+
+    shard_fn = jax.shard_map(
+        shard_render,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
         check_vma=False,
     )
     if bone_mats is None:

@@ -85,3 +85,22 @@ class TestServingExport:
         )
         np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
         np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want_d))
+
+
+class TestGeometrySplit:
+    def test_matches_single_device(self):
+        from mt_renderer_tpu.parallel.tiles import render_frame_geomsplit
+
+        scene, vp, bones = _scene()
+        mesh = make_row_mesh(8)
+        got_c, got_d = render_frame_geomsplit(
+            scene, vp, bones, mesh=mesh, width=64, height=64
+        )
+        want_c, want_d = device.render_frame(
+            scene, vp, bones, width=64, height=64, backend="scan"
+        )
+        np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+        np.testing.assert_allclose(
+            np.asarray(got_d), np.asarray(want_d), atol=1e-6
+        )
+        assert (np.asarray(got_d) < 1.0).any()
