@@ -90,11 +90,13 @@ def render(
     depth = np.full((height, width), 1.0, dtype=np.float32)
 
     pos = skin_positions(batch, bone_mats)
+    mat_color = getattr(batch, "mat_color_host", None)
     _raster_soup(
         color, depth, pos, batch.tris, view_proj,
         uvs=batch.uvs, tri_texture=batch.tri_texture,
         tri_debug_id=batch.tri_debug_id, textures=batch.textures,
-        tri_flat=batch.tri_flat,
+        tri_flat=batch.tri_flat, tri_material=batch.material_ids(),
+        mat_color=mat_color,
         blend=True,
     )
 
@@ -112,7 +114,8 @@ def render(
 
 def _raster_soup(color, depth, pos, tris, view_proj, uvs=None,
                  tri_texture=None, tri_debug_id=None, textures=None,
-                 flat_color=None, tri_flat=None, blend=True):
+                 flat_color=None, tri_flat=None, tri_material=None,
+                 mat_color=None, blend=True):
     height, width = depth.shape
     if len(tris) == 0:
         return
@@ -208,6 +211,9 @@ def _raster_soup(color, depth, pos, tris, view_proj, uvs=None,
                 frag = np.broadcast_to(
                     np.array([*rgb, 255], np.float32), (int(passing.sum()), 4)
                 )
+
+        if mat_color is not None and flat_color is None:
+            frag = frag * mat_color[int(tri_material[t])]
 
         dst = color[ymin:ymax + 1, xmin:xmax + 1][passing]
         if blend:

@@ -63,6 +63,8 @@ class DeviceScene:
     tri_texture: jax.Array    # (Tp,) i32 atlas layer, -1 = untextured
     tri_debug_id: jax.Array   # (Tp,) i32
     tri_flat: jax.Array       # (Tp, 4) f32 flat color 0-255; alpha<0 = unused
+    tri_material: jax.Array   # (Tp,) i32 material slot
+    mat_color: jax.Array      # (M, 4) f32 per-material RGBA multiplier 0-1
     tri_valid: jax.Array      # (Tp,) bool — False for padding
     atlas: jax.Array          # (L, AH, AW, 4) u8 (L >= 1) — mip 0
     tex_size: jax.Array       # (L, 2) i32 actual (h, w) per layer
@@ -76,6 +78,7 @@ class DeviceScene:
         children = (
             self.positions, self.uvs, self.joints, self.weights, self.tris,
             self.tri_texture, self.tri_debug_id, self.tri_flat,
+            self.tri_material, self.mat_color,
             self.tri_valid, self.atlas, self.tex_size,
             self.mip_pool, self.mip_table,
         )
@@ -99,6 +102,9 @@ def upload(batch: DrawBatch) -> DeviceScene:
     tri_flat = np.full((tp, 4), -1.0, np.float32)
     if batch.tri_flat is not None:
         tri_flat[:t] = batch.tri_flat
+    tri_mat = np.zeros(tp, np.int32)
+    tri_mat[:t] = batch.material_ids()
+    mat_color = np.ones((batch.num_materials, 4), np.float32)
     valid = np.zeros(tp, bool)
     valid[:t] = True
 
@@ -165,6 +171,7 @@ def upload(batch: DrawBatch) -> DeviceScene:
         weights=dp(batch.weights.astype(np.float32)),
         tris=dp(tris), tri_texture=dp(tri_tex), tri_debug_id=dp(tri_dbg),
         tri_flat=dp(tri_flat),
+        tri_material=dp(tri_mat), mat_color=dp(mat_color),
         tri_valid=dp(valid), atlas=dp(atlas), tex_size=dp(sizes),
         mip_pool=dp(mip_pool), mip_table=dp(table),
         num_joints=nj, skinned=bool(batch.skinned), num_mips=n_mips,
@@ -538,6 +545,10 @@ def shade_src(scene: DeviceScene, setup, ib, width: int, height: int,
     untextured = jnp.where(flat[..., 3:4] >= 0.0, flat, debug_rgba)
 
     src = jnp.where(textured[..., None], albedo, untextured)
+    # per-material RGBA multiplier (constant-buffer parameter — the
+    # material-driven shading hook; animatable via scene.mat_color)
+    mat = scene.mat_color[scene.tri_material[idx]]
+    src = src * mat
     return src, covered
 
 

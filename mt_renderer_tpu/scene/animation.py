@@ -160,3 +160,41 @@ def _euler_mats_jnp(rx, ry, rz, tx, ty, tz) -> jax.Array:
     return jnp.stack(
         [jnp.stack(r, axis=-1) for r in rows], axis=-2
     )
+
+
+class MaterialAnimator:
+    """``material:<name>:<r|g|b|a>`` FLOAT tracks → per-frame (M, 4)
+    color multipliers for ``DeviceScene.mat_color``.
+
+    Completes the scheduler's parameter-animation story (SURVEY §7 step
+    6: "parameters animated from rScheduler keys — bone mats, material
+    params"); swap the array into the scene with ``dataclasses.replace``
+    each frame (a pytree-leaf swap, no re-upload).
+    """
+
+    _CH = {"r": 0, "g": 1, "b": 2, "a": 3}
+
+    def __init__(self, timeline: Timeline, material_names: list[str]):
+        self.num_materials = max(len(material_names), 1)
+        self.params: dict[tuple[int, int], tuple] = {}
+        slots = {n: i for i, n in enumerate(material_names)}
+        for name, tr in timeline.tracks.items():
+            if tr.track_type != TrackType.TYPE_FLOAT or not tr.keys:
+                continue
+            parts = name.split(":")
+            if len(parts) == 3 and parts[0] == "material":
+                slot = slots.get(parts[1])
+                ch = self._CH.get(parts[2])
+                if slot is not None and ch is not None:
+                    self.params[(slot, ch)] = tuple(
+                        jnp.asarray(a) for a in track_arrays(tr)
+                    )
+
+    def mat_color(self, frame) -> jax.Array:
+        """(M, 4) multiplier at ``frame`` (jittable)."""
+        out = jnp.ones((self.num_materials, 4), jnp.float32)
+        for (slot, ch), (f, v, lin) in self.params.items():
+            out = out.at[slot, ch].set(
+                sample_device(f, v, lin, jnp.float32(frame))
+            )
+        return out

@@ -46,13 +46,24 @@ class DrawBatch:
     tri_texture: np.ndarray        # (T,) i32 texture id, -1 = untextured
     tri_parts: np.ndarray          # (T,) i32 parts_no (visibility culling)
     tri_debug_id: np.ndarray       # (T,) i32 joint debug id
+    tri_material: np.ndarray = None  # (T,) i32 material slot (0 default)
     tri_flat: np.ndarray = None    # (T, 4) f32 0-255 flat color; alpha<0 = unused
     textures: list[np.ndarray] = field(default_factory=list)  # (H,W,4) u8 each
     # skinning inputs
+    material_names: list = field(default_factory=list)  # slot -> name
     inverse_bind_mats: np.ndarray = None   # (J, 4, 4) f32
     joint_parents: np.ndarray = None       # (J,) i32, -1 = root
     joint_offsets: np.ndarray = None       # (J, 3) f32
     skinned: bool = False
+
+    @property
+    def num_materials(self) -> int:
+        return max(len(self.material_names), 1)
+
+    def material_ids(self) -> np.ndarray:
+        if self.tri_material is None:
+            return np.zeros(self.num_triangles, np.int32)
+        return self.tri_material[: self.num_triangles]
 
     @property
     def num_vertices(self) -> int:
@@ -91,7 +102,7 @@ def build_draw_batch(
                 pass
 
     pos_parts, uv_parts, joint_parts, weight_parts = [], [], [], []
-    tri_parts_, tri_tex, tri_part_no, tri_debug = [], [], [], []
+    tri_parts_, tri_tex, tri_part_no, tri_debug, tri_mat = [], [], [], [], []
     vert_base = 0
     any_skin = False
 
@@ -150,6 +161,7 @@ def build_draw_batch(
         raw_tex = mat_to_tex[prim.material_no]
         tex_id = tex_remap.get(raw_tex, -1) if raw_tex is not None else -1
         tri_tex.append(np.full(t, tex_id, np.int32))
+        tri_mat.append(np.full(t, prim.material_no, np.int32))
         tri_part_no.append(np.full(t, prim.parts_no, np.int32))
         # debug id = joint of the primitive's boundary (model.rs:139-157)
         if len(model.boundaries):
@@ -169,6 +181,8 @@ def build_draw_batch(
         tri_texture=np.concatenate(tri_tex) if tri_tex else np.zeros(0, np.int32),
         tri_parts=np.concatenate(tri_part_no) if tri_part_no else np.zeros(0, np.int32),
         tri_debug_id=np.concatenate(tri_debug) if tri_debug else np.zeros(0, np.int32),
+        tri_material=np.concatenate(tri_mat) if tri_mat else np.zeros(0, np.int32),
+        material_names=list(model.material_names),
         textures=textures,
         skinned=any_skin,
     )
@@ -189,6 +203,7 @@ def build_draw_batch(
         batch.tri_texture = batch.tri_texture[keep]
         batch.tri_parts = batch.tri_parts[keep]
         batch.tri_debug_id = batch.tri_debug_id[keep]
+        batch.tri_material = batch.tri_material[keep]
 
     return batch
 
@@ -249,6 +264,8 @@ def merge_batches(a: DrawBatch, b: DrawBatch,
     va = a.num_vertices
     ntex_a = len(a.textures)
     b_tex = np.where(b.tri_texture >= 0, b.tri_texture + ntex_a, -1)
+    nmat_a = a.num_materials
+    b_mat = b.material_ids() + nmat_a
     if keep_b_skin:
         b_joints = b.joints.astype(np.int32)
         b_weights = b.weights.astype(np.float32)
@@ -262,6 +279,12 @@ def merge_batches(a: DrawBatch, b: DrawBatch,
         weights=np.concatenate([a.weights, b_weights]),
         tris=np.concatenate([a.tris, b.tris + va]),
         tri_texture=np.concatenate([a.tri_texture, b_tex]).astype(np.int32),
+        tri_material=np.concatenate([a.material_ids(), b_mat]).astype(np.int32),
+        material_names=(
+            list(a.material_names) + [""] * (nmat_a - len(a.material_names))
+            + list(b.material_names)
+            + [""] * (b.num_materials - len(b.material_names))
+        ),
         tri_parts=np.concatenate([a.tri_parts, np.zeros(b.num_triangles, np.int32)]),
         tri_debug_id=np.concatenate([a.tri_debug_id, b.tri_debug_id]),
         tri_flat=np.concatenate([flat(a), flat(b)]).astype(np.float32),

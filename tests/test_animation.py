@@ -131,3 +131,72 @@ class TestAnimatedViewer:
         out = capsys.readouterr().out
         assert "bone tracks" in out
         assert (tmp_path / "af_1.png").exists()
+
+
+class TestMaterialAnimation:
+    def _timeline(self):
+        from mt_renderer_tpu.formats import sdl
+        from mt_renderer_tpu import dti as dti_mod
+
+        tracks = [
+            sdl.Track(sdl.TrackType.TYPE_FLOAT, int(dti_mod.PropType.f32),
+                      "material:fixture_mat:a", 0,
+                      keys=[sdl.Key(0, 1, 1.0), sdl.Key(30, 1, 0.0)]),
+            sdl.Track(sdl.TrackType.TYPE_FLOAT, int(dti_mod.PropType.f32),
+                      "material:fixture_mat:r", 0,
+                      keys=[sdl.Key(0, 0, 0.5)]),
+        ]
+        return Timeline(SchedulerFile(
+            __import__("mt_renderer_tpu.formats.sdl", fromlist=["x"])
+            .write_scheduler(tracks)
+        ))
+
+    def test_mat_color_tracks(self):
+        from mt_renderer_tpu.scene.animation import MaterialAnimator
+
+        anim = MaterialAnimator(self._timeline(), ["fixture_mat"])
+        c0 = np.asarray(anim.mat_color(0.0))
+        c15 = np.asarray(anim.mat_color(15.0))
+        assert abs(c0[0, 3] - 1.0) < 1e-6 and abs(c0[0, 0] - 0.5) < 1e-6
+        assert abs(c15[0, 3] - 0.5) < 1e-5      # linear fade
+        assert abs(c15[0, 1] - 1.0) < 1e-6      # untracked channel = 1
+
+    def test_mat_color_drives_device_shading(self):
+        import dataclasses
+
+        from mt_renderer_tpu.render import device
+        from mt_renderer_tpu.scene import demo
+        from mt_renderer_tpu.scene.animation import MaterialAnimator
+
+        batch = demo.build_demo_batch(instances=1, skinned=False)
+        scene = device.upload(batch)
+        cam = demo.demo_camera(1, 64, 64)
+        vp = np.asarray(cam.view_proj())
+        base, d = device.render_frame(scene, vp, None, width=64, height=64)
+        cov = np.asarray(d) < 1.0
+
+        anim = MaterialAnimator(self._timeline(), batch.material_names)
+        dark = dataclasses.replace(scene, mat_color=anim.mat_color(0.0))
+        c0, _ = device.render_frame(dark, vp, None, width=64, height=64)
+        # r halved, g/b unchanged, alpha 1
+        got = np.asarray(c0)[cov].astype(np.float64)
+        ref = np.asarray(base)[cov].astype(np.float64)
+        assert np.abs(got[:, 0] - ref[:, 0] * 0.5).max() < 2
+        assert np.abs(got[:, 1] - ref[:, 1]).max() <= 1
+
+    def test_matches_cpu_with_mat_color(self):
+        from mt_renderer_tpu.render import cpu_reference, device
+        from mt_renderer_tpu.scene import demo
+        import dataclasses
+
+        batch = demo.build_demo_batch(instances=1, skinned=False)
+        mc = np.array([[0.3, 1.0, 0.7, 1.0]], np.float32)
+        batch.mat_color_host = mc
+        cam = demo.demo_camera(1, 64, 64)
+        vp = np.asarray(cam.view_proj())
+        want, _ = cpu_reference.render(batch, vp, 64, 64)
+        scene = dataclasses.replace(device.upload(batch),
+                                    mat_color=np.asarray(mc))
+        got, _ = device.render_frame(scene, vp, None, width=64, height=64)
+        diff = np.abs(np.asarray(got).astype(int) - want.astype(int)).max(-1)
+        assert (diff > 1).mean() <= 0.003
