@@ -21,6 +21,7 @@ from .formats.mod import Joint, Primitive, write_model
 
 INPUTLAYOUT_STATIC = "IL_FixtureP3T2"
 INPUTLAYOUT_SKIN = "IL_FixtureSkin"
+INPUTLAYOUT_RICH = "IL_FixtureRich"   # packed normals + u16n uvs
 SHADER_PACKAGE_PATH = "custom_shaders\\CustomShaderPackage"
 MODEL_PATH = "model\\fixture_cube"
 TEXTURE_PATH = "model\\fixture_albedo"
@@ -110,6 +111,11 @@ def build_shader2() -> bytes:
         mfx.InputElement("TexCoord", 0, F.IEF_F32, 2, 0, 12, 0),
         mfx.InputElement("Joint", 0, F.IEF_U8, 4, 0, 20, 0),
         mfx.InputElement("Weight", 0, F.IEF_U8N, 4, 0, 24, 0),
+    ])
+    w.add_inputlayout(INPUTLAYOUT_RICH, 20, [
+        mfx.InputElement("Position", 0, F.IEF_F32, 3, 0, 0, 0),
+        mfx.InputElement("Normal", 0, F.IEF_SCMP3N, 3, 0, 12, 0),
+        mfx.InputElement("TexCoord", 0, F.IEF_U16N, 2, 0, 16, 0),
     ])
     T = mfx.ObjectType
     w.add_object("BSSolid", T.BLEND)
@@ -223,8 +229,10 @@ def _subdivided_cube(n: int):
         for vi in range(n):
             row = []
             for ui in range(n + 1):
-                row.append(base + (vi + 1) * (n + 1) + ui)   # B (next row)
-                row.append(base + vi * (n + 1) + ui)         # A (this row)
+                # A (this row) first, then B (next row): the first strip
+                # triangle (A0,B0,A1) has normal vdir×udir = outward
+                row.append(base + vi * (n + 1) + ui)
+                row.append(base + (vi + 1) * (n + 1) + ui)
             strips.append(np.array(row, np.uint16))
     index = []
     for i, s in enumerate(strips):
@@ -233,6 +241,55 @@ def _subdivided_cube(n: int):
         index.append(s)
     return (np.array(verts, np.float32), np.array(uvs, np.float32),
             np.concatenate(index))
+
+
+def pack_scmp3n(normals: np.ndarray) -> np.ndarray:
+    """(N, 3) float normals → packed 10:10:10 u32 (IEF_SCMP3N)."""
+    q = np.clip(np.round(normals * 511.0), -511, 511).astype(np.int32)
+    return (
+        (q[:, 0] & 0x3FF)
+        | ((q[:, 1] & 0x3FF) << 10)
+        | ((q[:, 2] & 0x3FF) << 20)
+    ).astype("<u4")
+
+
+def build_model_rich(subdiv: int = 0) -> bytes:
+    """Model using the packed-attribute layout: SCMP3N normals + U16N
+    uvs (exercises the compressed vertex-decode paths end to end)."""
+    if subdiv:
+        positions, uvs, index_stream = _subdivided_cube(subdiv)
+    else:
+        corners, uvs_f, strip_a, strip_b = _cube_mesh()
+        positions, uvs = corners, uvs_f
+        index_stream = np.concatenate(
+            [strip_a, np.array([0xFFFF], np.uint16), strip_b]
+        )
+    n = len(positions)
+    normals = positions / np.maximum(
+        np.linalg.norm(positions, axis=1, keepdims=True), 1e-6
+    )
+    vbuf = np.zeros((n, 20), np.uint8)
+    vbuf[:, 0:12] = positions.astype("<f4").view(np.uint8).reshape(n, 12)
+    vbuf[:, 12:16] = pack_scmp3n(normals).view(np.uint8).reshape(n, 4)
+    uv16 = np.clip(np.round(np.asarray(uvs) * 65535.0), 0, 65535).astype("<u2")
+    vbuf[:, 16:20] = uv16.view(np.uint8).reshape(n, 4)
+    prim = Primitive(
+        draw_mode=0, vertex_num=n, parts_no=0, material_no=0,
+        lod=0xFF, weight_num=0, alphapri=0, vertex_stride=20,
+        topology=4, vertex_ofs=0, vertex_base=0,
+        inputlayout=mfx.object_handle(INPUTLAYOUT_RICH),
+        index_ofs=0, index_num=len(index_stream), index_base=0,
+        envelope=0, boundary_num=0, connect_id=0,
+        min_index=0, max_index=n - 1,
+        disp=True, shape=False, sort=False,
+        binormal_flip=False, bridge=False,
+    )
+    return write_model(
+        material_names=["fixture_mat"],
+        primitives=[prim],
+        vertex_buf=vbuf.tobytes(),
+        index_buf=np.asarray(index_stream, "<u2"),
+    )
 
 
 def build_model(skinned: bool = False, subdiv: int = 0) -> bytes:
@@ -414,6 +471,8 @@ def write_fixture_tree(root) -> None:
     put(TEXTURE_PATH, "rTexture", build_texture_rgba())
     put("model/fixture_albedo_bc1", "rTexture", build_texture_bc1())
     put("motion/fixture_bones", "rScheduler", build_scheduler_bones())
+    put("model/fixture_cube_rich", "rModel", build_model_rich())
+    put("model/fixture_cube_rich", "rMaterial", build_material())
     put("chara/fixture_character_skinned", "nGO::rCharacter",
         build_character_prp(model_path="model\\fixture_cube_skinned"))
     put(CHARACTER_PATH, "nGO::rCharacter", build_character_prp())

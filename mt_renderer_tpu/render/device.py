@@ -57,6 +57,7 @@ class DeviceScene:
 
     positions: jax.Array      # (V, 3) f32
     uvs: jax.Array            # (V, 2) f32
+    normals: jax.Array        # (V, 3) f32 (zeros when the layout has none)
     joints: jax.Array         # (V, 4) i32
     weights: jax.Array        # (V, 4) f32
     tris: jax.Array           # (Tp, 3) i32, padded
@@ -76,7 +77,8 @@ class DeviceScene:
 
     def tree_flatten(self):
         children = (
-            self.positions, self.uvs, self.joints, self.weights, self.tris,
+            self.positions, self.uvs, self.normals, self.joints,
+            self.weights, self.tris,
             self.tri_texture, self.tri_debug_id, self.tri_flat,
             self.tri_material, self.mat_color,
             self.tri_valid, self.atlas, self.tex_size,
@@ -167,6 +169,7 @@ def upload(batch: DrawBatch) -> DeviceScene:
     return DeviceScene(
         positions=dp(batch.positions.astype(np.float32)),
         uvs=dp(batch.uvs.astype(np.float32)),
+        normals=dp(batch.normals_or_zero().astype(np.float32)),
         joints=dp(batch.joints.astype(np.int32)),
         weights=dp(batch.weights.astype(np.float32)),
         tris=dp(tris), tri_texture=dp(tri_tex), tri_debug_id=dp(tri_dbg),
@@ -199,7 +202,25 @@ def vertex_stage(scene: DeviceScene, view_proj: jax.Array,
     return jnp.matmul(homo, view_proj.T, precision=jax.lax.Precision.HIGHEST)
 
 
-def setup_stage(scene: DeviceScene, clip: jax.Array, width: int, height: int):
+def world_normals(scene: DeviceScene, bone_mats: jax.Array | None) -> jax.Array:
+    """(V, 3) world-space normals: rotated by the blended bone matrix
+    upper 3x3 when skinned (rigid-rotation assumption — no inverse
+    transpose, matching typical engine skinning)."""
+    nrm = scene.normals
+    if scene.skinned and bone_mats is not None:
+        m = bone_mats[scene.joints]                       # (V, 4, 4, 4)
+        blended = jnp.einsum("vw,vwij->vij", scene.weights, m,
+                             precision=jax.lax.Precision.HIGHEST)
+        rot = blended[:, :3, :3]
+        has_w = jnp.sum(scene.weights, axis=1, keepdims=True) > 0
+        rotated = jnp.einsum("vij,vj->vi", rot, nrm,
+                             precision=jax.lax.Precision.HIGHEST)
+        nrm = jnp.where(has_w, rotated, nrm)
+    return nrm
+
+
+def setup_stage(scene: DeviceScene, clip: jax.Array, width: int, height: int,
+                bone_mats: jax.Array | None = None):
     """Per-triangle setup. Returns a dict of (Tp, ...) arrays."""
     c = clip[scene.tris]                                  # (Tp, 3, 4)
     w = c[..., 3]
@@ -251,6 +272,7 @@ def setup_stage(scene: DeviceScene, clip: jax.Array, width: int, height: int):
         ea=ea, eb=eb, ec=ec, topleft=topleft, esnap=esnap,
         area=-area2, sz=sz, inv_w=inv_w, valid=valid,
         uv=scene.uvs[scene.tris],                         # (Tp, 3, 2)
+        nrm=world_normals(scene, bone_mats)[scene.tris],  # (Tp, 3, 3)
         xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax,
     )
 
@@ -300,7 +322,7 @@ def raster_stage(setup, width: int, height: int, chunk: int,
         return x.reshape((nchunks, chunk) + x.shape[1:])
 
     scan_in = {k: reshape_chunks(v) for k, v in setup.items()
-               if k not in ("uv",)}
+               if k not in ("uv", "nrm")}
 
     def step(carry, ch):
         zbest, ibest = carry
@@ -372,7 +394,7 @@ def raster_multilayer(setup, width: int, height: int, chunk: int,
         return x.reshape((nchunks, chunk) + x.shape[1:])
 
     scan_in = {k: reshape_chunks(v) for k, v in setup.items()
-               if k not in ("uv",)}
+               if k not in ("uv", "nrm")}
     scan_in["ids"] = reshape_chunks(
         jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)[:, 0]
     )
@@ -498,8 +520,12 @@ def _uv_lod(uvp, tex_hw):
     return jnp.log2(jnp.maximum(rho, 1e-6))
 
 
+LIGHT_DIR = (0.35, 0.65, 0.67)   # world-space directional light (normalized-ish)
+
+
 def shade_src(scene: DeviceScene, setup, ib, width: int, height: int,
-              origin=(0, 0), band=None, mipmap: bool = False):
+              origin=(0, 0), band=None, mipmap: bool = False,
+              lighting: bool = False):
     """Per-pixel source color of the winner triangle (pre-blend).
 
     Returns (src (bh, bw, 4) f32 0-255, covered (bh, bw) bool)."""
@@ -549,6 +575,21 @@ def shade_src(scene: DeviceScene, setup, ib, width: int, height: int,
     # material-driven shading hook; animatable via scene.mat_color)
     mat = scene.mat_color[scene.tri_material[idx]]
     src = src * mat
+
+    if lighting:
+        # perspective-correct normal interpolation + lambert term with a
+        # 0.3 ambient floor (extension — the reference shades unlit)
+        nv = setup["nrm"][idx]                             # (H, W, 3, 3)
+        n = jnp.einsum("hwp,hwpc->hwc", b * inv_w, nv,
+                       precision=jax.lax.Precision.HIGHEST) / pw[..., None]
+        n = n / jnp.maximum(
+            jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6
+        )
+        light = jnp.asarray(LIGHT_DIR, jnp.float32)
+        light = light / jnp.linalg.norm(light)
+        ndl = jnp.maximum(jnp.einsum("hwc,c->hw", n, light), 0.0)
+        shade = (0.3 + 0.7 * ndl)[..., None]
+        src = jnp.concatenate([src[..., :3] * shade, src[..., 3:]], axis=-1)
     return src, covered
 
 
@@ -562,11 +603,12 @@ def blend_over(src, covered, dst):
 
 
 def shade_stage(scene: DeviceScene, setup, zb, ib, width: int, height: int,
-                clear_color, origin=(0, 0), band=None, mipmap: bool = False):
+                clear_color, origin=(0, 0), band=None, mipmap: bool = False,
+                lighting: bool = False):
     """Winner-takes-all deferred shading, blended over the clear color."""
     bw, bh = band if band is not None else (width, height)
     src, covered = shade_src(scene, setup, ib, width, height, origin, band,
-                             mipmap=mipmap)
+                             mipmap=mipmap, lighting=lighting)
     clear = jnp.asarray(np.asarray(clear_color, np.float32))
     dst = jnp.broadcast_to(clear, (bh, bw, 4))
     out = blend_over(src, covered, dst)
@@ -579,7 +621,7 @@ def shade_stage(scene: DeviceScene, setup, zb, ib, width: int, height: int,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "chunk", "clear_color", "backend",
-                     "maxc", "mipmap"),
+                     "maxc", "mipmap", "lighting"),
 )
 def render_frame(scene: DeviceScene, view_proj: jax.Array,
                  bone_mats: jax.Array | None = None, *,
@@ -587,14 +629,14 @@ def render_frame(scene: DeviceScene, view_proj: jax.Array,
                  chunk: int = DEFAULT_CHUNK,
                  clear_color: tuple = (255, 255, 255, 255),
                  backend: str = "scan", maxc: int | None = None,
-                 mipmap: bool = False):
+                 mipmap: bool = False, lighting: bool = False):
     """Render one frame → ((H, W, 4) uint8, (H, W) f32 depth).
 
     ``backend``: "scan" (all-triangles lax.scan — exact, good for small
     scenes) or "pallas" (binned tile kernel — the production path; caps
     candidate chunks per tile at ``maxc``)."""
     clip = vertex_stage(scene, view_proj, bone_mats)
-    setup = setup_stage(scene, clip, width, height)
+    setup = setup_stage(scene, clip, width, height, bone_mats=bone_mats)
     if backend == "pallas":
         from . import pallas_raster as pr
 
@@ -607,12 +649,12 @@ def render_frame(scene: DeviceScene, view_proj: jax.Array,
         )
         color = shade_stage(
             scene, setup, zb, ib, width, height, clear_color,
-            band=(pw, ph), mipmap=mipmap,
+            band=(pw, ph), mipmap=mipmap, lighting=lighting,
         )
         return color[:height, :width], zb[:height, :width]
     zb, ib = raster_stage(setup, width, height, chunk)
     color = shade_stage(scene, setup, zb, ib, width, height, clear_color,
-                        mipmap=mipmap)
+                        mipmap=mipmap, lighting=lighting)
     return color, zb
 
 

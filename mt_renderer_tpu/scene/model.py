@@ -40,6 +40,7 @@ class DrawBatch:
 
     positions: np.ndarray          # (V, 3) f32
     uvs: np.ndarray                # (V, 2) f32
+    # normals filled post-init when the layout has them (V, 3) f32
     joints: np.ndarray             # (V, 4) i32 bone indices
     weights: np.ndarray            # (V, 4) f32
     tris: np.ndarray               # (T, 3) i32 into the pooled vertices
@@ -55,6 +56,12 @@ class DrawBatch:
     joint_parents: np.ndarray = None       # (J,) i32, -1 = root
     joint_offsets: np.ndarray = None       # (J, 3) f32
     skinned: bool = False
+    normals: np.ndarray = None     # (V, 3) f32 or None
+
+    def normals_or_zero(self) -> np.ndarray:
+        if self.normals is None:
+            return np.zeros((self.num_vertices, 3), np.float32)
+        return self.normals
 
     @property
     def num_materials(self) -> int:
@@ -101,7 +108,8 @@ def build_draw_batch(
             except FileNotFoundError:
                 pass
 
-    pos_parts, uv_parts, joint_parts, weight_parts = [], [], [], []
+    pos_parts, uv_parts, nrm_parts, joint_parts, weight_parts = [], [], [], [], []
+    any_normals = False
     tri_parts_, tri_tex, tri_part_no, tri_debug, tri_mat = [], [], [], [], []
     vert_base = 0
     any_skin = False
@@ -130,6 +138,13 @@ def build_draw_batch(
             uv[:, :2].astype(np.float32) if uv is not None
             else np.zeros((n, 2), np.float32)
         )
+
+        nrm = attrs.get("Normal")
+        if nrm is not None and nrm.shape[1] >= 3:
+            any_normals = True
+            nrm_parts.append(nrm[:, :3].astype(np.float32))
+        else:
+            nrm_parts.append(np.zeros((n, 3), np.float32))
 
         jn = attrs.get("Joint")
         wt = attrs.get("Weight")
@@ -186,6 +201,8 @@ def build_draw_batch(
         textures=textures,
         skinned=any_skin,
     )
+    if any_normals:
+        batch.normals = np.concatenate(nrm_parts)
 
     if model.joints:
         batch.inverse_bind_mats = model.inverse_bind_mats.astype(np.float32)
@@ -293,4 +310,8 @@ def merge_batches(a: DrawBatch, b: DrawBatch,
         joint_parents=a.joint_parents,
         joint_offsets=a.joint_offsets,
         skinned=a.skinned,
+        normals=(
+            np.concatenate([a.normals_or_zero(), b.normals_or_zero()])
+            if (a.normals is not None or b.normals is not None) else None
+        ),
     )

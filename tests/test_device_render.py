@@ -159,3 +159,48 @@ class TestMipmapping:
         v0 = np.asarray(c0)[cov][:, :3].astype(np.float64).var(0).mean()
         v1 = np.asarray(c1)[cov][:, :3].astype(np.float64).var(0).mean()
         assert v1 < v0 * 0.6
+
+
+class TestRichLayoutAndLighting:
+    def _rich_batch(self):
+        from mt_renderer_tpu.formats.mfx import Shader2File
+        from mt_renderer_tpu.formats.mod import ModelFile
+
+        model = ModelFile(fixtures.build_model_rich())
+        shader2 = Shader2File(fixtures.build_shader2())
+        return build_draw_batch(model, None, shader2, None)
+
+    def test_packed_attributes_decode(self):
+        b = self._rich_batch()
+        assert b.normals is not None
+        # corner normals are normalized corner directions (quantized 10-bit)
+        want = b.positions / np.linalg.norm(b.positions, axis=1, keepdims=True)
+        assert np.abs(b.normals - want).max() < 4e-3
+        # u16n uvs reproduce the projected corner uvs
+        assert np.abs(b.uvs - (b.positions[:, :2] * 0.5 + 0.5)).max() < 1e-4
+
+    def test_lighting_shades_faces_differently(self):
+        b = self._rich_batch()
+        scene = device.upload(b)
+        vp = _vp()
+        unlit, d = device.render_frame(scene, vp, None, width=96, height=96)
+        lit, _ = device.render_frame(scene, vp, None, width=96, height=96,
+                                     lighting=True)
+        cov = np.asarray(d) < 1.0
+        unlit = np.asarray(unlit).astype(np.float64)
+        lit = np.asarray(lit).astype(np.float64)
+        # lit pixels are darkened by at most (0.3..1.0) per channel
+        ratio = (lit[cov][:, :3] + 1) / (unlit[cov][:, :3] + 1)
+        assert ratio.max() < 1.02 and ratio.min() > 0.25
+        # different faces get distinctly different shading levels
+        assert np.unique(np.round(ratio[:, 0], 1)).size >= 2
+        # alpha untouched
+        np.testing.assert_array_equal(lit[..., 3], unlit[..., 3])
+
+    def test_unlit_default_unchanged(self):
+        b = self._rich_batch()
+        scene = device.upload(b)
+        vp = _vp()
+        want, _ = cpu_reference.render(b, vp, 96, 96)
+        got, _ = device.render_frame(scene, vp, None, width=96, height=96)
+        assert_frames_match(np.asarray(got), want)
