@@ -40,6 +40,8 @@ def parse_args(argv):
                    help="depth-peel layer count (0 = single-layer)")
     p.add_argument("--mipmap", action="store_true",
                    help="trilinear mipmapped minification")
+    p.add_argument("--lighting", action="store_true",
+                   help="directional lambert shading (needs normals)")
     return p.parse_args(argv)
 
 
@@ -88,6 +90,7 @@ def main(argv=None):
         return device.render_frame(
             scene, vp, bones, width=width, height=height, chunk=chunk,
             backend=args.backend, maxc=args.maxc, mipmap=args.mipmap,
+            lighting=args.lighting,
         )
 
     # compile + warm up

@@ -52,6 +52,7 @@ class ModelViewerApp(RendererApp):
         self.sdl_path = sdl_path
         self.animator = None
         self.mipmap = False
+        self.lighting = False
         self.overlay = DebugOverlay()
 
     def setup(self, mgr: RendererAppManager) -> None:
@@ -131,7 +132,7 @@ class ModelViewerApp(RendererApp):
         color, _ = device.render_frame(
             self.scene, mgr.camera.view_proj(), self.bones,
             width=mgr.width, height=mgr.height, backend=self.backend,
-            mipmap=self.mipmap,
+            mipmap=self.mipmap, lighting=self.lighting,
         )
         return color
 
@@ -152,12 +153,15 @@ def main(argv=None):
                    help="scheduler (.sdl) file animating the bone palette")
     p.add_argument("--mipmap", action="store_true",
                    help="trilinear mipmapped minification")
+    p.add_argument("--lighting", action="store_true",
+                   help="directional lambert shading (needs normals)")
     args = p.parse_args(argv)
 
     app = ModelViewerApp(args.data_root, args.prp_path,
                          overlay=args.overlay, backend=args.backend,
                          sdl_path=args.sdl)
     app.mipmap = args.mipmap
+    app.lighting = args.lighting
     mgr = RendererAppManager(app, width=args.width, height=args.height)
     mgr.run_headless(frames=args.frames, out_path=args.out)
     print(f"rendered {args.frames} frame(s), last frame_time="

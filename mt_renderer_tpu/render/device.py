@@ -220,8 +220,11 @@ def world_normals(scene: DeviceScene, bone_mats: jax.Array | None) -> jax.Array:
 
 
 def setup_stage(scene: DeviceScene, clip: jax.Array, width: int, height: int,
-                bone_mats: jax.Array | None = None):
-    """Per-triangle setup. Returns a dict of (Tp, ...) arrays."""
+                bone_mats: jax.Array | None = None,
+                need_normals: bool = False):
+    """Per-triangle setup. Returns a dict of (Tp, ...) arrays.
+    Normal triplets are gathered only when the shading needs them
+    (``need_normals``) — they cost a (Tp, 3, 3) gather per frame."""
     c = clip[scene.tris]                                  # (Tp, 3, 4)
     w = c[..., 3]
     inv_w = 1.0 / jnp.where(jnp.abs(w) < W_EPS, W_EPS, w)
@@ -268,13 +271,15 @@ def setup_stage(scene: DeviceScene, clip: jax.Array, width: int, height: int,
     ymin = jnp.min(sy, 1)
     ymax = jnp.max(sy, 1)
 
-    return dict(
+    out = dict(
         ea=ea, eb=eb, ec=ec, topleft=topleft, esnap=esnap,
         area=-area2, sz=sz, inv_w=inv_w, valid=valid,
         uv=scene.uvs[scene.tris],                         # (Tp, 3, 2)
-        nrm=world_normals(scene, bone_mats)[scene.tris],  # (Tp, 3, 3)
         xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax,
     )
+    if need_normals:
+        out["nrm"] = world_normals(scene, bone_mats)[scene.tris]
+    return out
 
 
 def _coverage(setup_chunk, px, py):
@@ -636,7 +641,8 @@ def render_frame(scene: DeviceScene, view_proj: jax.Array,
     scenes) or "pallas" (binned tile kernel — the production path; caps
     candidate chunks per tile at ``maxc``)."""
     clip = vertex_stage(scene, view_proj, bone_mats)
-    setup = setup_stage(scene, clip, width, height, bone_mats=bone_mats)
+    setup = setup_stage(scene, clip, width, height, bone_mats=bone_mats,
+                        need_normals=lighting)
     if backend == "pallas":
         from . import pallas_raster as pr
 
