@@ -5,7 +5,6 @@ import argparse
 from pathlib import Path
 
 from .. import dti
-from ..formats.mfx import Shader2File
 from ..formats.mrl import MaterialFile
 from ..resources import ResourceManager
 from ._common import load_shader2

@@ -467,6 +467,7 @@ def write_fixture_tree(root) -> None:
     put(SHADER_PACKAGE_PATH, "rShaderPackage", build_shader_package())
     put(MODEL_PATH, "rModel", build_model())
     put("model/fixture_cube_skinned", "rModel", build_model(skinned=True))
+    put("model/fixture_cube_skinned", "rMaterial", build_material())
     put(MODEL_PATH, "rMaterial", build_material())
     put(TEXTURE_PATH, "rTexture", build_texture_rgba())
     put("model/fixture_albedo_bc1", "rTexture", build_texture_bc1())
