@@ -85,6 +85,82 @@ def encode_bc1_simple(img: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def encode_bc7_mode5(img: np.ndarray) -> bytes:
+    """Encode RGBA8 → BC7 mode 5 (single subset, 7-bit color + 8-bit
+    alpha endpoints, 2-bit indices, no rotation). Fixture grade."""
+    h, w = img.shape[:2]
+    bh, bw = h // 4, w // 4
+    blocks = (
+        img[: bh * 4, : bw * 4]
+        .reshape(bh, 4, bw, 4, 4)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(bh * bw, 16, 4)
+        .astype(np.int32)
+    )
+    out = bytearray()
+    for blk in blocks:
+        rgb = blk[:, :3]
+        alpha = blk[:, 3]
+        lum = rgb @ np.array([54, 183, 19])
+        e0 = rgb[np.argmin(lum)] >> 1          # 7-bit endpoints
+        e1 = rgb[np.argmax(lum)] >> 1
+        a0, a1 = int(alpha.min()), int(alpha.max())
+
+        # decoder interpolation: (p0*(64-w) + p1*w + 32) >> 6, w in WEIGHTS[2]
+        def dec(e):
+            return (e << 1) | (e >> 6)
+
+        pal = np.array([
+            ((dec(e0).astype(np.int64)) * (64 - wgt)
+             + dec(e1).astype(np.int64) * wgt + 32) >> 6
+            for wgt in (0, 21, 43, 64)
+        ])
+        cidx = np.argmin(
+            ((rgb[:, None, :] - pal[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        apal = np.array([(a0 * (64 - wgt) + a1 * wgt + 32) >> 6
+                         for wgt in (0, 21, 43, 64)])
+        aidx = np.argmin(np.abs(alpha[:, None] - apal[None, :]), axis=1)
+        # anchor texel 0 stores width-1 bits: its index must have MSB 0
+        if cidx[0] >= 2:
+            e0, e1 = e1, e0
+            cidx = 3 - cidx
+        if aidx[0] >= 2:
+            a0, a1 = a1, a0
+            aidx = 3 - aidx
+
+        bits = 0
+        pos = 0
+
+        def put(v, n):
+            nonlocal bits, pos
+            bits |= (int(v) & ((1 << n) - 1)) << pos
+            pos += n
+
+        put(0b100000, 6)            # mode 5 prefix
+        put(0, 2)                   # rotation
+        for c in range(3):
+            put(e0[c], 7)
+            put(e1[c], 7)
+        put(a0, 8)
+        put(a1, 8)
+        put(cidx[0], 1)
+        for t in range(1, 16):
+            put(cidx[t], 2)
+        put(aidx[0], 1)
+        for t in range(1, 16):
+            put(aidx[t], 2)
+        assert pos == 128
+        out += bits.to_bytes(16, "little")
+    return bytes(out)
+
+
+def build_texture_bc7(size: int = 64) -> bytes:
+    img = checkerboard_rgba(size)
+    return tex.write_texture(size, size, int(tex.TextureFormat.BC7),
+                             [encode_bc7_mode5(img)])
+
+
 def build_texture_rgba(size: int = 64) -> bytes:
     img = checkerboard_rgba(size)
     return tex.write_texture(size, size, int(tex.TextureFormat.RGBA8),
@@ -471,6 +547,7 @@ def write_fixture_tree(root) -> None:
     put(MODEL_PATH, "rMaterial", build_material())
     put(TEXTURE_PATH, "rTexture", build_texture_rgba())
     put("model/fixture_albedo_bc1", "rTexture", build_texture_bc1())
+    put("model/fixture_albedo_bc7", "rTexture", build_texture_bc7())
     put("motion/fixture_bones", "rScheduler", build_scheduler_bones())
     put("model/fixture_cube_rich", "rModel", build_model_rich())
     put("model/fixture_cube_rich", "rMaterial", build_material())

@@ -667,7 +667,7 @@ def render_frame(scene: DeviceScene, view_proj: jax.Array,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "chunk", "clear_color", "backend",
-                     "maxc", "layers"),
+                     "maxc", "layers", "mipmap", "lighting"),
 )
 def render_frame_peeled(scene: DeviceScene, view_proj: jax.Array,
                         bone_mats: jax.Array | None = None, *,
@@ -675,7 +675,8 @@ def render_frame_peeled(scene: DeviceScene, view_proj: jax.Array,
                         layers: int = 4,
                         chunk: int = DEFAULT_CHUNK,
                         clear_color: tuple = (255, 255, 255, 255),
-                        backend: str = "scan", maxc: int | None = None):
+                        backend: str = "scan", maxc: int | None = None,
+                        mipmap: bool = False, lighting: bool = False):
     """Order-independent transparency via depth peeling.
 
     Rasterises the ``layers`` nearest fragments per pixel (each pass
@@ -689,7 +690,8 @@ def render_frame_peeled(scene: DeviceScene, view_proj: jax.Array,
 
     Returns ((H, W, 4) uint8, (H, W) f32 nearest depth)."""
     clip = vertex_stage(scene, view_proj, bone_mats)
-    setup = setup_stage(scene, clip, width, height)
+    setup = setup_stage(scene, clip, width, height, bone_mats=bone_mats,
+                        need_normals=lighting)
 
     if backend == "pallas":
         from . import pallas_raster as pr
@@ -711,14 +713,16 @@ def render_frame_peeled(scene: DeviceScene, view_proj: jax.Array,
                 maxc=maxc or pr.MAXC_DEFAULT, interpret=interp, zlow=zlow,
             )
             src, covered = shade_src(scene, setup, ib, width, height,
-                                     band=band)
+                                     band=band, mipmap=mipmap,
+                                     lighting=lighting)
             passes.append((src, covered, zb))
             zlow = jnp.where(ib >= 0, zb + PEEL_EPS, jnp.inf)
     else:
         zl, il = raster_multilayer(setup, width, height, chunk, layers)
         for k in range(layers):
             src, covered = shade_src(scene, setup, il[k], width, height,
-                                     band=band)
+                                     band=band, mipmap=mipmap,
+                                     lighting=lighting)
             passes.append((src, covered, zl[k]))
 
     clear = jnp.asarray(np.asarray(clear_color, np.float32))

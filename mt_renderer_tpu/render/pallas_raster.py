@@ -96,6 +96,27 @@ def pack_setup(setup):
     return packed, (xmin, xmax, ymin, ymax)
 
 
+def bin_stats(setup, *, width: int, height: int,
+              maxc: int = MAXC_DEFAULT):
+    """Binning diagnostics: (per-tile candidate counts, overflow tiles).
+
+    The kernel caps candidate chunks per tile at ``maxc`` — a tile whose
+    true count exceeds it silently drops the latest triangles. Use this
+    (outside the frame loop) to size ``maxc`` for a scene."""
+    n_ty = height // TILE_H
+    n_tx = width // TILE_W
+    _, bbox = pack_setup(setup)
+    xmin, xmax, ymin, ymax = bbox
+    c = xmin.shape[0]
+    ty0 = jnp.arange(n_ty, dtype=jnp.float32) * TILE_H
+    tx0 = jnp.arange(n_tx, dtype=jnp.float32) * TILE_W
+    ovy = (ymax[:, None] >= ty0[None, :]) & (ymin[:, None] <= ty0[None, :] + TILE_H)
+    ovx = (xmax[:, None] >= tx0[None, :]) & (xmin[:, None] <= tx0[None, :] + TILE_W)
+    ov = (ovy[:, :, None] & ovx[:, None, :]).reshape(c, n_ty * n_tx)
+    counts = ov.sum(axis=0)
+    return counts, jnp.sum(counts > maxc)
+
+
 def bin_chunks(bbox, n_ty: int, n_tx: int, maxc: int, x0, y0):
     """Order-preserving per-tile chunk lists.
 

@@ -520,3 +520,23 @@ class TestConcurrency:
         with ThreadPoolExecutor(max_workers=8) as pool:
             results = list(pool.map(fetch, range(16)))
         assert len({r for r in results}) == 1
+
+
+class TestBc7Fixture:
+    def test_fixture_texture_roundtrip(self):
+        """Mode-5 encoded BC7 fixture decodes near-losslessly on both
+        the host and device decoders through the TextureFile path."""
+        import jax
+
+        from mt_renderer_tpu.fixtures import build_texture_bc7, checkerboard_rgba
+        from mt_renderer_tpu.formats.tex import TextureFile
+        from mt_renderer_tpu.render.bcn import decode_bc7_device
+
+        img = checkerboard_rgba(64)
+        t = TextureFile(build_texture_bc7(64))
+        host = t.decode_rgba8()
+        assert np.abs(host.astype(int) - img.astype(int)).max() <= 1
+        dev = np.asarray(
+            decode_bc7_device(np.frombuffer(t.data, np.uint8), 64, 64)
+        )
+        np.testing.assert_array_equal(dev, host)

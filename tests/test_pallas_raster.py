@@ -72,3 +72,23 @@ class TestPallasRaster:
         )
         assert (np.asarray(c) == 255).all()
         assert (np.asarray(d) == 1.0).all()
+
+
+class TestBinStats:
+    def test_counts_and_overflow(self, scene_batch):
+        import jax.numpy as jnp
+
+        from mt_renderer_tpu.render import pallas_raster as pr
+
+        vp, bones = _inputs()
+        scene = device.upload(scene_batch)
+        clip = device.vertex_stage(scene, jnp.asarray(vp), jnp.asarray(bones))
+        setup = device.setup_stage(scene, clip, 256, 128)
+        counts, overflow = pr.bin_stats(setup, width=256, height=128)
+        counts = np.asarray(counts)
+        assert counts.shape == ((128 // pr.TILE_H) * (256 // pr.TILE_W),)
+        assert counts.max() >= 1
+        assert int(overflow) == 0
+        # a cap of 0 makes every occupied tile overflow
+        _, ov0 = pr.bin_stats(setup, width=256, height=128, maxc=0)
+        assert int(ov0) == (counts > 0).sum()
