@@ -44,7 +44,8 @@ TILE_H = 32
 TILE_W = 128
 P = TILE_H * TILE_W      # flattened pixels per tile
 K = 128                  # triangles per chunk (sublane dim of setup block)
-NF = 128                 # field columns per triangle (15 used, rest pad)
+NF = 128                 # field columns per triangle (15 used, rest pad: the
+                         # per-chunk DMA block minor dim must be 128-aligned)
 MAXC_DEFAULT = 256       # binning cap: candidate chunks per tile
 
 REJECT = 3.0e38          # bias that can never be reached -> always outside
