@@ -45,7 +45,7 @@ def make_row_mesh(n_devices: int | None = None) -> Mesh:
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "chunk", "clear_color",
-                     "backend", "maxc"),
+                     "backend", "maxc", "mipmap", "lighting"),
 )
 def render_frame_multichip(
     scene: dev.DeviceScene,
@@ -59,6 +59,8 @@ def render_frame_multichip(
     clear_color: tuple = (255, 255, 255, 255),
     backend: str = "pallas",
     maxc: int | None = None,
+    mipmap: bool = False,
+    lighting: bool = False,
 ):
     """Render one frame with the raster+shade stages sharded over screen
     bands. Returns ((H, W, 4) uint8, (H, W) f32), row-sharded over the
@@ -71,7 +73,8 @@ def render_frame_multichip(
 
     def band_render(scene, view_proj, bone_mats):
         clip = dev.vertex_stage(scene, view_proj, bone_mats)
-        setup = dev.setup_stage(scene, clip, width, height)
+        setup = dev.setup_stage(scene, clip, width, height,
+                                bone_mats=bone_mats, need_normals=lighting)
         y0 = jax.lax.axis_index("rows") * band_h
         if backend == "pallas":
             from ..render import pallas_raster as pr
@@ -85,7 +88,8 @@ def render_frame_multichip(
             )
             color = dev.shade_stage(
                 scene, setup, zb, ib, width, height, clear_color,
-                origin=(0, y0), band=(pw, pb),
+                origin=(0, y0), band=(pw, pb), mipmap=mipmap,
+                lighting=lighting,
             )
             return color[:band_h, :width], zb[:band_h, :width]
         zb, ib = dev.raster_stage(
@@ -94,7 +98,8 @@ def render_frame_multichip(
         )
         color = dev.shade_stage(
             scene, setup, zb, ib, width, height, clear_color,
-            origin=(0, y0), band=(width, band_h),
+            origin=(0, y0), band=(width, band_h), mipmap=mipmap,
+            lighting=lighting,
         )
         return color, zb
 

@@ -104,3 +104,27 @@ class TestGeometrySplit:
             np.asarray(got_d), np.asarray(want_d), atol=1e-6
         )
         assert (np.asarray(got_d) < 1.0).any()
+
+
+class TestMultichipQualityFlags:
+    def test_lighting_matches_single_device(self):
+        from mt_renderer_tpu.formats.mfx import Shader2File
+        from mt_renderer_tpu.formats.mod import ModelFile
+        from mt_renderer_tpu import fixtures
+        from mt_renderer_tpu.scene.model import build_draw_batch
+
+        model = ModelFile(fixtures.build_model_rich())
+        shader2 = Shader2File(fixtures.build_shader2())
+        batch = build_draw_batch(model, None, shader2, None)
+        scene = device.upload(batch)
+        vp = np.asarray(demo.demo_camera(1, 64, 64).view_proj())
+        mesh = make_row_mesh(8)
+        got, _ = render_frame_multichip(
+            scene, vp, None, mesh=mesh, width=64, height=64,
+            backend="scan", lighting=True, mipmap=True,
+        )
+        want, _ = device.render_frame(
+            scene, vp, None, width=64, height=64, backend="scan",
+            lighting=True, mipmap=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
