@@ -1,14 +1,22 @@
 """Benchmark harness — renders the BASELINE.json north-star workload.
 
 Default (full) preset: 1080p textured + skinned instanced scene on the
-available accelerator; prints ONE JSON line
-``{"metric", "value", "unit", "vs_baseline"}`` where the baseline is the
-north-star 60 fps/chip target (the reference publishes no numbers —
-BASELINE.md).
+available accelerator; prints ONE JSON line with the required keys
+``{"metric", "value", "unit", "vs_baseline"}`` (baseline = the 60 fps/chip
+north-star target; the reference publishes no numbers — BASELINE.md) plus
+honest extras: blocked per-frame latency, measured Mtri/s and Mtexel/s
+(counted from per-frame coverage, not estimated), the auto-sized binning
+cap, bin-overflow events (must be 0), and an on-device verification
+summary (CPU-oracle differential run on THIS backend).
 
 Presets:
   --preset smoke   256x256, few instances, writes /tmp/mtr_frame.png
   --preset full    1920x1080, default (driver-run)
+  --preset dense   1080p, high coverage / depth complexity
+Modes:
+  --verify         correctness only: oracle differential + peel
+                   equivalence on the live backend; one JSON line
+  --table          run the config matrix, print a markdown table (stderr)
 """
 
 from __future__ import annotations
@@ -23,7 +31,8 @@ import numpy as np
 
 def parse_args(argv):
     p = argparse.ArgumentParser()
-    p.add_argument("--preset", choices=["smoke", "full"], default="full")
+    p.add_argument("--preset", choices=["smoke", "full", "dense"],
+                   default="full")
     p.add_argument("--instances", type=int, default=None)
     p.add_argument("--subdiv", type=int, default=None,
                    help="cube subdivision (12*n^2 tris per instance)")
@@ -32,7 +41,8 @@ def parse_args(argv):
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--chunk", type=int, default=None)
     p.add_argument("--backend", choices=["scan", "pallas"], default="pallas")
-    p.add_argument("--maxc", type=int, default=256)
+    p.add_argument("--maxc", type=int, default=None,
+                   help="binning cap (default: auto-sized from the scene)")
     p.add_argument("--png", default=None, help="write last frame here")
     p.add_argument("--trace", default=None,
                    help="write a JAX profiler trace to this directory")
@@ -42,11 +52,245 @@ def parse_args(argv):
                    help="trilinear mipmapped minification")
     p.add_argument("--lighting", action="store_true",
                    help="directional lambert shading (needs normals)")
+    p.add_argument("--verify", action="store_true",
+                   help="run on-device correctness verification only")
+    p.add_argument("--no-verify", action="store_true",
+                   help="skip the quick verification pass in full mode")
+    p.add_argument("--table", action="store_true",
+                   help="run the config matrix, print markdown (stderr)")
+    p.add_argument("--multichip", type=int, default=0, metavar="N",
+                   help="render over an N-device mesh (band split)")
     return p.parse_args(argv)
+
+
+# --------------------------------------------------------- verification
+
+
+def _coverage_edge(cov: np.ndarray) -> np.ndarray:
+    """Pixels whose 3x3 neighborhood contains both covered and uncovered
+    oracle pixels — the only place float-fusion differences may appear."""
+    pad = np.pad(cov, 1, mode="edge")
+    any_cov = np.zeros_like(cov, bool)
+    all_cov = np.ones_like(cov, bool)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            n = pad[dy:dy + cov.shape[0], dx:dx + cov.shape[1]]
+            any_cov |= n
+            all_cov &= n
+    return any_cov & ~all_cov
+
+
+def verify(width=256, height=256, instances=9, subdiv=2) -> dict:
+    """On-device correctness: CPU-oracle differential + peeled/multilayer
+    equivalence, executed on whatever backend JAX selected (the real TPU
+    chip when driver-run). Bounds asserted: every coverage mismatch lies
+    on a coverage edge, <= 0.3% of pixels differ in color by > 1 LSB."""
+    import jax
+
+    from mt_renderer_tpu.render import cpu_reference, device
+    from mt_renderer_tpu.scene import demo
+
+    platform = jax.devices()[0].platform
+    batch = demo.build_demo_batch(instances=instances, skinned=True,
+                                  subdiv=subdiv)
+    cam = demo.demo_camera(instances, width, height)
+    vp = np.asarray(cam.view_proj())
+    bones = demo.demo_bone_mats(0.6)
+    want, want_d = cpu_reference.render(batch, vp, width, height,
+                                        bone_mats=bones)
+    cov_w = want_d < 1.0
+    edge = _coverage_edge(cov_w)
+    scene = device.upload(batch)
+
+    out: dict = {"platform": platform, "pass": True}
+    singles = {}
+    for backend in ("scan", "pallas"):
+        got, got_d = device.render_frame(
+            scene, vp, bones, width=width, height=height, backend=backend
+        )
+        got = np.asarray(got)
+        got_d = np.asarray(got_d)
+        singles[backend] = (got, got_d)
+        cov_g = got_d < 1.0
+        cov_mis = cov_w != cov_g
+        offedge = int((cov_mis & ~edge).sum())
+        cdiff = np.abs(got.astype(np.int32) - want.astype(np.int32)).max(-1)
+        bad_pct = float((cdiff > 1).mean() * 100)
+        ok = bool(offedge == 0 and bad_pct <= 0.3
+                  and cov_mis.mean() <= 0.003)
+        out[backend] = {
+            "coverage_mismatch_px": int(cov_mis.sum()),
+            "offedge_mismatch_px": offedge,
+            "color_mismatch_pct": round(bad_pct, 4),
+            "pass": ok,
+        }
+        out["pass"] &= ok
+
+    # peeled/multilayer equivalence: on an opaque scene the nearest layer
+    # must reproduce the single-layer frame (same backend, same rules)
+    for backend in ("scan", "pallas"):
+        pc, pd = device.render_frame_peeled(
+            scene, vp, bones, width=width, height=height, layers=3,
+            backend=backend,
+        )
+        sc, sd = singles[backend]
+        cov_mis = (np.asarray(pd) < 1.0) != (sd < 1.0)
+        cdiff = np.abs(
+            np.asarray(pc).astype(np.int32) - sc.astype(np.int32)
+        ).max(-1)
+        ok = (cov_mis & ~edge).sum() == 0 and (cdiff > 1).mean() <= 0.003
+        out[f"peel_{backend}"] = {
+            "coverage_mismatch_px": int(cov_mis.sum()),
+            "color_mismatch_pct": round(float((cdiff > 1).mean() * 100), 4),
+            "pass": bool(ok),
+        }
+        out["pass"] &= bool(ok)
+    out["pass"] = bool(out["pass"])
+    return out
+
+
+# ------------------------------------------------------------ bench run
+
+
+def run_once(args, width, height, instances, frames, png=None):
+    """Render ``frames`` frames; returns a dict of measured metrics."""
+    import jax
+
+    from mt_renderer_tpu.render import device, pallas_raster as pr
+    from mt_renderer_tpu.scene import demo
+
+    platform = jax.devices()[0].platform
+    batch = demo.build_demo_batch(instances=instances, skinned=True,
+                                  subdiv=args.subdiv or 0)
+    scene = device.upload(batch)
+    cam = demo.demo_camera(instances, width, height)
+    cam.position = cam.position * getattr(args, "cam_scale", 1.0)
+
+    chunk = args.chunk or device.DEFAULT_CHUNK
+    maxc = args.maxc
+    if maxc is None and args.backend == "pallas":
+        cam.yaw = 15.0
+        maxc = device.auto_maxc(batch, np.asarray(cam.view_proj()),
+                                demo.demo_bone_mats(0.0),
+                                width=width, height=height)
+        print(f"# auto maxc={maxc}", file=sys.stderr)
+
+    mesh = None
+    if args.multichip:
+        from mt_renderer_tpu.parallel import tiles
+
+        mesh = tiles.make_row_mesh(args.multichip)
+
+    def frame(t):
+        cam.yaw = 15.0 + 8.0 * np.sin(0.25 * t)
+        vp = np.asarray(cam.view_proj())
+        bones = demo.demo_bone_mats(0.3 * t)
+        if mesh is not None:
+            from mt_renderer_tpu.parallel import tiles
+
+            return tiles.render_frame_multichip(
+                scene, vp, bones, mesh=mesh, width=width, height=height,
+                backend=args.backend, maxc=maxc,
+            )
+        if args.peel:
+            return device.render_frame_peeled(
+                scene, vp, bones, width=width, height=height,
+                layers=args.peel, chunk=chunk, backend=args.backend,
+                maxc=maxc, mipmap=args.mipmap, lighting=args.lighting,
+            )
+        return device.render_frame(
+            scene, vp, bones, width=width, height=height, chunk=chunk,
+            backend=args.backend, maxc=maxc, mipmap=args.mipmap,
+            lighting=args.lighting,
+        )
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def cov_count(depth):
+        return jnp.sum(depth < 1.0)
+
+    # compile + warm up
+    color, depth = frame(0)
+    jax.block_until_ready((color, depth, cov_count(depth)))
+
+    overflow_before = pr.OVERFLOW_EVENTS
+
+    import contextlib
+
+    from mt_renderer_tpu.utils.profiling import trace
+
+    # pipelined throughput: dispatch all frames, block once (how a real
+    # frame loop runs — the device pipelines host dispatch). NOTHING
+    # else per frame: a single extra dispatch halves throughput and a
+    # scalar device→host sync costs ~0.7 s through the axon tunnel.
+    ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
+    with ctx:
+        t0 = time.perf_counter()
+        for i in range(1, frames + 1):
+            color, depth = frame(i)
+        jax.block_until_ready((color, depth))
+        dt = time.perf_counter() - t0
+
+    # blocked per-frame latency: what one frame actually costs end-to-end
+    lat = []
+    for i in range(1, min(frames, 20) + 1):
+        t0 = time.perf_counter()
+        out = frame(i)
+        jax.block_until_ready(out)
+        lat.append(time.perf_counter() - t0)
+    lat_ms = sorted(x * 1e3 for x in lat)
+    p50 = lat_ms[len(lat_ms) // 2]
+
+    # measured per-frame coverage (every frame of the same sequence, in
+    # an untimed pass; ONE device→host transfer at the end)
+    covs = [cov_count(frame(i)[1]) for i in range(1, frames + 1)]
+    covered_total = int(jnp.sum(jnp.stack(covs)))
+    pr.flush_overflow_checks()
+
+    fps = frames / dt
+    tris = batch.num_triangles
+    coverage = covered_total / (frames * width * height)
+    # texel fetches actually performed: 4 bilinear taps per sampled pixel
+    # (8 when trilinear-mipmapped); the demo scene is fully textured
+    taps = 8 if args.mipmap else 4
+    mtexel_s = covered_total * taps / dt / 1e6
+    mtri_s = tris * fps / 1e6
+
+    if png:
+        from mt_renderer_tpu.utils.png import write_png
+
+        write_png(png, np.asarray(color))
+        print(f"wrote {png}", file=sys.stderr)
+
+    return {
+        "platform": platform, "width": width, "height": height,
+        "instances": instances, "tris": tris, "frames": frames,
+        "fps": fps, "latency_ms_p50": p50,
+        "latency_ms_max": lat_ms[-1],
+        "fps_blocked": 1e3 / p50,
+        "mtri_s": mtri_s, "mtexel_s": mtexel_s, "coverage": coverage,
+        "maxc": maxc, "chunk": chunk,
+        "overflow_events": pr.OVERFLOW_EVENTS - overflow_before,
+    }
 
 
 def main(argv=None):
     args = parse_args(argv)
+
+    if args.verify:
+        v = verify()
+        print(f"# verify: {json.dumps(v)}", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"verify_{v['platform']}_offedge_mismatch_px",
+            "value": v["scan"]["offedge_mismatch_px"]
+            + v["pallas"]["offedge_mismatch_px"],
+            "unit": "px",
+            "vs_baseline": 1.0 if v["pass"] else 0.0,
+            "verify": v,
+        }))
+        return 0 if v["pass"] else 1
+
     if args.preset == "smoke":
         width = args.width or 256
         height = args.height or 256
@@ -55,6 +299,16 @@ def main(argv=None):
         png = args.png or "/tmp/mtr_frame.png"
         if args.subdiv is None:
             args.subdiv = 0
+    elif args.preset == "dense":
+        # high coverage / depth complexity: the camera sits inside the
+        # cube field so most pixels see several layers of geometry
+        width = args.width or 1920
+        height = args.height or 1080
+        instances = args.instances or 1024
+        frames = args.frames
+        png = args.png
+        if args.subdiv is None:
+            args.subdiv = 4
     else:
         width = args.width or 1920
         height = args.height or 1080
@@ -64,76 +318,68 @@ def main(argv=None):
         if args.subdiv is None:
             args.subdiv = 4    # 196k triangles — a realistic scene load
 
-    import jax
+    # dense: pull the camera into the cube field — most pixels covered,
+    # several depth layers per pixel
+    args.cam_scale = 0.3 if args.preset == "dense" else 1.0
 
-    from mt_renderer_tpu.render import device
-    from mt_renderer_tpu.scene import demo
+    if args.table:
+        rows = []
+        base = dict(vars(args))
+        configs = [
+            ("pallas", {}),
+            ("pallas+mip+light", {"mipmap": True, "lighting": True}),
+            ("pallas peel4", {"peel": 4}),
+            ("scan", {"backend": "scan"}),
+        ]
+        for name, over in configs:
+            a = argparse.Namespace(**{**base, **over})
+            r = run_once(a, width, height, instances, max(10, frames // 2))
+            rows.append((name, r))
+            print(f"# {name}: fps={r['fps']:.1f} "
+                  f"p50={r['latency_ms_p50']:.2f}ms", file=sys.stderr)
+        print("\n| config | fps (pipelined) | p50 latency ms | fps "
+              "(blocked) | Mtri/s | Mtexel/s | coverage |", file=sys.stderr)
+        print("|---|---|---|---|---|---|---|", file=sys.stderr)
+        for name, r in rows:
+            print(f"| {name} | {r['fps']:.0f} | {r['latency_ms_p50']:.2f} "
+                  f"| {r['fps_blocked']:.0f} | {r['mtri_s']:.0f} | "
+                  f"{r['mtexel_s']:.0f} | {r['coverage']:.3f} |",
+                  file=sys.stderr)
+        r = rows[0][1]
+    else:
+        r = run_once(args, width, height, instances, frames, png=png)
 
-    platform = jax.devices()[0].platform
-    batch = demo.build_demo_batch(instances=instances, skinned=True,
-                                  subdiv=args.subdiv or 0)
-    scene = device.upload(batch)
-    cam = demo.demo_camera(instances, width, height)
-
-    chunk = args.chunk or device.DEFAULT_CHUNK
-
-    def frame(t):
-        cam.yaw = 15.0 + 8.0 * np.sin(0.25 * t)
-        vp = np.asarray(cam.view_proj())
-        bones = demo.demo_bone_mats(0.3 * t)
-        if args.peel:
-            return device.render_frame_peeled(
-                scene, vp, bones, width=width, height=height,
-                layers=args.peel, chunk=chunk, backend=args.backend,
-                maxc=args.maxc,
-            )
-        return device.render_frame(
-            scene, vp, bones, width=width, height=height, chunk=chunk,
-            backend=args.backend, maxc=args.maxc, mipmap=args.mipmap,
-            lighting=args.lighting,
-        )
-
-    # compile + warm up
-    color, depth = frame(0)
-    jax.block_until_ready((color, depth))
-
-    import contextlib
-
-    from mt_renderer_tpu.utils.profiling import trace
-
-    ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
-    with ctx:
-        t0 = time.perf_counter()
-        for i in range(1, frames + 1):
-            color, depth = frame(i)
-        jax.block_until_ready((color, depth))
-        dt = time.perf_counter() - t0
-
-    fps = frames / dt
-    tris = batch.num_triangles
-    mtri_s = tris * fps / 1e6
-    covered = float(np.mean(np.asarray(depth) < 1.0))
-    mtexel_s = covered * width * height * fps / 1e6
-
-    if png:
-        from mt_renderer_tpu.utils.png import write_png
-
-        write_png(png, np.asarray(color))
-        print(f"wrote {png}", file=sys.stderr)
+    extras = {}
+    if args.preset == "full" and not args.no_verify:
+        v = verify(width=128, height=128, instances=9, subdiv=1)
+        extras["verify"] = v
+        print(f"# verify: {json.dumps(v)}", file=sys.stderr)
 
     print(
-        f"# platform={platform} {width}x{height} instances={instances} "
-        f"tris={tris} frames={frames} coverage={covered:.3f} "
-        f"fps={fps:.2f} Mtri/s={mtri_s:.2f} Mtexel/s={mtexel_s:.1f}",
+        f"# platform={r['platform']} {r['width']}x{r['height']} "
+        f"instances={r['instances']} tris={r['tris']} frames={r['frames']} "
+        f"coverage={r['coverage']:.3f} fps={r['fps']:.2f} "
+        f"blocked_fps={r['fps_blocked']:.2f} p50={r['latency_ms_p50']:.3f}ms "
+        f"Mtri/s={r['mtri_s']:.2f} Mtexel/s={r['mtexel_s']:.1f} "
+        f"maxc={r['maxc']} overflow={r['overflow_events']}",
         file=sys.stderr,
     )
     print(json.dumps({
-        "metric": f"fps_{height}p_textured_skinned",
-        "value": round(fps, 3),
+        "metric": f"fps_{r['height']}p_textured_skinned",
+        "value": round(r["fps"], 3),
         "unit": "fps",
-        "vs_baseline": round(fps / 60.0, 4),
+        "vs_baseline": round(r["fps"] / 60.0, 4),
+        "latency_ms_p50": round(r["latency_ms_p50"], 4),
+        "fps_blocked": round(r["fps_blocked"], 3),
+        "mtri_s": round(r["mtri_s"], 2),
+        "mtexel_s": round(r["mtexel_s"], 2),
+        "coverage": round(r["coverage"], 4),
+        "maxc": r["maxc"],
+        "overflow_events": r["overflow_events"],
+        **extras,
     }))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -47,7 +47,7 @@ def make_row_mesh(n_devices: int | None = None) -> Mesh:
     static_argnames=("mesh", "width", "height", "chunk", "clear_color",
                      "backend", "maxc", "mipmap", "lighting"),
 )
-def render_frame_multichip(
+def _render_frame_multichip_core(
     scene: dev.DeviceScene,
     view_proj: jax.Array,
     bone_mats: jax.Array | None = None,
@@ -62,10 +62,7 @@ def render_frame_multichip(
     mipmap: bool = False,
     lighting: bool = False,
 ):
-    """Render one frame with the raster+shade stages sharded over screen
-    bands. Returns ((H, W, 4) uint8, (H, W) f32), row-sharded over the
-    mesh. ``backend`` as in ``device.render_frame``; the pallas path pads
-    each band up to tile alignment and crops."""
+    """Jitted band-sharded frame body → (color, depth, n_over (n,) i32)."""
     n = mesh.devices.size
     if height % n:
         raise ValueError(f"height {height} not divisible by {n} devices")
@@ -82,7 +79,7 @@ def render_frame_multichip(
             pw = -(-width // pr.TILE_W) * pr.TILE_W
             pb = -(-band_h // pr.TILE_H) * pr.TILE_H
             interp = jax.default_backend() != "tpu"
-            zb, ib = pr.raster_pallas(
+            zb, ib, n_over = pr.raster_pallas(
                 setup, 0, y0, width=pw, height=pb,
                 maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
             )
@@ -91,7 +88,8 @@ def render_frame_multichip(
                 origin=(0, y0), band=(pw, pb), mipmap=mipmap,
                 lighting=lighting,
             )
-            return color[:band_h, :width], zb[:band_h, :width]
+            return (color[:band_h, :width], zb[:band_h, :width],
+                    n_over[None])
         zb, ib = dev.raster_stage(
             setup, width, height, chunk,
             origin=(0, y0), band=(width, band_h),
@@ -101,13 +99,14 @@ def render_frame_multichip(
             origin=(0, y0), band=(width, band_h), mipmap=mipmap,
             lighting=lighting,
         )
-        return color, zb
+        zero = jnp.zeros((1,), jnp.int32) + jnp.int32(y0) * 0
+        return color, zb, zero
 
     shard_fn = jax.shard_map(
         band_render,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P("rows", None, None), P("rows", None)),
+        out_specs=(P("rows", None, None), P("rows", None), P("rows")),
         # pallas_call's out_shape carries no varying-mesh-axis info;
         # band partitioning is trivially correct, so skip the vma check
         check_vma=False,
@@ -117,6 +116,32 @@ def render_frame_multichip(
             jnp.eye(4, dtype=jnp.float32), (scene.num_joints, 1, 1)
         )
     return shard_fn(scene, view_proj, bone_mats)
+
+
+def render_frame_multichip(scene, view_proj, bone_mats=None, *,
+                           mesh: Mesh, width: int = 512, height: int = 512,
+                           chunk: int = dev.DEFAULT_CHUNK,
+                           clear_color: tuple = (255, 255, 255, 255),
+                           backend: str = "pallas", maxc: int | None = None,
+                           mipmap: bool = False, lighting: bool = False,
+                           check_overflow: bool = True):
+    """Render one frame with the raster+shade stages sharded over screen
+    bands. Returns ((H, W, 4) uint8, (H, W) f32), row-sharded over the
+    mesh. ``backend`` as in ``device.render_frame``; the pallas path pads
+    each band up to tile alignment and crops. Per-band bin-overflow
+    counts are summed and checked host-side (see
+    ``pallas_raster.queue_overflow_check``)."""
+    color, depth, n_over = _render_frame_multichip_core(
+        scene, view_proj, bone_mats, mesh=mesh, width=width, height=height,
+        chunk=chunk, clear_color=clear_color, backend=backend, maxc=maxc,
+        mipmap=mipmap, lighting=lighting,
+    )
+    if check_overflow and backend == "pallas":
+        from ..render import pallas_raster as pr
+
+        pr.queue_overflow_check(jnp.sum(n_over),
+                                maxc or pr.MAXC_DEFAULT)
+    return color, depth
 
 
 @functools.partial(

@@ -623,23 +623,88 @@ def shade_stage(scene: DeviceScene, setup, zb, ib, width: int, height: int,
 # ------------------------------------------------------------- frontends
 
 
+def auto_maxc(batch, view_proj, bone_mats=None, *,
+              width: int, height: int, margin: float = 1.5) -> int:
+    """Size the pallas binning cap for a scene: the densest tile's true
+    candidate-chunk count for this view, with ``margin`` headroom for
+    animation, rounded up to a multiple of 8 and clamped to the SMEM
+    limit. Call once at load / scene change.
+
+    Takes the HOST DrawBatch and runs entirely in NumPy: a device→host
+    transfer this early would permanently degrade every later dispatch
+    in the process to ~250 ms through the axon TPU tunnel (measured r2),
+    so the sizing decision must never touch the device."""
+    from . import cpu_reference as cr
+    from . import pallas_raster as pr
+
+    pw = -(-width // pr.TILE_W) * pr.TILE_W
+    ph = -(-height // pr.TILE_H) * pr.TILE_H
+
+    pos = cr.skin_positions(batch, bone_mats)
+    homo = np.concatenate(
+        [pos, np.ones((len(pos), 1), np.float32)], axis=1
+    )
+    clip = homo @ np.asarray(view_proj, np.float32).T
+    c = clip[batch.tris]                                  # (T, 3, 4)
+    w = c[..., 3]
+    ndc = c[..., :3] / np.where(np.abs(w) < W_EPS, W_EPS, w)[..., None]
+    sx = (ndc[..., 0] + 1.0) * (0.5 * width)
+    sy = (1.0 - ndc[..., 1]) * (0.5 * height)
+    area2 = (sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0]) - (
+        sy[:, 1] - sy[:, 0]
+    ) * (sx[:, 2] - sx[:, 0])
+    valid = (w > W_EPS).all(axis=1) & (area2 < 0.0)
+
+    # mirror upload()'s padding + pack_setup's chunk aggregation
+    t = len(batch.tris)
+    tp = max(TRI_PAD, -(-t // TRI_PAD) * TRI_PAD)
+    big = np.float32(1e30)
+    xmin = np.full(tp, big, np.float32)
+    xmax = np.full(tp, -big, np.float32)
+    ymin = np.full(tp, big, np.float32)
+    ymax = np.full(tp, -big, np.float32)
+    xmin[:t] = np.where(valid, sx.min(1), big)
+    xmax[:t] = np.where(valid, sx.max(1), -big)
+    ymin[:t] = np.where(valid, sy.min(1), big)
+    ymax[:t] = np.where(valid, sy.max(1), -big)
+    cc = tp // pr.K
+    xmin = xmin.reshape(cc, pr.K).min(1)
+    xmax = xmax.reshape(cc, pr.K).max(1)
+    ymin = ymin.reshape(cc, pr.K).min(1)
+    ymax = ymax.reshape(cc, pr.K).max(1)
+
+    n_ty, n_tx = ph // pr.TILE_H, pw // pr.TILE_W
+    ty0 = np.arange(n_ty, dtype=np.float32) * pr.TILE_H
+    tx0 = np.arange(n_tx, dtype=np.float32) * pr.TILE_W
+    ovy = (ymax[:, None] >= ty0) & (ymin[:, None] <= ty0 + pr.TILE_H)
+    ovx = (xmax[:, None] >= tx0) & (xmin[:, None] <= tx0 + pr.TILE_W)
+    counts = (ovy[:, :, None] & ovx[:, None, :]).sum(axis=0)
+    need = int(counts.max())
+
+    want = max(8, -(-int(np.ceil(need * margin)) // 8) * 8)
+    limit = pr.smem_maxc_limit(pw, ph)
+    if want > limit:
+        pr.logger.warning(
+            "auto_maxc: scene needs maxc=%d but SMEM caps it at %d for "
+            "%dx%d — overflow checking will catch any actual drop",
+            want, limit, width, height,
+        )
+    return min(want, limit)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "chunk", "clear_color", "backend",
                      "maxc", "mipmap", "lighting"),
 )
-def render_frame(scene: DeviceScene, view_proj: jax.Array,
-                 bone_mats: jax.Array | None = None, *,
-                 width: int = 512, height: int = 512,
-                 chunk: int = DEFAULT_CHUNK,
-                 clear_color: tuple = (255, 255, 255, 255),
-                 backend: str = "scan", maxc: int | None = None,
-                 mipmap: bool = False, lighting: bool = False):
-    """Render one frame → ((H, W, 4) uint8, (H, W) f32 depth).
-
-    ``backend``: "scan" (all-triangles lax.scan — exact, good for small
-    scenes) or "pallas" (binned tile kernel — the production path; caps
-    candidate chunks per tile at ``maxc``)."""
+def _render_frame_core(scene: DeviceScene, view_proj: jax.Array,
+                       bone_mats: jax.Array | None = None, *,
+                       width: int = 512, height: int = 512,
+                       chunk: int = DEFAULT_CHUNK,
+                       clear_color: tuple = (255, 255, 255, 255),
+                       backend: str = "scan", maxc: int | None = None,
+                       mipmap: bool = False, lighting: bool = False):
+    """Jitted frame body → (color, depth, n_over|None)."""
     clip = vertex_stage(scene, view_proj, bone_mats)
     setup = setup_stage(scene, clip, width, height, bone_mats=bone_mats,
                         need_normals=lighting)
@@ -649,7 +714,7 @@ def render_frame(scene: DeviceScene, view_proj: jax.Array,
         pw = -(-width // pr.TILE_W) * pr.TILE_W
         ph = -(-height // pr.TILE_H) * pr.TILE_H
         interp = jax.default_backend() != "tpu"
-        zb, ib = pr.raster_pallas(
+        zb, ib, n_over = pr.raster_pallas(
             setup, 0, 0, width=pw, height=ph,
             maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
         )
@@ -657,11 +722,39 @@ def render_frame(scene: DeviceScene, view_proj: jax.Array,
             scene, setup, zb, ib, width, height, clear_color,
             band=(pw, ph), mipmap=mipmap, lighting=lighting,
         )
-        return color[:height, :width], zb[:height, :width]
+        return color[:height, :width], zb[:height, :width], n_over
     zb, ib = raster_stage(setup, width, height, chunk)
     color = shade_stage(scene, setup, zb, ib, width, height, clear_color,
                         mipmap=mipmap, lighting=lighting)
-    return color, zb
+    return color, zb, None
+
+
+def render_frame(scene: DeviceScene, view_proj: jax.Array,
+                 bone_mats: jax.Array | None = None, *,
+                 width: int = 512, height: int = 512,
+                 chunk: int = DEFAULT_CHUNK,
+                 clear_color: tuple = (255, 255, 255, 255),
+                 backend: str = "scan", maxc: int | None = None,
+                 mipmap: bool = False, lighting: bool = False,
+                 check_overflow: bool = True):
+    """Render one frame → ((H, W, 4) uint8, (H, W) f32 depth).
+
+    ``backend``: "scan" (all-triangles lax.scan — exact, good for small
+    scenes) or "pallas" (binned tile kernel — the production path; caps
+    candidate chunks per tile at ``maxc``, sized via ``auto_maxc``).
+    On the pallas path the per-frame tiles-over-cap count is checked
+    host-side through a short deferred queue (``check_overflow``) —
+    overflow warns / raises (MTR_STRICT_OVERFLOW), never drops silently."""
+    color, depth, n_over = _render_frame_core(
+        scene, view_proj, bone_mats, width=width, height=height,
+        chunk=chunk, clear_color=clear_color, backend=backend, maxc=maxc,
+        mipmap=mipmap, lighting=lighting,
+    )
+    if check_overflow and n_over is not None:
+        from . import pallas_raster as pr
+
+        pr.queue_overflow_check(n_over, maxc or pr.MAXC_DEFAULT)
+    return color, depth
 
 
 @functools.partial(
@@ -669,14 +762,15 @@ def render_frame(scene: DeviceScene, view_proj: jax.Array,
     static_argnames=("width", "height", "chunk", "clear_color", "backend",
                      "maxc", "layers", "mipmap", "lighting"),
 )
-def render_frame_peeled(scene: DeviceScene, view_proj: jax.Array,
-                        bone_mats: jax.Array | None = None, *,
-                        width: int = 512, height: int = 512,
-                        layers: int = 4,
-                        chunk: int = DEFAULT_CHUNK,
-                        clear_color: tuple = (255, 255, 255, 255),
-                        backend: str = "scan", maxc: int | None = None,
-                        mipmap: bool = False, lighting: bool = False):
+def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
+                              bone_mats: jax.Array | None = None, *,
+                              width: int = 512, height: int = 512,
+                              layers: int = 4,
+                              chunk: int = DEFAULT_CHUNK,
+                              clear_color: tuple = (255, 255, 255, 255),
+                              backend: str = "scan",
+                              maxc: int | None = None,
+                              mipmap: bool = False, lighting: bool = False):
     """Order-independent transparency via depth peeling.
 
     Rasterises the ``layers`` nearest fragments per pixel (each pass
@@ -705,13 +799,16 @@ def render_frame_peeled(scene: DeviceScene, view_proj: jax.Array,
         band = None
 
     passes = []
+    n_over = None
     if backend == "pallas":
         zlow = None
         for _ in range(layers):
-            zb, ib = pr.raster_pallas(
+            zb, ib, n_over_i = pr.raster_pallas(
                 setup, 0, 0, width=pw, height=ph,
                 maxc=maxc or pr.MAXC_DEFAULT, interpret=interp, zlow=zlow,
             )
+            if n_over is None:
+                n_over = n_over_i
             src, covered = shade_src(scene, setup, ib, width, height,
                                      band=band, mipmap=mipmap,
                                      lighting=lighting)
@@ -730,4 +827,27 @@ def render_frame_peeled(scene: DeviceScene, view_proj: jax.Array,
     for src, covered, _ in reversed(passes):
         dst = blend_over(src, covered, dst)
     out = jnp.clip(dst + 0.5, 0.0, 255.0).astype(jnp.uint8)
-    return out[:height, :width], passes[0][2][:height, :width]
+    return out[:height, :width], passes[0][2][:height, :width], n_over
+
+
+def render_frame_peeled(scene: DeviceScene, view_proj: jax.Array,
+                        bone_mats: jax.Array | None = None, *,
+                        width: int = 512, height: int = 512,
+                        layers: int = 4,
+                        chunk: int = DEFAULT_CHUNK,
+                        clear_color: tuple = (255, 255, 255, 255),
+                        backend: str = "scan", maxc: int | None = None,
+                        mipmap: bool = False, lighting: bool = False,
+                        check_overflow: bool = True):
+    """Public peeled frontend; see ``_render_frame_peeled_core`` for the
+    rendering contract and ``render_frame`` for the overflow check."""
+    color, depth, n_over = _render_frame_peeled_core(
+        scene, view_proj, bone_mats, width=width, height=height,
+        layers=layers, chunk=chunk, clear_color=clear_color,
+        backend=backend, maxc=maxc, mipmap=mipmap, lighting=lighting,
+    )
+    if check_overflow and n_over is not None:
+        from . import pallas_raster as pr
+
+        pr.queue_overflow_check(n_over, maxc or pr.MAXC_DEFAULT)
+    return color, depth

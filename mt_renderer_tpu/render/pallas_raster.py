@@ -34,11 +34,16 @@ screen-space plane).
 from __future__ import annotations
 
 import functools
+import logging
+import os
+import warnings
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+logger = logging.getLogger("mt_renderer_tpu.render")
 
 TILE_H = 32
 TILE_W = 128
@@ -102,26 +107,21 @@ def bin_stats(setup, *, width: int, height: int,
     """Binning diagnostics: (per-tile candidate counts, overflow tiles).
 
     The kernel caps candidate chunks per tile at ``maxc`` — a tile whose
-    true count exceeds it silently drops the latest triangles. Use this
-    (outside the frame loop) to size ``maxc`` for a scene."""
+    true count exceeds it drops the latest triangles (raster_pallas
+    detects and reports this per frame). Use this (outside the frame
+    loop) to size ``maxc`` for a scene."""
     n_ty = height // TILE_H
     n_tx = width // TILE_W
     _, bbox = pack_setup(setup)
-    xmin, xmax, ymin, ymax = bbox
-    c = xmin.shape[0]
-    ty0 = jnp.arange(n_ty, dtype=jnp.float32) * TILE_H
-    tx0 = jnp.arange(n_tx, dtype=jnp.float32) * TILE_W
-    ovy = (ymax[:, None] >= ty0[None, :]) & (ymin[:, None] <= ty0[None, :] + TILE_H)
-    ovx = (xmax[:, None] >= tx0[None, :]) & (xmin[:, None] <= tx0[None, :] + TILE_W)
-    ov = (ovy[:, :, None] & ovx[:, None, :]).reshape(c, n_ty * n_tx)
-    counts = ov.sum(axis=0)
-    return counts, jnp.sum(counts > maxc)
+    _, _, counts_true = bin_chunks(bbox, n_ty, n_tx, 1, 0, 0)
+    return counts_true, jnp.sum(counts_true > maxc)
 
 
 def bin_chunks(bbox, n_ty: int, n_tx: int, maxc: int, x0, y0):
     """Order-preserving per-tile chunk lists.
 
-    Returns (lists (n_tiles, maxc) i32 with -1 padding, counts (n_tiles,)).
+    Returns (lists (n_tiles, maxc) i32 with -1 padding,
+    counts (n_tiles,) capped at maxc, counts_true (n_tiles,) uncapped).
     x0/y0: band origin in pixels (may be traced, for shard_map bands)."""
     xmin, xmax, ymin, ymax = bbox
     c = xmin.shape[0]
@@ -138,12 +138,85 @@ def bin_chunks(bbox, n_ty: int, n_tx: int, maxc: int, x0, y0):
     ov = ovy[:, :, None] & ovx[:, None, :]               # (C, n_ty, n_tx)
     ov = ov.reshape(c, n_ty * n_tx).T                    # (tiles, C)
 
-    counts = jnp.minimum(ov.sum(axis=1), maxc).astype(jnp.int32)
+    counts_true = ov.sum(axis=1).astype(jnp.int32)
+    counts = jnp.minimum(counts_true, maxc)
     # top_k over key = C - cid keeps earliest chunks, in ascending order
     key = jnp.where(ov, jnp.int32(c) - jnp.arange(c, dtype=jnp.int32), 0)
     topk, _ = jax.lax.top_k(key, maxc)                   # (tiles, maxc) desc
     lists = jnp.where(topk > 0, jnp.int32(c) - topk, -1)
-    return lists, counts
+    return lists, counts, counts_true
+
+
+def required_maxc(setup, *, width: int, height: int, x0=0, y0=0):
+    """True max candidate-chunk count over all tiles of this frame
+    (traced i32 scalar) — the smallest ``maxc`` that loses nothing."""
+    n_ty = height // TILE_H
+    n_tx = width // TILE_W
+    _, bbox = pack_setup(setup)
+    _, _, counts_true = bin_chunks(bbox, n_ty, n_tx, 1, x0, y0)
+    return counts_true.max()
+
+
+def smem_maxc_limit(width: int, height: int) -> int:
+    """Largest safe ``maxc`` for a band: the per-tile chunk lists are
+    scalar-prefetched into SMEM ((n_tiles, maxc) i32), which is ~1 MiB on
+    current TPUs. Empirically maxc≈450 fits at 1080p (510 tiles)."""
+    n_tiles = cdiv(height, TILE_H) * cdiv(width, TILE_W)
+    return max(16, (900 * 1024) // (4 * max(n_tiles, 1)))
+
+
+# Diagnostics for the binning cap: a tile whose true candidate count
+# exceeds ``maxc`` drops its latest chunks. raster_pallas counts such
+# tiles on device every frame; frame wrappers queue the device scalar
+# here. The queue NEVER transfers per frame (a device→host scalar sync
+# through the axon tunnel costs ~0.7 s — measured; and the plugin has no
+# host-callback support): entries accumulate on device, compress
+# device-side every _COMPRESS entries, and transfer exactly once at
+# ``flush_overflow_checks`` (call it at frame-loop exit / periodically —
+# the app manager and bench do). Any overflow bumps OVERFLOW_EVENTS and
+# warns; MTR_STRICT_OVERFLOW=1 makes it fatal.
+OVERFLOW_EVENTS = 0
+_PENDING_CHECKS: list = []
+_PENDING_MAXC: int = 0
+_COMPRESS = 512
+
+
+def _overflow_report(n: int, maxc: int):
+    global OVERFLOW_EVENTS
+    if n > 0:
+        OVERFLOW_EVENTS += 1
+        msg = (f"pallas raster bin overflow: {n} tile-frame(s) exceeded "
+               f"maxc={maxc} candidate chunks — triangles were "
+               f"dropped; raise maxc (see device.auto_maxc)")
+        logger.error(msg)
+        if os.environ.get("MTR_STRICT_OVERFLOW"):
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning)
+
+
+def queue_overflow_check(n_over, maxc: int):
+    """Queue a device scalar (tiles-over-cap count) for host checking.
+    Free in the frame loop: no sync, no transfer — device-side compress
+    only (one tiny fused sum) when the queue grows past _COMPRESS."""
+    global _PENDING_MAXC
+    _PENDING_CHECKS.append(n_over)
+    _PENDING_MAXC = max(_PENDING_MAXC, int(maxc))
+    if len(_PENDING_CHECKS) >= _COMPRESS:
+        total = jnp.sum(jnp.stack(_PENDING_CHECKS))
+        _PENDING_CHECKS.clear()
+        _PENDING_CHECKS.append(total)
+
+
+def flush_overflow_checks():
+    """Check all queued overflow counts (ONE device→host transfer).
+    Call at the end of a frame loop or periodically."""
+    global _PENDING_MAXC
+    if not _PENDING_CHECKS:
+        return
+    total = int(jnp.sum(jnp.stack(_PENDING_CHECKS)))
+    _PENDING_CHECKS.clear()
+    maxc, _PENDING_MAXC = _PENDING_MAXC, 0
+    _overflow_report(total, maxc)
 
 
 def _raster_kernel(counts_ref, lists_ref, origin_ref, setup_hbm, zlow_ref,
@@ -215,12 +288,16 @@ def _raster_kernel(counts_ref, lists_ref, origin_ref, setup_hbm, zlow_ref,
 def raster_pallas(setup, x0, y0, *, width: int, height: int,
                   maxc: int = MAXC_DEFAULT, interpret: bool = False,
                   zlow=None):
-    """Binned Pallas raster → per-pixel (depth f32, winner i32).
+    """Binned Pallas raster → per-pixel (depth f32, winner i32, n_over).
 
     Same contract as ``device.raster_stage`` over the band
     ``[x0, x0+width) × [y0, y0+height)`` of the full frame (the caller's
     setup must already be in full-frame viewport coordinates). width and
     height must be multiples of the tile size.
+
+    The third output is the number of tiles whose true candidate count
+    exceeded ``maxc`` (i.e. tiles that dropped triangles) — callers feed
+    it to ``queue_overflow_check`` so no scene can fail silently.
     """
     if width % TILE_W or height % TILE_H:
         raise ValueError(f"band {width}x{height} not tile-aligned "
@@ -231,7 +308,8 @@ def raster_pallas(setup, x0, y0, *, width: int, height: int,
 
     packed, bbox = pack_setup(setup)
     maxc = min(maxc, packed.shape[0])
-    lists, counts = bin_chunks(bbox, n_ty, n_tx, maxc, x0, y0)
+    lists, counts, counts_true = bin_chunks(bbox, n_ty, n_tx, maxc, x0, y0)
+    n_over = jnp.sum(counts_true > maxc)
 
     # depth-peeling lower bound, tiled to match the flat output layout
     if zlow is None:
@@ -292,4 +370,4 @@ def raster_pallas(setup, x0, y0, *, width: int, height: int,
     zb = unflatten(zb)
     ib = unflatten(ib)
     zb = jnp.where(ib >= 0, zb, 1.0)
-    return zb, ib
+    return zb, ib, n_over

@@ -107,10 +107,10 @@ class TestDeviceVsCpu:
         rm, shader2, model, material = scene
         batch = build_draw_batch(model, material, shader2, rm)
         dscene = device.upload(batch)
-        f = device.render_frame
-        f(dscene, _vp(), width=64, height=64)
+        f = device._render_frame_core
+        device.render_frame(dscene, _vp(), width=64, height=64)
         misses_before = f._cache_size()
-        f(dscene, _vp(yaw=90.0), width=64, height=64)
+        device.render_frame(dscene, _vp(yaw=90.0), width=64, height=64)
         assert f._cache_size() == misses_before
 
 

@@ -92,3 +92,48 @@ class TestBinStats:
         # a cap of 0 makes every occupied tile overflow
         _, ov0 = pr.bin_stats(setup, width=256, height=128, maxc=0)
         assert int(ov0) == (counts > 0).sum()
+
+    def test_overflow_detected_not_silent(self, scene_batch):
+        """A scene engineered to overflow the binning cap must raise the
+        diagnostic signal (VERDICT r1: the one correctness cliff)."""
+        import jax
+
+        from mt_renderer_tpu.render import pallas_raster as pr
+
+        # many instances piled into few tiles: > 1 chunk per tile
+        batch = demo.build_demo_batch(instances=64, skinned=False)
+        scene = device.upload(batch)
+        vp, _ = _inputs(64, 128, 64)
+        before = pr.OVERFLOW_EVENTS
+        with pytest.warns(RuntimeWarning, match="bin overflow"):
+            c, d = device.render_frame(
+                scene, vp, None, width=128, height=64,
+                backend="pallas", maxc=1,
+            )
+            jax.block_until_ready((c, d))
+            pr.flush_overflow_checks()
+        assert pr.OVERFLOW_EVENTS > before
+
+    def test_auto_maxc_renders_exact(self, scene_batch):
+        """auto_maxc sizes the cap so pallas matches the scan backend
+        with zero overflow events."""
+        import jax
+
+        from mt_renderer_tpu.render import pallas_raster as pr
+
+        vp, bones = _inputs()
+        scene = device.upload(scene_batch)
+        maxc = device.auto_maxc(scene_batch, vp, bones, width=256, height=128)
+        assert maxc >= 8
+        before = pr.OVERFLOW_EVENTS
+        c2, d2 = device.render_frame(
+            scene, vp, bones, width=256, height=128, backend="pallas",
+            maxc=maxc,
+        )
+        jax.block_until_ready((c2, d2))
+        pr.flush_overflow_checks()
+        assert pr.OVERFLOW_EVENTS == before
+        c1, d1 = device.render_frame(
+            scene, vp, bones, width=256, height=128, backend="scan"
+        )
+        assert ((np.asarray(d1) < 1.0) == (np.asarray(d2) < 1.0)).all()
