@@ -399,9 +399,10 @@ def build_model(skinned: bool = False, subdiv: int = 0) -> bytes:
     index_buf = np.concatenate([strip_a, strip_b])
     handle = mfx.object_handle(layout)
 
-    def prim(index_ofs, index_num, vertex_num):
+    def prim(index_ofs, index_num, vertex_num, parts_no=0):
         return Primitive(
-            draw_mode=0, vertex_num=vertex_num, parts_no=0, material_no=0,
+            draw_mode=0, vertex_num=vertex_num, parts_no=parts_no,
+            material_no=0,
             lod=0xFF, weight_num=weight_num, alphapri=0, vertex_stride=stride,
             topology=4, vertex_ofs=0, vertex_base=0, inputlayout=handle,
             index_ofs=index_ofs, index_num=index_num, index_base=0,
@@ -411,9 +412,10 @@ def build_model(skinned: bool = False, subdiv: int = 0) -> bytes:
             binormal_flip=False, bridge=False,
         )
 
+    # the two strips are separate parts so PartsDisp toggles are testable
     primitives = [
-        prim(0, len(strip_a), nverts),
-        prim(len(strip_a), len(strip_b), nverts),
+        prim(0, len(strip_a), nverts, parts_no=0),
+        prim(len(strip_a), len(strip_b), nverts, parts_no=1),
     ]
 
     joints = []

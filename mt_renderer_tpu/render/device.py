@@ -67,6 +67,8 @@ class DeviceScene:
     tri_material: jax.Array   # (Tp,) i32 material slot
     mat_color: jax.Array      # (M, 4) f32 per-material RGBA multiplier 0-1
     tri_valid: jax.Array      # (Tp,) bool — False for padding
+    tri_parts: jax.Array      # (Tp,) i32 parts_no per triangle
+    parts_mask: jax.Array     # (P,) bool — per-part visibility (model.rs:318-320)
     atlas: jax.Array          # (L, AH, AW, 4) u8 (L >= 1) — mip 0
     tex_size: jax.Array       # (L, 2) i32 actual (h, w) per layer
     mip_pool: jax.Array       # (P, 4) u8 — all mip levels, flattened
@@ -81,7 +83,8 @@ class DeviceScene:
             self.weights, self.tris,
             self.tri_texture, self.tri_debug_id, self.tri_flat,
             self.tri_material, self.mat_color,
-            self.tri_valid, self.atlas, self.tex_size,
+            self.tri_valid, self.tri_parts, self.parts_mask,
+            self.atlas, self.tex_size,
             self.mip_pool, self.mip_table,
         )
         return children, (self.num_joints, self.skinned, self.num_mips)
@@ -109,6 +112,11 @@ def upload(batch: DrawBatch) -> DeviceScene:
     mat_color = np.ones((batch.num_materials, 4), np.float32)
     valid = np.zeros(tp, bool)
     valid[:t] = True
+    tri_parts = np.zeros(tp, np.int32)
+    if batch.tri_parts is not None and len(batch.tri_parts) >= t:
+        tri_parts[:t] = batch.tri_parts[:t]
+    n_parts = max(8, int(tri_parts.max()) + 1)
+    parts_mask = np.ones(n_parts, bool)
 
     texs = batch.textures or []
     if texs:
@@ -175,10 +183,27 @@ def upload(batch: DrawBatch) -> DeviceScene:
         tris=dp(tris), tri_texture=dp(tri_tex), tri_debug_id=dp(tri_dbg),
         tri_flat=dp(tri_flat),
         tri_material=dp(tri_mat), mat_color=dp(mat_color),
-        tri_valid=dp(valid), atlas=dp(atlas), tex_size=dp(sizes),
+        tri_valid=dp(valid), tri_parts=dp(tri_parts),
+        parts_mask=dp(parts_mask),
+        atlas=dp(atlas), tex_size=dp(sizes),
         mip_pool=dp(mip_pool), mip_table=dp(table),
         num_joints=nj, skinned=bool(batch.skinned), num_mips=n_mips,
     )
+
+
+def set_parts_mask(scene: DeviceScene, parts_disp) -> DeviceScene:
+    """Per-frame parts visibility WITHOUT re-upload: returns a scene
+    sharing every geometry/texture buffer, with only the (P,) boolean
+    mask replaced (the reference toggles `parts_disp` per draw,
+    model.rs:318-320; here it folds into tri_valid at setup time).
+    Same array shape → same jit signature → no recompilation."""
+    import dataclasses
+
+    p = scene.parts_mask.shape[0]
+    mask = np.ones(p, bool)
+    pd = np.asarray(parts_disp, bool)
+    mask[: min(p, len(pd))] = pd[:p]
+    return dataclasses.replace(scene, parts_mask=jax.device_put(mask))
 
 
 # ---------------------------------------------------------------- stages
@@ -239,6 +264,7 @@ def setup_stage(scene: DeviceScene, clip: jax.Array, width: int, height: int,
 
     valid = (
         scene.tri_valid
+        & scene.parts_mask[scene.tri_parts]               # parts visibility
         & jnp.all(w > W_EPS, axis=1)                      # shared near-reject
         & (area2 < 0.0)                                   # back-face cull
     )

@@ -240,6 +240,10 @@ class Model:
         )
 
     def set_parts_disp(self, parts_disp):
+        """Host-side rebuild (drops hidden triangles from the batch).
+        For per-frame toggling of an uploaded scene use
+        ``render.device.set_parts_mask`` — it swaps only the (P,) bool
+        mask, no re-upload, no retrace (model.rs:318-320 semantics)."""
         self.parts_disp = list(parts_disp)
         self.batch = build_draw_batch(
             self.model_file, self.material_file, self.shader2,
@@ -302,7 +306,12 @@ def merge_batches(a: DrawBatch, b: DrawBatch,
             + list(b.material_names)
             + [""] * (b.num_materials - len(b.material_names))
         ),
-        tri_parts=np.concatenate([a.tri_parts, np.zeros(b.num_triangles, np.int32)]),
+        # b's parts shift past a's so each sub-batch keeps independent
+        # visibility toggles in the merged scene (device.set_parts_mask)
+        tri_parts=np.concatenate([
+            a.tri_parts,
+            b.tri_parts + (int(a.tri_parts.max()) + 1 if len(a.tri_parts) else 0),
+        ]).astype(np.int32),
         tri_debug_id=np.concatenate([a.tri_debug_id, b.tri_debug_id]),
         tri_flat=np.concatenate([flat(a), flat(b)]).astype(np.float32),
         textures=list(a.textures) + list(b.textures),

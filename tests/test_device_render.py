@@ -95,12 +95,40 @@ class TestDeviceVsCpu:
 
     def test_empty_scene_clears(self, scene):
         rm, shader2, model, material = scene
-        batch = build_draw_batch(model, material, shader2, rm, parts_disp=[False])
+        batch = build_draw_batch(model, material, shader2, rm, parts_disp=[False, False])
         got, depth = device.render_frame(
             device.upload(batch), _vp(), width=64, height=64
         )
         assert (np.asarray(got) == 255).all()
         assert (np.asarray(depth) == 1.0).all()
+
+    def test_parts_mask_on_device(self, scene):
+        """Per-frame parts toggling without re-upload (model.rs:318-320):
+        set_parts_mask must match a host-side parts_disp rebuild and must
+        not trigger a retrace."""
+        rm, shader2, model, material = scene
+        batch = build_draw_batch(model, material, shader2, rm)
+        assert set(batch.tri_parts) == {0, 1}
+        dscene = device.upload(batch)
+        vp = _vp()
+        full, _ = device.render_frame(dscene, vp, width=96, height=96)
+        misses = device._render_frame_core._cache_size()
+
+        masked = device.set_parts_mask(dscene, [True, False])
+        got, _ = device.render_frame(masked, vp, width=96, height=96)
+        assert device._render_frame_core._cache_size() == misses
+
+        host = build_draw_batch(model, material, shader2, rm,
+                                parts_disp=[True, False])
+        want, _ = device.render_frame(device.upload(host), vp,
+                                      width=96, height=96)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert (np.asarray(got) != np.asarray(full)).any()
+
+        # toggling back restores the full frame
+        restored = device.set_parts_mask(masked, [True, True])
+        back, _ = device.render_frame(restored, vp, width=96, height=96)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(full))
 
     def test_jit_cache_stable_across_frames(self, scene):
         # same (resolution, chunk) must not retrace for new camera/bones

@@ -123,7 +123,7 @@ class TestDrawBatch:
     def test_parts_disp_culls(self, scene):
         rm, shader2, model, material = scene
         full = build_draw_batch(model, material, shader2, rm)
-        culled = build_draw_batch(model, material, shader2, rm, parts_disp=[False])
+        culled = build_draw_batch(model, material, shader2, rm, parts_disp=[False, False])
         assert culled.num_triangles == 0
         assert full.num_triangles > 0
 
