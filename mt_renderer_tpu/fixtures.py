@@ -22,6 +22,7 @@ from .formats.mod import Joint, Primitive, write_model
 INPUTLAYOUT_STATIC = "IL_FixtureP3T2"
 INPUTLAYOUT_SKIN = "IL_FixtureSkin"
 INPUTLAYOUT_RICH = "IL_FixtureRich"   # packed normals + u16n uvs
+INPUTLAYOUT_SKIN8 = "IL_FixtureSkin8"  # two Joint/Weight streams (8 influences)
 SHADER_PACKAGE_PATH = "custom_shaders\\CustomShaderPackage"
 MODEL_PATH = "model\\fixture_cube"
 TEXTURE_PATH = "model\\fixture_albedo"
@@ -192,6 +193,16 @@ def build_shader2() -> bytes:
         mfx.InputElement("Position", 0, F.IEF_F32, 3, 0, 0, 0),
         mfx.InputElement("Normal", 0, F.IEF_SCMP3N, 3, 0, 12, 0),
         mfx.InputElement("TexCoord", 0, F.IEF_U16N, 2, 0, 16, 0),
+    ])
+    # heavy-skin layout: duplicate Joint/Weight semantics on stream 1
+    # (the multi-stream pattern of rshader2.rs:425-450)
+    w.add_inputlayout(INPUTLAYOUT_SKIN8, 36, [
+        mfx.InputElement("Position", 0, F.IEF_F32, 3, 0, 0, 0),
+        mfx.InputElement("TexCoord", 0, F.IEF_F32, 2, 0, 12, 0),
+        mfx.InputElement("Joint", 0, F.IEF_U8, 4, 0, 20, 0),
+        mfx.InputElement("Weight", 0, F.IEF_U8N, 4, 0, 24, 0),
+        mfx.InputElement("Joint", 1, F.IEF_U8, 4, 0, 28, 0),
+        mfx.InputElement("Weight", 1, F.IEF_U8N, 4, 0, 32, 0),
     ])
     T = mfx.ObjectType
     w.add_object("BSSolid", T.BLEND)
@@ -429,6 +440,55 @@ def build_model(skinned: bool = False, subdiv: int = 0) -> bytes:
         ]
         imats = np.tile(np.eye(4, dtype="<f4"), (2, 1, 1))
 
+    return write_model(
+        material_names=["fixture_mat"],
+        primitives=primitives,
+        vertex_buf=vbuf.tobytes(),
+        index_buf=index_buf,
+        joints=joints,
+        inverse_bind_mats=imats,
+    )
+
+
+def build_model_skin8() -> bytes:
+    """Heavy-skinned fixture: the cube with 8 bone influences per vertex
+    across two Joint/Weight streams (weight_num=8). Each vertex blends
+    bones (v, v+1, …, v+7) mod 8 with a fixed asymmetric weight pattern,
+    so a 4-weight clamp produces visibly wrong deformation."""
+    corners, uvs, strip_a, strip_b = _cube_mesh()
+    n = len(corners)
+    stride = 36
+    vbuf = np.zeros((n, stride), dtype=np.uint8)
+    vbuf[:, 0:12] = corners.astype("<f4").view(np.uint8).reshape(n, 12)
+    vbuf[:, 12:20] = uvs.astype("<f4").view(np.uint8).reshape(n, 8)
+    # u8n weights summing to exactly 255 per vertex
+    wpat = np.array([64, 48, 40, 32, 28, 20, 16, 7], np.uint8)
+    for v in range(n):
+        j = (np.arange(8) + v) % 8
+        vbuf[v, 20:24] = j[:4]
+        vbuf[v, 24:28] = wpat[:4]
+        vbuf[v, 28:32] = j[4:]
+        vbuf[v, 32:36] = wpat[4:]
+
+    index_buf = np.concatenate([strip_a, strip_b])
+    handle = mfx.object_handle(INPUTLAYOUT_SKIN8)
+    primitives = [Primitive(
+        draw_mode=0, vertex_num=n, parts_no=0, material_no=0,
+        lod=0xFF, weight_num=8, alphapri=0, vertex_stride=stride,
+        topology=4, vertex_ofs=0, vertex_base=0, inputlayout=handle,
+        index_ofs=0, index_num=len(index_buf), index_base=0,
+        envelope=0, boundary_num=0, connect_id=0,
+        min_index=0, max_index=n - 1,
+        disp=True, shape=False, sort=False,
+        binormal_flip=False, bridge=False,
+    )]
+    joints = [
+        Joint(no=i, parent=(255 if i == 0 else 0), symmetry=i,
+              radius=1.0, length=1.0,
+              offset=np.array([0, 0, 0], np.float32))
+        for i in range(8)
+    ]
+    imats = np.tile(np.eye(4, dtype="<f4"), (8, 1, 1))
     return write_model(
         material_names=["fixture_mat"],
         primitives=primitives,

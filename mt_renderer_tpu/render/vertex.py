@@ -76,16 +76,38 @@ def decode_vertices(vertex_buf: np.ndarray, vertex_base: int, stride: int,
                     count: int, elements: list[InputElement]) -> dict[str, np.ndarray]:
     """Decode ``count`` vertices starting at byte ``vertex_base``.
 
-    Returns attribute name → array. Duplicate semantic names keep the
-    first occurrence (stream 0), matching the reference's shader wiring.
+    Returns attribute name → array. Duplicate semantic names (secondary
+    streams — MT layouts carry multiple Joint/Weight elements with a
+    stream index, rshader2.rs:425-450) are suffixed by occurrence:
+    "Joint", "Joint1", "Joint2"… in element order. Use
+    ``gather_streams`` to re-concatenate them.
     """
     raw = vertex_buf[vertex_base:vertex_base + count * stride]
     raw = np.asarray(raw, dtype=np.uint8).reshape(count, stride)
     out: dict[str, np.ndarray] = {}
+    seen: dict[str, int] = {}
     for elem in elements:
-        if elem.name not in out:
-            out[elem.name] = decode_element(raw, elem)
+        k = seen.get(elem.name, 0)
+        seen[elem.name] = k + 1
+        key = elem.name if k == 0 else f"{elem.name}{k}"
+        out[key] = decode_element(raw, elem)
     return out
+
+
+def gather_streams(attrs: dict[str, np.ndarray], base: str) -> np.ndarray | None:
+    """Concatenate an attribute's streams ("Joint" + "Joint1" + …) into
+    one (N, total) array; None when the attribute is absent."""
+    parts = []
+    k = 0
+    while True:
+        key = base if k == 0 else f"{base}{k}"
+        if key not in attrs:
+            break
+        parts.append(attrs[key])
+        k += 1
+    if not parts:
+        return None
+    return np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
 def strip_to_triangles(indices: np.ndarray, index_base: int = 0) -> np.ndarray:

@@ -21,7 +21,7 @@ from ..formats.mfx import ObjectType, Shader2File
 from ..formats.mod import ModelFile
 from ..formats.mrl import MaterialFile
 from ..formats.tex import TextureFile
-from ..render.vertex import decode_vertices, strip_to_triangles
+from ..render.vertex import decode_vertices, gather_streams, strip_to_triangles
 
 # the 20-color joint/debug palette from the reference fragment shader
 # (shaders/debug_ids.wgsl:23-46), rgb 0-255
@@ -41,8 +41,8 @@ class DrawBatch:
     positions: np.ndarray          # (V, 3) f32
     uvs: np.ndarray                # (V, 2) f32
     # normals filled post-init when the layout has them (V, 3) f32
-    joints: np.ndarray             # (V, 4) i32 bone indices
-    weights: np.ndarray            # (V, 4) f32
+    joints: np.ndarray             # (V, W) i32 bone indices, W ∈ {4, 8}
+    weights: np.ndarray            # (V, W) f32
     tris: np.ndarray               # (T, 3) i32 into the pooled vertices
     tri_texture: np.ndarray        # (T,) i32 texture id, -1 = untextured
     tri_parts: np.ndarray          # (T,) i32 parts_no (visibility culling)
@@ -146,27 +146,29 @@ def build_draw_batch(
         else:
             nrm_parts.append(np.zeros((n, 3), np.float32))
 
-        jn = attrs.get("Joint")
-        wt = attrs.get("Weight")
+        jn = gather_streams(attrs, "Joint")                # all streams
+        wt = gather_streams(attrs, "Weight")
         if jn is not None and prim.weight_num > 0:
             any_skin = True
-            j4 = np.zeros((n, 4), np.int32)
-            w4 = np.zeros((n, 4), np.float32)
-            j4[:, :min(4, jn.shape[1])] = jn[:, :4].astype(np.int32)
+            # layouts carry weight_num up to 31 (rmodel.rs:186-188) across
+            # multiple Joint/Weight streams; keep every decoded influence
+            # (width settles batch-wide below)
+            wn = jn.shape[1]
+            jw = jn[:, :wn].astype(np.int32)
+            ww = np.zeros((n, wn), np.float32)
             if wt is not None:
-                w4[:, :min(4, wt.shape[1])] = wt[:, :4].astype(np.float32)
+                m = min(wn, wt.shape[1])
+                ww[:, :m] = wt[:, :m].astype(np.float32)
             else:
-                w4[:, 0] = 1.0
+                ww[:, 0] = 1.0
             # renormalise (engine data stores quantised weights)
-            s = w4.sum(axis=1, keepdims=True)
-            w4 = np.where(s > 0, w4 / np.maximum(s, 1e-8), w4)
-            joint_parts.append(j4)
-            weight_parts.append(w4)
+            s = ww.sum(axis=1, keepdims=True)
+            ww = np.where(s > 0, ww / np.maximum(s, 1e-8), ww)
+            joint_parts.append(jw)
+            weight_parts.append(ww)
         else:
-            j4 = np.zeros((n, 4), np.int32)
-            w4 = np.zeros((n, 4), np.float32)
-            joint_parts.append(j4)
-            weight_parts.append(w4)
+            joint_parts.append(np.zeros((n, 4), np.int32))
+            weight_parts.append(np.zeros((n, 4), np.float32))
 
         indices = model.index_buf[prim.index_ofs:prim.index_ofs + prim.index_num]
         tris = strip_to_triangles(indices, prim.index_base) + vert_base
@@ -186,6 +188,22 @@ def build_draw_batch(
         tri_debug.append(np.full(t, debug_id, np.int32))
 
         vert_base += n
+
+    # unify influence width across primitives (4 or 8 — device arrays
+    # need one static width; 8 covers MT's multi-stream skin layouts)
+    if joint_parts:
+        wmax = max(p.shape[1] for p in joint_parts)
+        width = 4 if wmax <= 4 else 8
+
+        def padw(p, dtype):
+            if p.shape[1] == width:
+                return p
+            out = np.zeros((p.shape[0], width), dtype)
+            out[:, : min(width, p.shape[1])] = p[:, :width]
+            return out
+
+        joint_parts = [padw(p, np.int32) for p in joint_parts]
+        weight_parts = [padw(p, np.float32) for p in weight_parts]
 
     batch = DrawBatch(
         positions=np.concatenate(pos_parts) if pos_parts else np.zeros((0, 3), np.float32),
@@ -287,12 +305,16 @@ def merge_batches(a: DrawBatch, b: DrawBatch,
     b_tex = np.where(b.tri_texture >= 0, b.tri_texture + ntex_a, -1)
     nmat_a = a.num_materials
     b_mat = b.material_ids() + nmat_a
+    wa = a.joints.shape[1] if a.num_vertices else 4
     if keep_b_skin:
-        b_joints = b.joints.astype(np.int32)
-        b_weights = b.weights.astype(np.float32)
+        b_joints = np.zeros((b.num_vertices, wa), np.int32)
+        b_weights = np.zeros((b.num_vertices, wa), np.float32)
+        m = min(wa, b.joints.shape[1])
+        b_joints[:, :m] = b.joints[:, :m].astype(np.int32)
+        b_weights[:, :m] = b.weights[:, :m].astype(np.float32)
     else:
-        b_joints = np.zeros((b.num_vertices, 4), np.int32)
-        b_weights = np.zeros((b.num_vertices, 4), np.float32)
+        b_joints = np.zeros((b.num_vertices, wa), np.int32)
+        b_weights = np.zeros((b.num_vertices, wa), np.float32)
     return DrawBatch(
         positions=np.concatenate([a.positions, b.positions]),
         uvs=np.concatenate([a.uvs, b.uvs]),

@@ -142,6 +142,61 @@ class TestDeviceVsCpu:
         assert f._cache_size() == misses_before
 
 
+class TestHeavySkinning:
+    """>4-weight multi-stream skinning (rmodel.rs:186-188 weight_num,
+    rshader2.rs:425-450 duplicate Joint/Weight streams)."""
+
+    def _batch(self):
+        from mt_renderer_tpu.formats.mfx import Shader2File
+        from mt_renderer_tpu.formats.mod import ModelFile
+
+        model = ModelFile(fixtures.build_model_skin8())
+        shader2 = Shader2File(fixtures.build_shader2())
+        return build_draw_batch(model, None, shader2, None)
+
+    def _bones(self):
+        bones = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+        bones[:, 0, 3] = 0.25 * np.arange(8)
+        bones[:, 1, 3] = np.array([0, 1, 0, -1, 0, 1, 0, -1], np.float32) * 0.1
+        return bones
+
+    def test_eight_weight_vertex_stage(self):
+        import jax.numpy as jnp
+
+        batch = self._batch()
+        assert batch.joints.shape[1] == 8 and batch.skinned
+        np.testing.assert_allclose(batch.weights.sum(1), 1.0, atol=1e-6)
+
+        bones = self._bones()
+        homo = np.concatenate(
+            [batch.positions, np.ones((batch.num_vertices, 1), np.float32)], 1
+        )
+        m = bones[batch.joints]
+        want = np.einsum("vw,vwij,vj->vi", batch.weights, m, homo)[:, :3]
+
+        scene = device.upload(batch)
+        clip = device.vertex_stage(
+            scene, jnp.eye(4, dtype=jnp.float32), jnp.asarray(bones)
+        )
+        np.testing.assert_allclose(np.asarray(clip)[:, :3], want, atol=1e-5)
+
+        # the old 4-influence clamp would deform differently — guard it
+        w4 = batch.weights[:, :4] / batch.weights[:, :4].sum(1, keepdims=True)
+        m4 = bones[batch.joints[:, :4]]
+        clamped = np.einsum("vw,vwij,vj->vi", w4, m4, homo)[:, :3]
+        assert np.abs(clamped - want).max() > 0.05
+
+    def test_eight_weight_render_matches_oracle(self):
+        batch = self._batch()
+        bones = self._bones()
+        vp = _vp()
+        want, _ = cpu_reference.render(batch, vp, 96, 96, bone_mats=bones)
+        got, _ = device.render_frame(
+            device.upload(batch), vp, bones, width=96, height=96
+        )
+        assert_frames_match(np.asarray(got), want)
+
+
 class TestMipmapping:
     def test_upload_builds_pyramid(self, scene):
         from mt_renderer_tpu.scene import demo
