@@ -57,6 +57,48 @@ class GuiMessage:
     message: str
 
 
+# Index 0 can't be told apart from "empty slot"/"end of chain", so both
+# the 256-slot table and the per-item hash_link store index 0 as u64 max
+# (the reference does this for the table, rguimessage.rs:80-83; its
+# writer todo!()s on any collision, rguimessage.rs:163 — chains here are
+# the fix: colliding labels append to the slot's chain tail).
+_NULL = 0
+_ZERO_ENC = 0xFFFFFFFFFFFFFFFF
+
+
+def _enc_index(i: int) -> int:
+    return _ZERO_ENC if i == 0 else i
+
+
+def _dec_index(v: int) -> int:
+    return 0 if v == _ZERO_ENC else v
+
+
+def _verify_hash_chains(table, index) -> None:
+    """Every label must be reachable exactly once by walking
+    ``table[crc & 0xff]`` → ``hash_link`` chains (insertion order within
+    a chain is writer-defined, so only reachability is checked)."""
+    reached: set[int] = set()
+    n = len(index)
+    for slot in range(HASH_TABLE_LEN):
+        v = int(table[slot])
+        if v == _NULL:
+            continue
+        i = _dec_index(v)
+        while True:
+            if i in reached or i >= n:
+                raise ValueError(f"GMD hash chain corrupt at slot {slot}")
+            reached.add(i)
+            nxt = int(index[i]["hash_link"])
+            if nxt == _NULL:
+                break
+            i = _dec_index(nxt)
+    if len(reached) != n:
+        raise ValueError(
+            f"GMD hash table reaches {len(reached)} of {n} labels"
+        )
+
+
 class GuiMessageFile:
     def __init__(self, language_id: int = 0, package_name: str = "",
                  update_time: int = 0, messages: list[GuiMessage] | None = None):
@@ -78,8 +120,9 @@ class GuiMessageFile:
         package_name = pkg_raw.split(b"\0")[0].decode("utf-8", errors="replace")
 
         index = r.struct_array(INDEX_ITEM_DTYPE, int(h["index_num"]))
+        table = None
         if int(h["index_num"]) != 0:
-            r.struct_array(np.dtype("<u8"), HASH_TABLE_LEN)  # hash table
+            table = r.struct_array(np.dtype("<u8"), HASH_TABLE_LEN)
 
         label_buf = r.read(int(h["index_name_buf_size"]))
         message_buf = r.read(int(h["message_buffer_size"]))
@@ -100,6 +143,9 @@ class GuiMessageFile:
                 raise ValueError(f"GMD label hash mismatch for {label!r}")
             out.append(GuiMessage(label, messages[int(item["message_index"])]))
 
+        if table is not None:
+            _verify_hash_chains(table, index)
+
         return cls(
             language_id=int(h["language_id"]),
             package_name=package_name,
@@ -119,15 +165,18 @@ class GuiMessageFile:
 
         hash_table = np.zeros(HASH_TABLE_LEN, dtype="<u8")
         index = np.zeros(len(self.messages), dtype=INDEX_ITEM_DTYPE)
+        tails: dict[int, int] = {}       # slot → chain tail index
         for i, m in enumerate(self.messages):
             lb = m.label.encode("utf-8")
             hsh = crc32(lb)
             ha = crc32(lb, hsh)
             hb = crc32(lb, ha)
             slot = hsh & 0xFF
-            if hash_table[slot] != 0:
-                raise NotImplementedError("GMD hash-table collision")
-            hash_table[slot] = i if i != 0 else np.uint64(0xFFFFFFFFFFFFFFFF)
+            if slot not in tails:
+                hash_table[slot] = np.uint64(_enc_index(i))
+            else:
+                index[tails[slot]]["hash_link"] = np.uint64(_enc_index(i))
+            tails[slot] = i
             index[i]["message_index"] = i
             index[i]["hash_a"] = ha
             index[i]["hash_b"] = hb

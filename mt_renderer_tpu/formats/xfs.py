@@ -102,6 +102,35 @@ _SCALARS = {
     PropType.u32: ("<I", 4),
     PropType.s16: ("<h", 2),
     PropType.s8: ("<b", 1),
+    # extension scalars — the reference todo!()s on anything beyond its
+    # 12 static / 6 dynamic types (mtserializer.rs:158,196); these follow
+    # the engine's property size conventions
+    PropType.u64: ("<Q", 8),
+    PropType.s64: ("<q", 8),
+    PropType.f64: ("<d", 8),
+    PropType.time: ("<q", 8),
+    PropType.color: ("<I", 4),            # packed RGBA
+}
+
+# fixed-layout composite types (tuples of scalars) — extensions, same
+# caveat as above; vector3 stays special (explicit zero-pad assert)
+_COMPOSITES = {
+    PropType.point: "<2i",
+    PropType.size: "<2i",
+    PropType.rect: "<4i",
+    PropType.range: "<2i",
+    PropType.rangef: "<2f",
+    PropType.rangeu16: "<2H",
+    PropType.float2: "<2f",
+    PropType.float3: "<3f",
+    PropType.float4: "<4f",
+    PropType.vector4: "<4f",
+    PropType.quaternion: "<4f",
+    PropType.float3x3: "<9f",
+    PropType.float4x3: "<12f",
+    PropType.float3x4: "<12f",
+    PropType.float4x4: "<16f",
+    PropType.matrix44: "<16f",
 }
 
 
@@ -126,12 +155,15 @@ def _read_value(r: Reader, prop: PropertyInfo, objects: list[ObjectInfo]):
         if pad != 0.0:
             raise ValueError("vector3 padding not zero")
         return (x, y, z)
-    if pt == PropType.string:
+    if pt in (PropType.string, PropType.cstring):
         return r.cstring(0x200)
     if pt in _SCALARS:
         fmt, size = _SCALARS[pt]
         v = struct.unpack(fmt, r.read(size))[0]
         return bool(v) if pt == PropType.bool_ else v
+    if pt in _COMPOSITES:
+        fmt = _COMPOSITES[pt]
+        return struct.unpack(fmt, r.read(struct.calcsize(fmt)))
     raise NotImplementedError(f"static prop type {pt!r}")
 
 
@@ -238,7 +270,7 @@ def _write_value(out: bytearray, pt: PropType, value, class_index):
         _write_class(out, value, class_index)
     elif pt == PropType.vector3:
         out += struct.pack("<4f", *value, 0.0)
-    elif pt == PropType.string:
+    elif pt in (PropType.string, PropType.cstring):
         out += str(value).encode("shift_jis") + b"\0"
     elif pt == PropType.custom:
         out += struct.pack("<B", len(value))
@@ -246,7 +278,12 @@ def _write_value(out: bytearray, pt: PropType, value, class_index):
             out += str(s).encode("shift_jis") + b"\0"
     elif pt in _SCALARS:
         fmt, _ = _SCALARS[pt]
-        out += struct.pack(fmt, int(value) if pt != PropType.f32 else value)
+        out += struct.pack(
+            fmt, float(value) if pt in (PropType.f32, PropType.f64)
+            else int(value)
+        )
+    elif pt in _COMPOSITES:
+        out += struct.pack(_COMPOSITES[pt], *value)
     else:
         raise NotImplementedError(f"serialize prop type {pt!r}")
 

@@ -363,6 +363,77 @@ class TestXfs:
         cls = xfs.deserialize(xfs.serialize(root, [spec]))
         assert cls.get_prop("mChild") == [None]
 
+    # deserialize∘serialize identity across EVERY supported prop type
+    # (the reference reads 12 static + 6 dynamic and todo!()s the rest,
+    # mtserializer.rs:119-200; the extension layouts are pinned here)
+    STATIC_VALUES = {
+        xfs.PropType.u8: [0, 255], xfs.PropType.u16: [0, 65535],
+        xfs.PropType.u32: [0, 2**32 - 1], xfs.PropType.u64: [2**63],
+        xfs.PropType.s8: [-128, 127], xfs.PropType.s16: [-32768],
+        xfs.PropType.s32: [-(2**31)], xfs.PropType.s64: [-(2**63)],
+        xfs.PropType.bool_: [True, False],
+        xfs.PropType.f32: [0.5, -2.25], xfs.PropType.f64: [1e-300],
+        xfs.PropType.time: [-1234567890123],
+        xfs.PropType.color: [0xDEADBEEF],
+        xfs.PropType.string: ["テスト"], xfs.PropType.cstring: ["abc"],
+        xfs.PropType.vector3: [(1.0, -0.5, 0.25)],
+        xfs.PropType.vector4: [(1.0, 2.0, 3.0, 4.0)],
+        xfs.PropType.quaternion: [(0.0, 0.0, 0.0, 1.0)],
+        xfs.PropType.point: [(-3, 7)], xfs.PropType.size: [(640, 480)],
+        xfs.PropType.rect: [(0, 0, 1920, 1080)],
+        xfs.PropType.range: [(-5, 5)], xfs.PropType.rangef: [(0.5, 1.5)],
+        xfs.PropType.rangeu16: [(3, 9)],
+        xfs.PropType.float2: [(0.25, 0.75)],
+        xfs.PropType.float3: [(1.0, 2.0, 3.0)],
+        xfs.PropType.float4: [(1.0, 2.0, 3.0, 4.0)],
+        xfs.PropType.float3x3: [tuple(float(i) for i in range(9))],
+        xfs.PropType.float4x3: [tuple(float(i) for i in range(12))],
+        xfs.PropType.float3x4: [tuple(float(i) for i in range(12))],
+        xfs.PropType.float4x4: [tuple(float(i) for i in range(16))],
+        xfs.PropType.matrix44: [tuple(float(i) for i in range(16))],
+    }
+
+    def test_roundtrip_every_static_type(self):
+        props = [
+            xfs.PropSpec(f"m_{pt.name}", pt) for pt in self.STATIC_VALUES
+        ]
+        spec = xfs.ClassSpec("MtObject", props)
+        root = ("MtObject", {
+            f"m_{pt.name}": vals for pt, vals in self.STATIC_VALUES.items()
+        })
+        cls = xfs.deserialize(xfs.serialize(root, [spec]))
+        for pt, vals in self.STATIC_VALUES.items():
+            got = cls.get_prop(f"m_{pt.name}")
+            assert got == vals, f"{pt.name}: {got} != {vals}"
+
+    def test_roundtrip_every_dynamic_type(self):
+        from mt_renderer_tpu.dti import PROP_ATTR_DYNAMIC
+
+        dyn = {
+            xfs.PropType.custom: [["rModel", "path/to/thing"]],
+            xfs.PropType.bool_: [True, False, True],
+            xfs.PropType.s16: [-7, 7],
+            xfs.PropType.s32: [-100000],
+            xfs.PropType.u32: [3**20],
+            xfs.PropType.classref: [("cResource", {"mVal": [5]})],
+        }
+        child = xfs.ClassSpec("cResource", [
+            xfs.PropSpec("mVal", xfs.PropType.s32),
+        ])
+        props = [
+            xfs.PropSpec(f"d_{pt.name}", pt, attr=PROP_ATTR_DYNAMIC)
+            for pt in dyn
+        ]
+        spec = xfs.ClassSpec("MtObject", props)
+        root = ("MtObject", {f"d_{pt.name}": v for pt, v in dyn.items()})
+        cls = xfs.deserialize(xfs.serialize(root, [spec, child]))
+        assert cls.get_prop("d_custom") == dyn[xfs.PropType.custom]
+        assert cls.get_prop("d_bool_") == [True, False, True]
+        assert cls.get_prop("d_s16") == [-7, 7]
+        assert cls.get_prop("d_s32") == [-100000]
+        assert cls.get_prop("d_u32") == [3**20]
+        assert cls.get_prop("d_classref")[0].get_prop("mVal") == [5]
+
 
 class TestGmd:
     def test_round_trip_bytes(self):
@@ -375,6 +446,30 @@ class TestGmd:
         j = g.to_json_obj()
         g2 = gmd.GuiMessageFile.from_json_obj(json.loads(json.dumps(j)))
         assert g2.tobytes() == g.tobytes()
+
+    def test_hash_table_collision_chains(self):
+        """>256 labels force slot collisions; the writer chains them via
+        hash_link (the reference todo!()s here, rguimessage.rs:163) and
+        the parser verifies every label is reachable."""
+        msgs = [gmd.GuiMessage(f"LBL_{i:04d}", f"msg {i}") for i in range(300)]
+        g = gmd.GuiMessageFile(language_id=1, package_name="pkg",
+                               messages=msgs)
+        blob = g.tobytes()
+        g2 = gmd.GuiMessageFile.parse(blob)
+        assert [m.label for m in g2.messages] == [m.label for m in msgs]
+        assert g2.tobytes() == blob
+        # corrupting a chain link must be detected
+        import numpy as np
+
+        hdr = gmd.HEADER_DTYPE.itemsize + len("pkg") + 1
+        idx = np.frombuffer(blob, gmd.INDEX_ITEM_DTYPE, 300, offset=hdr).copy()
+        linked = np.flatnonzero(idx["hash_link"] != 0)
+        assert len(linked) > 0, "no collisions in 300 labels?"
+        bad = bytearray(blob)
+        ofs = hdr + int(linked[0]) * gmd.INDEX_ITEM_DTYPE.itemsize + 24
+        bad[ofs:ofs + 8] = b"\0" * 8   # break one chain link
+        with pytest.raises(ValueError, match="hash table reaches"):
+            gmd.GuiMessageFile.parse(bytes(bad))
 
     def test_hash_verification(self):
         blob = bytearray(fixtures.build_gmd())
