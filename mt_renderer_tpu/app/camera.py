@@ -78,3 +78,26 @@ class Camera:
         self.yaw = (self.yaw - SENSITIVITY * dx) % 360.0
         self.pitch = float(np.clip(self.pitch - SENSITIVITY * dy, -89.0, 89.0))
         self.aspect = float(aspect)
+
+    def fly(self, input_state, dt: float, speed: float = 2.0) -> None:
+        """WASD translation along the camera basis.
+
+        Extension: the reference *tracks* WASD (input_state.rs:3-11,
+        renderer_app_manager.rs:229-255) but no app ever consumes the
+        keys — this makes the fly camera actually fly. W/S move along
+        the view direction, A/D strafe; ``speed`` is units/second."""
+        from .input_state import Key
+
+        r = rotation_y(self.yaw) @ rotation_x(self.pitch)
+        fwd = -r[:3, 2]
+        right = r[:3, 0]
+        d = np.zeros(3, np.float32)
+        if input_state.has_key(Key.W):
+            d += fwd
+        if input_state.has_key(Key.S):
+            d -= fwd
+        if input_state.has_key(Key.D):
+            d += right
+        if input_state.has_key(Key.A):
+            d -= right
+        self.position = (self.position + d * (speed * dt)).astype(np.float32)

@@ -91,6 +91,52 @@ class RendererAppManager:
             self._write(out_path, last)
         return last
 
+    # -- interactive session (scripted event pump) -----------------------
+    #
+    # The reference's winit dispatch (renderer_app_manager.rs:215-269)
+    # becomes a scripted event stream: each frame gets a list of events
+    # that route into InputState exactly as the window loop would, then
+    # the normal render cycle runs (apps call camera.update/fly from
+    # their render hook, like modelviewer.rs:212-215).
+
+    def dispatch_event(self, event) -> None:
+        """One event: ("key_down"|"key_up", Key|"W") or ("mouse", dx, dy)."""
+        from .input_state import Key
+
+        kind = event[0]
+        if kind in ("key_down", "key_up"):
+            key = event[1]
+            if isinstance(key, str):
+                key = Key[key.upper()]
+            if kind == "key_down":
+                self.input.set_key(key)
+            else:
+                self.input.unset_key(key)
+        elif kind == "mouse":
+            self.input.add_mouse_movement(float(event[1]), float(event[2]))
+        else:
+            raise ValueError(f"unknown event {event!r}")
+
+    def run_interactive(self, event_frames, out_path=None,
+                        on_frame=None) -> np.ndarray:
+        """Run ``setup`` then one render cycle per entry of
+        ``event_frames`` (a list of per-frame event lists), dispatching
+        each frame's events first. Returns the last frame."""
+        self.app.setup(self)
+        last = None
+        for i, events in enumerate(event_frames):
+            for ev in events:
+                self.dispatch_event(ev)
+            frame = np.asarray(self.run_frame())
+            if on_frame is not None:
+                on_frame(i, frame)
+            if out_path is not None and "{i}" in str(out_path):
+                self._write(str(out_path).format(i=i), frame)
+            last = frame
+        if out_path is not None and last is not None and "{i}" not in str(out_path):
+            self._write(out_path, last)
+        return last
+
     @staticmethod
     def _write(path, frame: np.ndarray) -> None:
         from ..utils.png import write_png

@@ -115,15 +115,24 @@ class ModelViewerApp(RendererApp):
                     (self.scene.num_joints, 1, 1))
         )
 
+    interactive = False
+
     def render(self, mgr: RendererAppManager):
-        # orbit: one slow turn around the model
-        ang = np.radians(mgr.frame_index * 6.0)
-        r = self._radius * 2.4
-        mgr.camera.position = self._center + np.array(
-            [np.sin(ang) * r, 0.3 * r, np.cos(ang) * r], np.float32
-        )
-        mgr.camera.yaw = np.degrees(ang)
-        mgr.camera.pitch = -12.0
+        if self.interactive:
+            # fly camera: mouse-look + WASD, event-driven
+            # (renderer_app_manager.rs:215-269 / camera.rs:49-59)
+            mgr.camera.update(mgr.input, mgr.aspect)
+            mgr.camera.fly(mgr.input, dt=max(mgr.frame_time, 1 / 60),
+                           speed=self._radius)
+        else:
+            # orbit: one slow turn around the model
+            ang = np.radians(mgr.frame_index * 6.0)
+            r = self._radius * 2.4
+            mgr.camera.position = self._center + np.array(
+                [np.sin(ang) * r, 0.3 * r, np.cos(ang) * r], np.float32
+            )
+            mgr.camera.yaw = np.degrees(ang)
+            mgr.camera.pitch = -12.0
         if self.animator is not None:
             t = (mgr.frame_index * 2.0) % self._duration
             self.bones = np.asarray(self.animator.bone_mats_device(
@@ -155,6 +164,10 @@ def main(argv=None):
                    help="trilinear mipmapped minification")
     p.add_argument("--lighting", action="store_true",
                    help="directional lambert shading (needs normals)")
+    p.add_argument("--events", default=None,
+                   help="JSON event script for the fly camera: a list of "
+                        "per-frame event lists, e.g. "
+                        '[[["mouse",10,0]],[["key_down","W"]],[]]')
     args = p.parse_args(argv)
 
     app = ModelViewerApp(args.data_root, args.prp_path,
@@ -163,8 +176,19 @@ def main(argv=None):
     app.mipmap = args.mipmap
     app.lighting = args.lighting
     mgr = RendererAppManager(app, width=args.width, height=args.height)
-    mgr.run_headless(frames=args.frames, out_path=args.out)
-    print(f"rendered {args.frames} frame(s), last frame_time="
+    if args.events:
+        import json
+
+        with open(args.events) as f:
+            event_frames = [[tuple(ev) for ev in frame]
+                            for frame in json.load(f)]
+        app.interactive = True
+        mgr.run_interactive(event_frames, out_path=args.out)
+        n = len(event_frames)
+    else:
+        mgr.run_headless(frames=args.frames, out_path=args.out)
+        n = args.frames
+    print(f"rendered {n} frame(s), last frame_time="
           f"{mgr.frame_time * 1000:.1f}ms")
 
 

@@ -104,6 +104,90 @@ class TestAppManager:
         assert (tmp_path / "f_1.png").exists()
 
 
+class TestInteractiveSession:
+    """Scripted event pump → InputState → Camera.update → frames — the
+    reference's winit path (renderer_app_manager.rs:215-269,
+    camera.rs:49-59, input_state.rs:52-79) without a window."""
+
+    class FlyApp(RendererApp):
+        """Renders the demo cube; camera.update+fly each frame like
+        modelviewer.rs:212-215 (fly is the WASD extension)."""
+
+        def setup(self, mgr):
+            batch = demo.build_demo_batch(instances=1, skinned=False)
+            self.scene = device.upload(batch)
+            self.trajectory = []
+
+        def render(self, mgr):
+            mgr.camera.update(mgr.input, mgr.aspect)
+            mgr.camera.fly(mgr.input, dt=0.1, speed=2.0)
+            self.trajectory.append(
+                (mgr.camera.yaw, mgr.camera.pitch, mgr.camera.position.copy())
+            )
+            c, _ = device.render_frame(
+                self.scene, mgr.camera.view_proj(), None,
+                width=mgr.width, height=mgr.height,
+            )
+            return c
+
+    def test_wasd_mouse_trajectory(self):
+        from mt_renderer_tpu.app.camera import Camera
+
+        app = self.FlyApp()
+        mgr = RendererAppManager(app, width=64, height=64,
+                                 camera=Camera(position=[0, 0, 4.0]))
+        events = [
+            [("mouse", 10.0, 5.0)],                 # look: yaw -1.0, pitch -0.5
+            [("key_down", "W")],                    # start moving forward
+            [],                                     # W held
+            [("key_up", "W"), ("mouse", -10.0, -5.0)],  # stop + look back
+            [],
+        ]
+        last = mgr.run_interactive(events)
+        assert last.shape == (64, 64, 4)
+
+        yaws = [t[0] for t in app.trajectory]
+        pitches = [t[1] for t in app.trajectory]
+        # frame 0: sensitivity 0.1 -> yaw 0-1.0 (mod 360), pitch -0.5
+        assert abs(yaws[0] - 359.0) < 1e-5 and abs(pitches[0] + 0.5) < 1e-5
+        # no mouse events in frames 1-2: delta reset (input_state.rs:52-79)
+        assert yaws[1] == yaws[0] and yaws[2] == yaws[1]
+        # frame 3 restores the original view
+        assert abs(yaws[3] - 0.0) < 1e-5 and abs(pitches[3] - 0.0) < 1e-5
+
+        # W held for frames 1-3 (released during frame 3's dispatch):
+        # two steps of 0.2 units along the yaw/pitch-rotated forward
+        from mt_renderer_tpu.app.camera import rotation_x, rotation_y
+
+        r = rotation_y(yaws[0]) @ rotation_x(pitches[0])
+        fwd = -r[:3, 2]
+        want1 = np.array([0, 0, 4.0], np.float32) + fwd * 0.2
+        want2 = want1 + fwd * 0.2
+        np.testing.assert_allclose(app.trajectory[1][2], want1, atol=1e-6)
+        np.testing.assert_allclose(app.trajectory[2][2], want2, atol=1e-6)
+        # frame 3: W was released before render -> no further motion
+        np.testing.assert_allclose(app.trajectory[3][2], want2, atol=1e-6)
+
+        # the camera motion actually changes the rendered frames
+        frames = []
+        app2 = self.FlyApp()
+        mgr2 = RendererAppManager(app2, width=64, height=64,
+                                  camera=Camera(position=[0, 0, 4.0]))
+        mgr2.run_interactive(
+            [[("key_down", "W")], [], [], []],
+            on_frame=lambda i, f: frames.append(f),
+        )
+        assert (frames[0] != frames[-1]).any()
+        # moving toward the cube grows its on-screen coverage
+        assert (frames[-1][..., :3].min(-1) < 250).sum() \
+            > (frames[0][..., :3].min(-1) < 250).sum()
+
+    def test_dispatch_rejects_unknown(self):
+        mgr = RendererAppManager(self.FlyApp(), width=8, height=8)
+        with pytest.raises(ValueError):
+            mgr.dispatch_event(("scroll", 1.0))
+
+
 class TestTextureView:
     def test_ycbcr_identity_gray(self):
         # Y=0.5, Cb=Cr=bias, A=1 -> gray 0.5
