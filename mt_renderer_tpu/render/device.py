@@ -69,7 +69,6 @@ class DeviceScene:
     tri_valid: jax.Array      # (Tp,) bool — False for padding
     tri_parts: jax.Array      # (Tp,) i32 parts_no per triangle
     parts_mask: jax.Array     # (P,) bool — per-part visibility (model.rs:318-320)
-    atlas: jax.Array          # (L, AH, AW, 4) u8 (L >= 1) — mip 0
     tex_size: jax.Array       # (L, 2) i32 actual (h, w) per layer
     mip_pool: jax.Array       # (P, 4) u8 — all mip levels, flattened
     mip_table: jax.Array      # (L, M, 3) i32 — (offset, h, w) per mip
@@ -84,7 +83,7 @@ class DeviceScene:
             self.tri_texture, self.tri_debug_id, self.tri_flat,
             self.tri_material, self.mat_color,
             self.tri_valid, self.tri_parts, self.parts_mask,
-            self.atlas, self.tex_size,
+            self.tex_size,
             self.mip_pool, self.mip_table,
         )
         return children, (self.num_joints, self.skinned, self.num_mips)
@@ -120,18 +119,13 @@ def upload(batch: DrawBatch) -> DeviceScene:
 
     texs = batch.textures or []
     if texs:
-        ah = max(x.shape[0] for x in texs)
-        aw = max(x.shape[1] for x in texs)
-        atlas = np.zeros((len(texs), ah, aw, 4), np.uint8)
-        sizes = np.zeros((len(texs), 2), np.int32)
-        for i, x in enumerate(texs):
-            atlas[i, : x.shape[0], : x.shape[1]] = x
-            sizes[i] = (x.shape[0], x.shape[1])
+        sizes = np.array([(x.shape[0], x.shape[1]) for x in texs], np.int32)
     else:
-        atlas = np.zeros((1, 4, 4, 4), np.uint8)
         sizes = np.array([[4, 4]], np.int32)
 
-    # mip pyramids (2x2 box filter) flattened into one texel pool — the
+    # all texture data lives in ONE flat texel pool (mip 0 included):
+    # heterogeneous sizes cost exactly their own texels — no padded-
+    # atlas waste. Mip pyramids (2x2 box filter) extend the pool — the
     # minification path the reference lacks (it uploads only the first
     # mip, rtexture.rs:126-130)
     def downsample(img):
@@ -149,7 +143,7 @@ def upload(batch: DrawBatch) -> DeviceScene:
     pool_parts, tables = [], []
     offset = 0
     n_mips = 1
-    src_texs = texs if texs else [atlas[0]]
+    src_texs = texs if texs else [np.zeros((4, 4, 4), np.uint8)]
     for img in src_texs:
         chain, cur = [], img
         chain.append(cur)
@@ -185,7 +179,7 @@ def upload(batch: DrawBatch) -> DeviceScene:
         tri_material=dp(tri_mat), mat_color=dp(mat_color),
         tri_valid=dp(valid), tri_parts=dp(tri_parts),
         parts_mask=dp(parts_mask),
-        atlas=dp(atlas), tex_size=dp(sizes),
+        tex_size=dp(sizes),
         mip_pool=dp(mip_pool), mip_table=dp(table),
         num_joints=nj, skinned=bool(batch.skinned), num_mips=n_mips,
     )
@@ -461,36 +455,13 @@ def raster_multilayer(setup, width: int, height: int, chunk: int,
     return zl, il
 
 
-def sample_bilinear(atlas, tex_size, layer, u, v):
-    """Bilinear clamp-to-edge sample from the texture atlas.
-
-    layer/u/v are (H, W); returns (H, W, 4) f32 in 0-255."""
-    size = tex_size[jnp.clip(layer, 0, tex_size.shape[0] - 1)]
-    th = size[..., 0].astype(jnp.float32)
-    tw = size[..., 1].astype(jnp.float32)
-    x = u * tw - 0.5
-    y = v * th - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    wmax = size[..., 1] - 1
-    hmax = size[..., 0] - 1
-    x0c = jnp.clip(x0i, 0, wmax)
-    x1c = jnp.clip(x0i + 1, 0, wmax)
-    y0c = jnp.clip(y0i, 0, hmax)
-    y1c = jnp.clip(y0i + 1, 0, hmax)
-    lc = jnp.clip(layer, 0, atlas.shape[0] - 1)
-    t = atlas.astype(jnp.float32)
-    c00 = t[lc, y0c, x0c]
-    c10 = t[lc, y0c, x1c]
-    c01 = t[lc, y1c, x0c]
-    c11 = t[lc, y1c, x1c]
-    top = c00 * (1 - fx) + c10 * fx
-    bot = c01 * (1 - fx) + c11 * fx
-    return top * (1 - fy) + bot * fy
+def sample_bilinear(scene: DeviceScene, layer, u, v):
+    """Bilinear clamp-to-edge sample at full resolution (mip 0) from the
+    flat texel pool. layer/u/v are (H, W); returns (H, W, 4) f32 0-255."""
+    lc = jnp.clip(layer, 0, scene.mip_table.shape[0] - 1)
+    return _sample_mip_bilinear(
+        scene.mip_pool, scene.mip_table, lc, jnp.zeros_like(lc), u, v
+    )
 
 
 def _sample_mip_bilinear(pool, table, layer, mip, u, v):
@@ -587,9 +558,7 @@ def shade_src(scene: DeviceScene, setup, ib, width: int, height: int,
         lod = _uv_lod(uvp, tex_hw)
         albedo = sample_trilinear(scene, layer, uvp[..., 0], uvp[..., 1], lod)
     else:
-        albedo = sample_bilinear(
-            scene.atlas, scene.tex_size, layer, uvp[..., 0], uvp[..., 1]
-        )
+        albedo = sample_bilinear(scene, layer, uvp[..., 0], uvp[..., 1])
 
     palette = jnp.asarray(
         np.concatenate(

@@ -212,6 +212,27 @@ class TestMipmapping:
         top = np.asarray(ds.mip_pool)[off]
         assert np.abs(top.astype(np.float64) - avg).max() < 12
 
+    def test_mixed_size_textures_share_flat_pool(self):
+        """Heterogeneous texture sizes cost exactly their own texels —
+        mip 0 lives in the same flat pool as the pyramid (no padded
+        atlas), and sampling stays correct per texture."""
+        from mt_renderer_tpu.scene import demo
+        from mt_renderer_tpu.scene.model import merge_batches
+
+        a = demo.build_demo_batch(instances=1, skinned=False, texture_size=64)
+        b = demo.build_demo_batch(instances=1, skinned=False, texture_size=16)
+        b.positions = b.positions + np.array([3.0, 0, 0], np.float32)
+        m = merge_batches(a, b)
+        ds = device.upload(m)
+        pyramid_64 = sum((64 >> i) ** 2 for i in range(7))   # 5461
+        pyramid_16 = sum((16 >> i) ** 2 for i in range(5))   # 341
+        assert ds.mip_pool.shape[0] == pyramid_64 + pyramid_16
+
+        vp = _vp(pos=(1.5, 0.5, 7.0))
+        want, _ = cpu_reference.render(m, vp, 128, 128)
+        got, _ = device.render_frame(ds, vp, width=128, height=128)
+        assert_frames_match(np.asarray(got), want)
+
     def test_mip0_matches_bilinear(self, scene):
         # a close-up view magnifies: lod <= 0 -> trilinear == bilinear mip0
         from mt_renderer_tpu.scene import demo
