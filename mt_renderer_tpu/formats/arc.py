@@ -28,7 +28,9 @@ import numpy as np
 
 from .. import dti as dti_mod
 from ..dti import DTI
-from ..utils import Reader, cstr
+from ..utils import Reader, cstr, get_logger, parse_error
+
+log = get_logger("formats.arc")
 
 ARCHIVE_MAGIC = b"ARC\0"
 ARCHIVE_VERSION = 7
@@ -73,20 +75,31 @@ class ArchiveFile:
         r = Reader(src)
         header = r.struct(HEADER_DTYPE)
         if bytes(header["magic"]) != ARCHIVE_MAGIC.rstrip(b"\0"):
-            raise ValueError(f"bad archive magic: {bytes(header['magic'])!r}")
+            raise parse_error(
+                f"bad archive magic: {bytes(header['magic'])!r}", r.data, 0
+            )
         if int(header["version"]) != ARCHIVE_VERSION:
-            raise ValueError(f"unsupported archive version: {header['version']}")
+            raise parse_error(
+                f"unsupported archive version: {header['version']}", r.data, 4
+            )
+        log.debug("archive: version %d, %d resources",
+                  int(header["version"]), int(header["num_resources"]))
 
         self._data = r.data
         raw = r.struct_array(RESOURCE_INFO_DTYPE, int(header["num_resources"]))
 
         self.resources: list[ResourceInfo] = []
         self._index: dict[tuple[str, int], ResourceInfo] = {}
-        for rec in raw:
+        for i, rec in enumerate(raw):
             bf = int(rec["bitfield_orgsize_quality"])
             dti = dti_mod.from_hash(int(rec["dti_type"]))
             if dti is None:
-                raise ValueError(f"unknown DTI hash 0x{int(rec['dti_type']):08x}")
+                raise parse_error(
+                    f"unknown DTI hash 0x{int(rec['dti_type']):08x} "
+                    f"for {cstr(rec['path'])!r}",
+                    r.data,
+                    HEADER_DTYPE.itemsize + i * RESOURCE_INFO_DTYPE.itemsize,
+                )
             info = ResourceInfo(
                 path=cstr(rec["path"]),
                 dti=dti,
@@ -94,6 +107,11 @@ class ArchiveFile:
                 size_uncompressed=bf & ORGSIZE_MASK,
                 quality=(bf >> 29) & QUALITY_MASK,
                 offset=int(rec["offset"]),
+            )
+            log.debug(
+                "  [%d] %s <%s> %d -> %d bytes q%d @0x%x", i, info.path,
+                dti.name, info.size_compressed, info.size_uncompressed,
+                info.quality, info.offset,
             )
             self.resources.append(info)
             self._index[(info.path, info.dti.hash)] = info

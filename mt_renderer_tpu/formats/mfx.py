@@ -24,7 +24,9 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..utils import Reader, crc32, read_cstring
+from ..utils import Reader, crc32, get_logger, parse_error, read_cstring
+
+log = get_logger("formats.mfx")
 
 MFX_MAGIC = 0x58464D  # b"MFX\0" read as LE u32
 
@@ -207,7 +209,9 @@ class Shader2File:
         data = r.data
         h = np.frombuffer(data, HEADER_DTYPE, 1)[0]
         if int(h["magic"]) != MFX_MAGIC:
-            raise ValueError(f"rShader2 magic incorrect: {int(h['magic']):08x}")
+            raise parse_error(
+                f"rShader2 magic incorrect: {int(h['magic']):08x}", data, 0
+            )
         st = int(h["stringtable_offs"])
 
         def name_at(offs: int) -> str:

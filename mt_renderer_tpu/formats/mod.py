@@ -26,7 +26,9 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..utils import Reader, cstr
+from ..utils import Reader, cstr, get_logger, parse_error
+
+log = get_logger("formats.mod")
 
 MOD_MAGIC = b"MOD\0"
 
@@ -209,7 +211,13 @@ class ModelFile:
         r = Reader(src)
         h = r.struct(MODEL_HDR_DTYPE)
         if bytes(h["magic"]) != MOD_MAGIC.rstrip(b"\0"):
-            raise ValueError(f"bad model magic {bytes(h['magic'])!r}")
+            raise parse_error(f"bad model magic {bytes(h['magic'])!r}", r.data, 0)
+        log.debug(
+            "model: v%d, %d materials, %d primitives, %d joints, %d parts, "
+            "%d verts / %d indices", int(h["version"]), int(h["material_num"]),
+            int(h["primitive_num"]), int(h["jnt_num"]), int(h["parts_num"]),
+            int(h["vertex_num"]), int(h["index_num"]),
+        )
         self.header = h
         self.version = int(h["version"])
         boundary_num = int(r.struct(np.dtype("<u4")))
@@ -224,6 +232,11 @@ class ModelFile:
         r.seek(int(h["primitive_info"]))
         raw_prims = r.struct_array(PRIMITIVE_INFO_DTYPE, int(h["primitive_num"]))
         self.primitives = [Primitive.from_raw(p) for p in raw_prims]
+        for i, p in enumerate(self.primitives):
+            log.debug("  prim[%d]: mat=%d parts=%d stride=%d weights=%d "
+                      "verts=%d idx=%d+%d", i, p.material_no, p.parts_no,
+                      p.vertex_stride, p.weight_num, p.vertex_num,
+                      p.index_ofs, p.index_num)
 
         # boundaries follow the primitive array directly (rmodel.rs:358-366)
         self.boundaries = r.struct_array(BOUNDARY_INFO_DTYPE, boundary_num).copy()

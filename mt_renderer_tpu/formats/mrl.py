@@ -26,7 +26,9 @@ import numpy as np
 
 from .. import dti as dti_mod
 from ..dti import DTI
-from ..utils import Reader, crc32, cstr
+from ..utils import Reader, crc32, cstr, get_logger, parse_error
+
+log = get_logger("formats.mrl")
 from .mfx import Shader2File, object_handle
 
 MRL_MAGIC = b"MRL\0"
@@ -113,7 +115,7 @@ class MaterialFile:
         data = r.data
         h = r.struct(HEADER_DTYPE)
         if bytes(h["magic"]) != MRL_MAGIC.rstrip(b"\0"):
-            raise ValueError(f"bad material magic {bytes(h['magic'])!r}")
+            raise parse_error(f"bad material magic {bytes(h['magic'])!r}", r.data, 0)
 
         tex_raw = np.frombuffer(
             data, TEXTURE_INFO_DTYPE, int(h["texture_num"]),

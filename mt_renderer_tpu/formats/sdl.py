@@ -28,7 +28,9 @@ import numpy as np
 
 from .. import dti as dti_mod
 from ..dti import DTI
-from ..utils import Reader, read_cstring
+from ..utils import Reader, get_logger, read_cstring
+
+log = get_logger("formats.sdl")
 
 SDL_MAGIC = b"SDL\0"
 SDL_VERSION = 0x16
@@ -122,6 +124,8 @@ class SchedulerFile:
             key_num = (bf >> 16) & 0xFFFF
             name = read_cstring(data, meta + int(t["track_prop_name"]))
 
+            log.debug("track %s %r: prop_type=%d keys=%d",
+                      ttype.name, name, prop_type, key_num)
             track = Track(
                 track_type=ttype, prop_type=prop_type, name=name,
                 parent=int(t["field_4"]),

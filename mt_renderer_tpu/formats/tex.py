@@ -34,7 +34,9 @@ import enum
 
 import numpy as np
 
-from ..utils import Reader
+from ..utils import Reader, get_logger, parse_error
+
+log = get_logger("formats.tex")
 
 TEX_MAGIC = b"TEX\0"
 
@@ -85,7 +87,7 @@ class TextureFile:
         r = Reader(src)
         h = r.struct(HEADER_DTYPE)
         if bytes(h["magic"]) != TEX_MAGIC.rstrip(b"\0"):
-            raise ValueError(f"bad texture magic {bytes(h['magic'])!r}")
+            raise parse_error(f"bad texture magic {bytes(h['magic'])!r}", r.data, 0)
 
         bf4, bf8, bfc = int(h["bitfield_4"]), int(h["bitfield_8"]), int(h["bitfield_c"])
         self.version = bf4 & 0xFFFF
@@ -102,6 +104,9 @@ class TextureFile:
         if self.image_type != TextureType.TT_2D:
             raise ValueError(f"unsupported texture type {self.image_type!r}")
 
+        log.debug("texture: v%d %dx%d fmt=%d levels=%d array=%d",
+                  self.version, self.width, self.height, self.format,
+                  self.level_count, self.array_count)
         num_images = self.array_count * self.level_count
         self.offsets = r.struct_array(np.dtype("<u8"), num_images).astype(np.int64)
         self._raw = r.data

@@ -31,7 +31,9 @@ import numpy as np
 
 from .. import dti as dti_mod
 from ..dti import DTI, PROP_ATTR_DYNAMIC, PropType
-from ..utils import Reader, read_cstring
+from ..utils import Reader, get_logger, parse_error, read_cstring
+
+log = get_logger("formats.xfs")
 
 XFS_MAGIC = b"XFS\0"
 XFS_MAJOR = 16
@@ -174,12 +176,15 @@ def _read_class(r: Reader, objects: list[ObjectInfo]) -> XfsClass | None:
     info = objects[(class_info >> 1) & 0x7FFF]
     r.read(8)  # unused u64 (mtserializer.rs:227-229)
 
+    log.debug("class %s (%d props)", info.dti.name, len(info.props))
     props: list[tuple[str, list]] = []
     for prop in info.props:
         if prop.is_disabled:
             raise NotImplementedError("disabled prop")
         (count,) = struct.unpack("<I", r.read(4))
         values = [_read_value(r, prop, objects) for _ in range(count)]
+        log.debug("  %s<%s>%s x%d", prop.name, prop.prop_type.name,
+                  " dyn" if prop.is_dynamic else "", count)
         props.append((prop.name, values))
     return XfsClass(class_type=info.dti, props=props)
 
@@ -197,9 +202,15 @@ def deserialize(src) -> XfsClass:
         r = Reader(strip_prpz(r.data))
     h = r.struct(HEADER_DTYPE)
     if bytes(h["magic"]) != XFS_MAGIC.rstrip(b"\0"):
-        raise ValueError(f"bad XFS magic {bytes(h['magic'])!r}")
+        raise parse_error(f"bad XFS magic {bytes(h['magic'])!r}", r.data, 0)
     if int(h["major_version"]) != XFS_MAJOR:
-        raise ValueError(f"unsupported XFS major version {int(h['major_version'])}")
+        raise parse_error(
+            f"unsupported XFS major version {int(h['major_version'])}",
+            r.data, 4,
+        )
+    log.debug("xfs: v%d.%d, %d object infos, %d-byte database",
+              int(h["major_version"]), int(h["minor_version"]),
+              int(h["object_num"]), int(h["database_size"]))
 
     db = r.read(int(h["database_size"]))
     object_num = int(h["object_num"])

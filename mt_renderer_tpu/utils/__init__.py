@@ -1,4 +1,5 @@
 from .crc import crc32, crc32_py, dti_hash
+from .log import get_logger, parse_error
 from .structio import (
     Reader,
     cstr,
@@ -12,6 +13,8 @@ __all__ = [
     "crc32",
     "crc32_py",
     "dti_hash",
+    "get_logger",
+    "parse_error",
     "Reader",
     "cstr",
     "hexdump",

@@ -103,3 +103,58 @@ class TestDTI:
         assert dti.PropType.from_raw(0x4B) is dti.PropType.custom
         assert dti.PropType.from_raw(0x80) is dti.PropType.custom
         assert dti.PropType.from_raw(200) is dti.PropType.custom
+
+
+class TestObservability:
+    """MTR_LOG narration + hexdump error context (the reference's
+    log/env_logger ergonomics, SURVEY §5: RUST_LOG=debug narrates every
+    record, e.g. rarchive.rs:99-107)."""
+
+    def test_debug_narration(self, caplog):
+        import logging
+
+        from mt_renderer_tpu import fixtures
+        from mt_renderer_tpu.formats.arc import ArchiveFile
+        from mt_renderer_tpu.formats.mod import ModelFile
+
+        with caplog.at_level(logging.DEBUG, logger="mt_renderer_tpu"):
+            ArchiveFile(fixtures.build_archive())
+            ModelFile(fixtures.build_model())
+        text = caplog.text
+        assert "archive: version 7" in text
+        assert "<rModel>" in text          # per-resource TOC narration
+        assert "prim[0]:" in text          # per-primitive narration
+
+    def test_parse_error_hexdump_context(self):
+        import pytest
+
+        from mt_renderer_tpu import fixtures
+        from mt_renderer_tpu.formats.arc import ArchiveFile
+
+        bad = b"NOPE" + fixtures.build_archive()[4:]
+        with pytest.raises(ValueError) as ei:
+            ArchiveFile(bad)
+        msg = str(ei.value)
+        assert "bad archive magic" in msg
+        assert "context at +0x0" in msg
+        assert "4e 4f 50 45" in msg        # 'NOPE' hexdumped
+
+    def test_mtr_log_env_cli(self, tmp_path):
+        """MTR_LOG=debug arctool unpack narrates like RUST_LOG=debug."""
+        import subprocess
+        import sys
+
+        from mt_renderer_tpu import fixtures
+
+        arc_path = tmp_path / "f.arc"
+        arc_path.write_bytes(fixtures.build_archive())
+        import os
+
+        env = dict(os.environ, MTR_LOG="debug", JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, "-m", "mt_renderer_tpu.cli.arctool", "unpack",
+             str(arc_path), "-o", str(tmp_path / "out")],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "archive: version 7" in r.stderr
