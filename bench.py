@@ -323,31 +323,49 @@ def main(argv=None):
     args.cam_scale = 0.3 if args.preset == "dense" else 1.0
 
     if args.table:
-        rows = []
-        base = dict(vars(args))
+        # one SUBPROCESS per config: any device→host transfer (end-of-run
+        # coverage readout, verify) permanently degrades every later
+        # dispatch in a process to ~250 ms through the axon tunnel, so
+        # in-process back-to-back configs would measure garbage
+        import subprocess
+
         configs = [
-            ("pallas", {}),
-            ("pallas+mip+light", {"mipmap": True, "lighting": True}),
-            ("pallas peel4", {"peel": 4}),
-            ("scan", {"backend": "scan"}),
+            ("pallas", []),
+            ("pallas+mip+light", ["--mipmap", "--lighting"]),
+            ("pallas peel4", ["--peel", "4"]),
+            ("pallas dense", ["--preset", "dense"]),
+            ("scan", ["--backend", "scan"]),
         ]
-        for name, over in configs:
-            a = argparse.Namespace(**{**base, **over})
-            r = run_once(a, width, height, instances, max(10, frames // 2))
+        common = ["--no-verify", "--frames", str(frames),
+                  "--preset", args.preset]
+        rows = []
+        for name, extra in configs:
+            cmd = [sys.executable, __file__] + common + extra
+            if extra[:2] == ["--preset", "dense"]:
+                cmd = [sys.executable, __file__, "--no-verify",
+                       "--frames", str(frames)] + extra
+            p = subprocess.run(cmd, capture_output=True, text=True)
+            if p.returncode != 0:
+                print(f"# {name}: FAILED\n{p.stderr[-500:]}", file=sys.stderr)
+                continue
+            r = json.loads(p.stdout.strip().splitlines()[-1])
             rows.append((name, r))
-            print(f"# {name}: fps={r['fps']:.1f} "
+            print(f"# {name}: fps={r['value']:.1f} "
                   f"p50={r['latency_ms_p50']:.2f}ms", file=sys.stderr)
         print("\n| config | fps (pipelined) | p50 latency ms | fps "
               "(blocked) | Mtri/s | Mtexel/s | coverage |", file=sys.stderr)
         print("|---|---|---|---|---|---|---|", file=sys.stderr)
         for name, r in rows:
-            print(f"| {name} | {r['fps']:.0f} | {r['latency_ms_p50']:.2f} "
+            print(f"| {name} | {r['value']:.0f} | {r['latency_ms_p50']:.2f} "
                   f"| {r['fps_blocked']:.0f} | {r['mtri_s']:.0f} | "
                   f"{r['mtexel_s']:.0f} | {r['coverage']:.3f} |",
                   file=sys.stderr)
-        r = rows[0][1]
-    else:
-        r = run_once(args, width, height, instances, frames, png=png)
+        print(json.dumps(rows[0][1] if rows else {"metric": "table_failed",
+                                                  "value": 0,
+                                                  "unit": "fps",
+                                                  "vs_baseline": 0}))
+        return 0
+    r = run_once(args, width, height, instances, frames, png=png)
 
     extras = {}
     if args.preset == "full" and not args.no_verify:
