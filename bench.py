@@ -334,7 +334,9 @@ def main(argv=None):
             ("pallas+mip+light", ["--mipmap", "--lighting"]),
             ("pallas peel4", ["--peel", "4"]),
             ("pallas dense", ["--preset", "dense"]),
-            ("scan", ["--backend", "scan"]),
+            # no scan row: the all-triangles scan backend is O(T·pixels)
+            # with no binning — a correctness/differential path (verify
+            # mode + tests), not a production configuration
         ]
         common = ["--no-verify", "--frames", str(frames),
                   "--preset", args.preset]

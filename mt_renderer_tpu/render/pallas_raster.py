@@ -197,8 +197,12 @@ def _overflow_report(n: int, maxc: int):
 def queue_overflow_check(n_over, maxc: int):
     """Queue a device scalar (tiles-over-cap count) for host checking.
     Free in the frame loop: no sync, no transfer — device-side compress
-    only (one tiny fused sum) when the queue grows past _COMPRESS."""
+    only (one tiny fused sum) when the queue grows past _COMPRESS.
+    No-op under tracing (jax.export / nested jit): a tracer can't be
+    checked host-side and must not leak into the queue."""
     global _PENDING_MAXC
+    if isinstance(n_over, jax.core.Tracer):
+        return
     _PENDING_CHECKS.append(n_over)
     _PENDING_MAXC = max(_PENDING_MAXC, int(maxc))
     if len(_PENDING_CHECKS) >= _COMPRESS:
