@@ -143,7 +143,9 @@ class TextureFile:
 
             return native.decode_bc1(self.data, w, h)
         if fmt in (TextureFormat.BC7, TextureFormat.BC7_42):
-            return bcn.decode_bc7_numpy(self.data, w, h)
+            from .. import native
+
+            return native.decode_bc7(self.data, w, h)
         raise ValueError(f"unhandled texture format {fmt}")
 
 

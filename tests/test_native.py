@@ -81,3 +81,38 @@ class TestNativeBc1:
         got = native.decode_bc1(data, 4, 4)
         np.testing.assert_array_equal(np.asarray(got), want)
         assert got[0, 3, 3] == 0   # transparent black texel
+
+
+class TestNativeBc7:
+    def test_matches_python_decoder_all_modes(self):
+        """Random blocks hit every mode (lowest-set-bit selection) plus
+        the reserved no-mode encoding; native must be byte-exact vs the
+        vectorised NumPy reference."""
+        import numpy as np
+
+        from mt_renderer_tpu import native
+        from mt_renderer_tpu.render import bcn
+
+        rng = np.random.default_rng(7)
+        for w, h in ((64, 64), (108, 52), (4, 4)):
+            data = rng.integers(
+                0, 256, ((w + 3) // 4) * ((h + 3) // 4) * 16, dtype=np.uint8
+            ).tobytes()
+            a = bcn.decode_bc7_numpy(data, w, h)
+            b = native.decode_bc7(data, w, h)
+            np.testing.assert_array_equal(a, b)
+
+    def test_fixture_texture_roundtrip(self):
+        """The BC7 fixture encoder's output decodes identically through
+        the native and NumPy paths (the tex.decode_rgba8 route)."""
+        import numpy as np
+
+        from mt_renderer_tpu import fixtures, native
+        from mt_renderer_tpu.formats.tex import TextureFile
+        from mt_renderer_tpu.render import bcn
+
+        tex = TextureFile(fixtures.build_texture_bc7(32))
+        img = tex.decode_rgba8()
+        want = bcn.decode_bc7_numpy(tex.data, tex.width, tex.height)
+        np.testing.assert_array_equal(img, want)
+        assert img.shape == (32, 32, 4)
