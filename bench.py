@@ -210,9 +210,15 @@ def run_once(args, width, height, instances, frames, png=None):
     def cov_count(depth):
         return jnp.sum(depth < 1.0)
 
+    @jax.jit
+    def trivial(x):
+        return x + 1.0
+
+    x8 = jnp.zeros((8, 128), jnp.float32)
+
     # compile + warm up
     color, depth = frame(0)
-    jax.block_until_ready((color, depth, cov_count(depth)))
+    jax.block_until_ready((color, depth, cov_count(depth), trivial(x8)))
 
     overflow_before = pr.OVERFLOW_EVENTS
 
@@ -220,10 +226,11 @@ def run_once(args, width, height, instances, frames, png=None):
 
     from mt_renderer_tpu.utils.profiling import trace
 
-    # pipelined throughput: dispatch all frames, block once (how a real
-    # frame loop runs — the device pipelines host dispatch). NOTHING
-    # else per frame: a single extra dispatch halves throughput and a
-    # scalar device→host sync costs ~0.7 s through the axon tunnel.
+    # DISPATCH throughput: dispatch all frames, block once. Through the
+    # axon tunnel neither pipelined wall time nor block_until_ready
+    # reflects device execution (measured r2: 786k tris timed "faster"
+    # than 3k), so this number is the host dispatch rate — an upper
+    # bound, reported as fps_dispatch, NOT the headline.
     ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
     with ctx:
         t0 = time.perf_counter()
@@ -231,31 +238,40 @@ def run_once(args, width, height, instances, frames, png=None):
             color, depth = frame(i)
         jax.block_until_ready((color, depth))
         dt = time.perf_counter() - t0
-
-    # blocked per-frame latency: what one frame actually costs end-to-end
-    lat = []
-    for i in range(1, min(frames, 20) + 1):
-        t0 = time.perf_counter()
-        out = frame(i)
-        jax.block_until_ready(out)
-        lat.append(time.perf_counter() - t0)
-    lat_ms = sorted(x * 1e3 for x in lat)
-    p50 = lat_ms[len(lat_ms) // 2]
+    fps_dispatch = frames / dt
 
     # measured per-frame coverage (every frame of the same sequence, in
-    # an untimed pass; ONE device→host transfer at the end)
+    # an untimed pass; ONE device→host transfer at the end). This first
+    # transfer also flips the tunnel into synchronous dispatch mode.
     covs = [cov_count(frame(i)[1]) for i in range(1, frames + 1)]
     covered_total = int(jnp.sum(jnp.stack(covs)))
     pr.flush_overflow_checks()
 
-    fps = frames / dt
+    # TRUE device frame time: after a device→host transfer the tunnel
+    # executes each dispatch synchronously, so a blocked dispatch now
+    # measures actual device execution (it scales with pixels and
+    # triangles — validated r2). Subtract the RTT floor measured on a
+    # trivial program. This is the honest headline.
+    def p50(fn, reps):
+        ts = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(i))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2] * 1e3
+
+    rtt_ms = p50(lambda i: trivial(x8), 12)
+    frame_ms = max(p50(frame, min(frames, 12)) - rtt_ms, 1e-3)
+    fps_device = 1e3 / frame_ms
+
     tris = batch.num_triangles
     coverage = covered_total / (frames * width * height)
     # texel fetches actually performed: 4 bilinear taps per sampled pixel
     # (8 when trilinear-mipmapped); the demo scene is fully textured
     taps = 8 if args.mipmap else 4
-    mtexel_s = covered_total * taps / dt / 1e6
-    mtri_s = tris * fps / 1e6
+    mtexel_s = coverage * width * height * taps * fps_device / 1e6
+    mtri_s = tris * fps_device / 1e6
 
     if png:
         from mt_renderer_tpu.utils.png import write_png
@@ -266,9 +282,8 @@ def run_once(args, width, height, instances, frames, png=None):
     return {
         "platform": platform, "width": width, "height": height,
         "instances": instances, "tris": tris, "frames": frames,
-        "fps": fps, "latency_ms_p50": p50,
-        "latency_ms_max": lat_ms[-1],
-        "fps_blocked": 1e3 / p50,
+        "fps": fps_device, "frame_ms": frame_ms, "rtt_ms": rtt_ms,
+        "fps_dispatch": fps_dispatch,
         "mtri_s": mtri_s, "mtexel_s": mtexel_s, "coverage": coverage,
         "maxc": maxc, "chunk": chunk,
         "overflow_events": pr.OVERFLOW_EVENTS - overflow_before,
@@ -353,13 +368,13 @@ def main(argv=None):
             r = json.loads(p.stdout.strip().splitlines()[-1])
             rows.append((name, r))
             print(f"# {name}: fps={r['value']:.1f} "
-                  f"p50={r['latency_ms_p50']:.2f}ms", file=sys.stderr)
-        print("\n| config | fps (pipelined) | p50 latency ms | fps "
-              "(blocked) | Mtri/s | Mtexel/s | coverage |", file=sys.stderr)
+                  f"frame={r['frame_ms']:.2f}ms", file=sys.stderr)
+        print("\n| config | fps (device) | frame ms | dispatch fps "
+              "| Mtri/s | Mtexel/s | coverage |", file=sys.stderr)
         print("|---|---|---|---|---|---|---|", file=sys.stderr)
         for name, r in rows:
-            print(f"| {name} | {r['value']:.0f} | {r['latency_ms_p50']:.2f} "
-                  f"| {r['fps_blocked']:.0f} | {r['mtri_s']:.0f} | "
+            print(f"| {name} | {r['value']:.1f} | {r['frame_ms']:.2f} "
+                  f"| {r['fps_dispatch']:.0f} | {r['mtri_s']:.0f} | "
                   f"{r['mtexel_s']:.0f} | {r['coverage']:.3f} |",
                   file=sys.stderr)
         print(json.dumps(rows[0][1] if rows else {"metric": "table_failed",
@@ -379,7 +394,8 @@ def main(argv=None):
         f"# platform={r['platform']} {r['width']}x{r['height']} "
         f"instances={r['instances']} tris={r['tris']} frames={r['frames']} "
         f"coverage={r['coverage']:.3f} fps={r['fps']:.2f} "
-        f"blocked_fps={r['fps_blocked']:.2f} p50={r['latency_ms_p50']:.3f}ms "
+        f"frame={r['frame_ms']:.3f}ms (rtt {r['rtt_ms']:.2f}ms) "
+        f"dispatch_fps={r['fps_dispatch']:.1f} "
         f"Mtri/s={r['mtri_s']:.2f} Mtexel/s={r['mtexel_s']:.1f} "
         f"maxc={r['maxc']} overflow={r['overflow_events']}",
         file=sys.stderr,
@@ -389,8 +405,9 @@ def main(argv=None):
         "value": round(r["fps"], 3),
         "unit": "fps",
         "vs_baseline": round(r["fps"] / 60.0, 4),
-        "latency_ms_p50": round(r["latency_ms_p50"], 4),
-        "fps_blocked": round(r["fps_blocked"], 3),
+        "frame_ms": round(r["frame_ms"], 4),
+        "rtt_ms": round(r["rtt_ms"], 4),
+        "fps_dispatch": round(r["fps_dispatch"], 3),
         "mtri_s": round(r["mtri_s"], 2),
         "mtexel_s": round(r["mtexel_s"], 2),
         "coverage": round(r["coverage"], 4),

@@ -79,15 +79,18 @@ def _render_frame_multichip_core(
             pw = -(-width // pr.TILE_W) * pr.TILE_W
             pb = -(-band_h // pr.TILE_H) * pr.TILE_H
             interp = jax.default_backend() != "tpu"
-            zb, ib, n_over = pr.raster_pallas(
-                setup, 0, y0, width=pw, height=pb,
+            extras, n_attr = dev.fwd_extras(scene, setup, lighting=lighting)
+            zb, ib, attrs, n_over = pr.raster_pallas_fwd(
+                setup, extras, 0, y0, width=pw, height=pb,
                 maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
+                n_attr=n_attr,
             )
-            color = dev.shade_stage(
-                scene, setup, zb, ib, width, height, clear_color,
-                origin=(0, y0), band=(pw, pb), mipmap=mipmap,
-                lighting=lighting,
-            )
+            src, covered = dev.shade_fwd(scene, attrs, ib, mipmap=mipmap,
+                                         lighting=lighting)
+            clear = jnp.asarray(np.asarray(clear_color, np.float32))
+            dst = jnp.broadcast_to(clear, (pb, pw, 4))
+            out = dev.blend_over(src, covered, dst)
+            color = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.uint8)
             return (color[:band_h, :width], zb[:band_h, :width],
                     n_over[None])
         zb, ib = dev.raster_stage(

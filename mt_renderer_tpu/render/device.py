@@ -70,7 +70,7 @@ class DeviceScene:
     tri_parts: jax.Array      # (Tp,) i32 parts_no per triangle
     parts_mask: jax.Array     # (P,) bool — per-part visibility (model.rs:318-320)
     tex_size: jax.Array       # (L, 2) i32 actual (h, w) per layer
-    mip_pool: jax.Array       # (P, 4) u8 — all mip levels, flattened
+    mip_pool: jax.Array       # (P, 16) u8 — all mips; 2x2 quad per row
     mip_table: jax.Array      # (L, M, 3) i32 — (offset, h, w) per mip
     num_joints: int           # static
     skinned: bool             # static
@@ -127,7 +127,10 @@ def upload(batch: DrawBatch) -> DeviceScene:
     # heterogeneous sizes cost exactly their own texels — no padded-
     # atlas waste. Mip pyramids (2x2 box filter) extend the pool — the
     # minification path the reference lacks (it uploads only the first
-    # mip, rtexture.rs:126-130)
+    # mip, rtexture.rs:126-130). Each pool row stores the texel's full
+    # 2x2 bilinear footprint (self, right, down, down-right, clamping
+    # baked in), so one gather serves a whole bilinear tap — gathers are
+    # the dominant sampling cost on TPU.
     def downsample(img):
         h, w = img.shape[:2]
         h2, w2 = max(h // 2, 1), max(w // 2, 1)
@@ -152,18 +155,28 @@ def upload(batch: DrawBatch) -> DeviceScene:
             chain.append(cur)
         n_mips = max(n_mips, len(chain))
         tables.append(chain)
+    def quad_rows(img):
+        """(h, w, 4) u8 → (h·w, 16): texel + right/down/down-right
+        neighbors (clamp-to-edge baked in)."""
+        h, w = img.shape[:2]
+        xr = np.minimum(np.arange(w) + 1, w - 1)
+        yd = np.minimum(np.arange(h) + 1, h - 1)
+        return np.concatenate(
+            [img, img[:, xr], img[yd], img[yd][:, xr]], axis=-1
+        ).reshape(-1, 16)
+
     table = np.zeros((len(src_texs), n_mips, 3), np.int32)
     for li, chain in enumerate(tables):
         for mi in range(n_mips):
             img = chain[min(mi, len(chain) - 1)]
             if mi < len(chain):
-                pool_parts.append(img.reshape(-1, 4))
+                pool_parts.append(quad_rows(img))
                 table[li, mi] = (offset, img.shape[0], img.shape[1])
                 offset += img.shape[0] * img.shape[1]
             else:
                 table[li, mi] = table[li, len(chain) - 1]
     mip_pool = (np.concatenate(pool_parts) if pool_parts
-                else np.zeros((1, 4), np.uint8))
+                else np.zeros((1, 16), np.uint8))
 
     nj = len(batch.inverse_bind_mats) if batch.inverse_bind_mats is not None else 1
 
@@ -455,6 +468,94 @@ def raster_multilayer(setup, width: int, height: int, chunk: int,
     return zl, il
 
 
+def fwd_extras(scene: DeviceScene, setup, lighting: bool = False):
+    """Per-triangle columns for the forward raster kernel
+    (pallas_raster.raster_pallas_fwd): perspective-correct interpolation
+    planes for u, v, 1/w (and normals when lighting), the texture layer,
+    and the per-triangle color C (material color for textured triangles,
+    material×flat/debug color for untextured ones). Selecting these in
+    VMEM at raster time removes every per-pixel table gather from the
+    shade stage (the measured 85% of the r2 frame)."""
+    from . import pallas_raster as pr
+
+    hi = jax.lax.Precision.HIGHEST
+    area = setup["area"]
+    inv_area = jnp.where(
+        area != 0.0, 1.0 / jnp.where(area == 0.0, 1.0, area), 0.0
+    )
+    inv_w = setup["inv_w"]                                 # (Tp, 3)
+
+    def planes(fvals):
+        """Plane (a, b, c) of Σ_i f_i·bary_i with bary_i = e_i/area."""
+        a = jnp.einsum("tp,tp->t", fvals, setup["ea"], precision=hi)
+        b = jnp.einsum("tp,tp->t", fvals, setup["eb"], precision=hi)
+        c = jnp.einsum("tp,tp->t", fvals, setup["ec"], precision=hi)
+        return [(a * inv_area)[:, None], (b * inv_area)[:, None],
+                (c * inv_area)[:, None]]
+
+    cols = (planes(setup["uv"][..., 0] * inv_w)
+            + planes(setup["uv"][..., 1] * inv_w)
+            + planes(inv_w))
+
+    palette = jnp.asarray(
+        np.concatenate(
+            [DEBUG_PALETTE.astype(np.float32),
+             np.full((20, 1), 255.0, np.float32)], axis=1,
+        )
+    )
+    debug_rgba = palette[scene.tri_debug_id % 20]
+    flat = scene.tri_flat
+    base = jnp.where(flat[:, 3:4] >= 0.0, flat, debug_rgba)   # 0-255
+    mat = scene.mat_color[scene.tri_material]                 # 0-1
+    tex = scene.tri_texture
+    c_rgba = jnp.where(tex[:, None] >= 0, mat, base * mat)
+    cols += [tex.astype(jnp.float32)[:, None], c_rgba]
+    n_attr = pr.ATTRS_BASE
+    if lighting:
+        nrm = setup["nrm"]                                 # (Tp, 3, 3)
+        for ch in range(3):
+            cols += planes(nrm[..., ch] * inv_w)
+        n_attr = pr.ATTRS_LIT
+    return jnp.concatenate(cols, axis=1), n_attr
+
+
+def shade_fwd(scene: DeviceScene, attrs, ib, mipmap: bool = False,
+              lighting: bool = False):
+    """Shade from the forward kernel's per-pixel attributes — no gathers
+    from per-triangle tables, only the texel-pool sample.
+
+    Returns (src (bh, bw, 4) f32 0-255, covered (bh, bw) bool)."""
+    covered = ib >= 0
+    w_ = attrs[2]
+    inv = 1.0 / jnp.where(jnp.abs(w_) < W_EPS, W_EPS, w_)
+    u = attrs[0] * inv
+    v = attrs[1] * inv
+    layer = attrs[3].astype(jnp.int32)
+    c_rgba = jnp.moveaxis(attrs[4:8], 0, -1)               # (H, W, 4)
+    textured = layer >= 0
+    lsafe = jnp.maximum(layer, 0)
+    if mipmap:
+        tex_hw = scene.tex_size[
+            jnp.clip(lsafe, 0, scene.tex_size.shape[0] - 1)
+        ]
+        lod = _uv_lod(jnp.stack([u, v], axis=-1), tex_hw)
+        albedo = sample_trilinear(scene, lsafe, u, v, lod)
+    else:
+        albedo = sample_bilinear(scene, lsafe, u, v)
+    src = jnp.where(textured[..., None], albedo * c_rgba, c_rgba)
+    if lighting:
+        n = jnp.moveaxis(attrs[8:11], 0, -1) * inv[..., None]
+        n = n / jnp.maximum(
+            jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6
+        )
+        light = jnp.asarray(LIGHT_DIR, jnp.float32)
+        light = light / jnp.linalg.norm(light)
+        ndl = jnp.maximum(jnp.einsum("hwc,c->hw", n, light), 0.0)
+        shade = (0.3 + 0.7 * ndl)[..., None]
+        src = jnp.concatenate([src[..., :3] * shade, src[..., 3:]], axis=-1)
+    return src, covered
+
+
 def sample_bilinear(scene: DeviceScene, layer, u, v):
     """Bilinear clamp-to-edge sample at full resolution (mip 0) from the
     flat texel pool. layer/u/v are (H, W); returns (H, W, 4) f32 0-255."""
@@ -465,9 +566,11 @@ def sample_bilinear(scene: DeviceScene, layer, u, v):
 
 
 def _sample_mip_bilinear(pool, table, layer, mip, u, v):
-    """Bilinear sample one mip level from the flat texel pool.
+    """Bilinear sample one mip level from the flat quad-texel pool.
 
-    pool (P, 4) u8; table (L, M, 3); layer/mip/u/v are (H, W)."""
+    pool (P, 16) u8 — each row is a texel's 2x2 clamp-baked footprint,
+    so the whole tap is ONE gather (gathers dominate TPU sampling cost);
+    table (L, M, 3); layer/mip/u/v are (H, W)."""
     entry = table[layer, mip]                              # (H, W, 3)
     off = entry[..., 0]
     th = entry[..., 1].astype(jnp.float32)
@@ -476,22 +579,16 @@ def _sample_mip_bilinear(pool, table, layer, mip, u, v):
     y = v * th - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    wmax = entry[..., 2] - 1
-    hmax = entry[..., 1] - 1
-    x0c = jnp.clip(x0i, 0, wmax)
-    x1c = jnp.clip(x0i + 1, 0, wmax)
-    y0c = jnp.clip(y0i, 0, hmax)
-    y1c = jnp.clip(y0i + 1, 0, hmax)
+    # clamp-to-edge on the negative side: the quad row already bakes the
+    # positive side, but a clamped-up x0 must not blend toward texel 1
+    fx = jnp.where(x0 < 0, 0.0, x - x0)[..., None]
+    fy = jnp.where(y0 < 0, 0.0, y - y0)[..., None]
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, entry[..., 2] - 1)
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, entry[..., 1] - 1)
     stride = entry[..., 2]
-    t = pool.astype(jnp.float32)
-    c00 = t[off + y0c * stride + x0c]
-    c10 = t[off + y0c * stride + x1c]
-    c01 = t[off + y1c * stride + x0c]
-    c11 = t[off + y1c * stride + x1c]
+    quad = pool[off + y0c * stride + x0c].astype(jnp.float32)  # (H, W, 16)
+    c00, c10, c01, c11 = (quad[..., 0:4], quad[..., 4:8],
+                          quad[..., 8:12], quad[..., 12:16])
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
     return top * (1 - fy) + bot * fy
@@ -709,14 +806,17 @@ def _render_frame_core(scene: DeviceScene, view_proj: jax.Array,
         pw = -(-width // pr.TILE_W) * pr.TILE_W
         ph = -(-height // pr.TILE_H) * pr.TILE_H
         interp = jax.default_backend() != "tpu"
-        zb, ib, n_over = pr.raster_pallas(
-            setup, 0, 0, width=pw, height=ph,
-            maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
+        extras, n_attr = fwd_extras(scene, setup, lighting=lighting)
+        zb, ib, attrs, n_over = pr.raster_pallas_fwd(
+            setup, extras, 0, 0, width=pw, height=ph,
+            maxc=maxc or pr.MAXC_DEFAULT, interpret=interp, n_attr=n_attr,
         )
-        color = shade_stage(
-            scene, setup, zb, ib, width, height, clear_color,
-            band=(pw, ph), mipmap=mipmap, lighting=lighting,
-        )
+        src, covered = shade_fwd(scene, attrs, ib, mipmap=mipmap,
+                                 lighting=lighting)
+        clear = jnp.asarray(np.asarray(clear_color, np.float32))
+        dst = jnp.broadcast_to(clear, (ph, pw, 4))
+        out = blend_over(src, covered, dst)
+        color = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.uint8)
         return color[:height, :width], zb[:height, :width], n_over
     zb, ib = raster_stage(setup, width, height, chunk)
     color = shade_stage(scene, setup, zb, ib, width, height, clear_color,
@@ -796,16 +896,17 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
     passes = []
     n_over = None
     if backend == "pallas":
+        extras, n_attr = fwd_extras(scene, setup, lighting=lighting)
         zlow = None
         for _ in range(layers):
-            zb, ib, n_over_i = pr.raster_pallas(
-                setup, 0, 0, width=pw, height=ph,
+            zb, ib, attrs, n_over_i = pr.raster_pallas_fwd(
+                setup, extras, 0, 0, width=pw, height=ph,
                 maxc=maxc or pr.MAXC_DEFAULT, interpret=interp, zlow=zlow,
+                n_attr=n_attr,
             )
             if n_over is None:
                 n_over = n_over_i
-            src, covered = shade_src(scene, setup, ib, width, height,
-                                     band=band, mipmap=mipmap,
+            src, covered = shade_fwd(scene, attrs, ib, mipmap=mipmap,
                                      lighting=lighting)
             passes.append((src, covered, zb))
             zlow = jnp.where(ib >= 0, zb + PEEL_EPS, jnp.inf)

@@ -6,7 +6,10 @@ module implements one as a tiled, binned Pallas kernel engineered for the
 hardware:
 
 * the screen splits into (TILE_H, TILE_W) tiles; each grid step owns one
-  tile, whose z/winner accumulators live in **VMEM** for the whole pass;
+  tile, whose z/winner/attribute accumulators live in **VMEM** for the
+  whole pass (16x128: small enough that the attribute-selection skip
+  region fits the VMEM stack, large enough that SMEM holds the per-tile
+  chunk lists at 1080p);
 * triangles are packed into chunks of ``K``; per-frame **binning** (plain
   XLA: chunk-aggregate bboxes + ``top_k``) gives each tile the ordered
   list of chunks that may touch it — work is O(overlapping chunks ×
@@ -24,6 +27,13 @@ hardware:
   and the validity mask all fold into a per-edge *bias*:
   ``inside = e > bias`` with bias just below -snap for top/left edges,
   +snap for others, and +3e38 for invalid/padding triangles.
+
+* shading is FORWARD: the kernel one-hot-selects the winner triangle's
+  perspective-correct interpolants (u/w, v/w, 1/w planes, texture layer,
+  per-triangle color) while the chunk is still in VMEM, so the epilogue
+  never gathers from per-triangle tables. Measured on the real chip
+  (r2): per-pixel table gathers were ~85% of a 182 ms deferred frame;
+  the forward pipeline renders the same frame in ~51 ms.
 
 Coverage/tie rules (LessEqual z, later-triangle-wins ties) match
 ``cpu_reference.py``; depth values differ only by float associativity
@@ -45,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 logger = logging.getLogger("mt_renderer_tpu.render")
 
-TILE_H = 32
+TILE_H = 16
 TILE_W = 128
 P = TILE_H * TILE_W      # flattened pixels per tile
 K = 128                  # triangles per chunk (sublane dim of setup block)
@@ -63,8 +73,11 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def pack_setup(setup):
-    """Pack the setup dict into (C, K, NF) f32 + per-chunk bboxes."""
+def pack_setup(setup, extras=None):
+    """Pack the setup dict into (C, K, NF) f32 + per-chunk bboxes.
+
+    ``extras``: optional (T, E) f32 — additional per-triangle columns
+    (forward-shading attribute planes) stored from column 15 on."""
     tp = setup["ea"].shape[0]
     c = tp // K
     area = setup["area"]
@@ -83,14 +96,17 @@ def pack_setup(setup):
     ).astype(jnp.float32)
     bias = jnp.where(valid[:, None], bias, REJECT)
 
-    cols = jnp.concatenate(
-        [
-            setup["ea"], setup["eb"], setup["ec"], bias,
-            za[:, None], zb[:, None], zc[:, None],
-        ],
-        axis=1,
-    )                                                    # (T, 15)
-    packed = jnp.zeros((tp, NF), jnp.float32).at[:, :15].set(cols)
+    parts = [
+        setup["ea"], setup["eb"], setup["ec"], bias,
+        za[:, None], zb[:, None], zc[:, None],
+    ]
+    if extras is not None:
+        parts.append(extras.astype(jnp.float32))
+    cols = jnp.concatenate(parts, axis=1)                # (T, 15 [+E])
+    ncol = cols.shape[1]
+    if ncol > NF:
+        raise ValueError(f"{ncol} packed columns exceed NF={NF}")
+    packed = jnp.zeros((tp, NF), jnp.float32).at[:, :ncol].set(cols)
     packed = packed.reshape(c, K, NF)
 
     big = jnp.float32(1e30)
@@ -223,13 +239,33 @@ def flush_overflow_checks():
     _overflow_report(total, maxc)
 
 
-def _raster_kernel(counts_ref, lists_ref, origin_ref, setup_hbm, zlow_ref,
-                   zbuf_ref, win_ref, scratch, sems):
+# --------------------------------------------------------------------------
+# forward-attribute raster: the kernel selects the winner's interpolants
+# from VMEM at raster time, so the shade stage needs NO per-pixel gathers
+# from the per-triangle tables (measured r2 on the real chip: those
+# gathers were ~85% of the frame — ~155 ms of a 182 ms frame at 1080p).
+#
+# extra packed columns (after the 15 raster columns):
+#   15:18 u/w plane   18:21 v/w plane   21:24 1/w plane
+#   24    texture layer (float, -1 = untextured)
+#   25:29 per-triangle RGBA C (mat color for textured triangles,
+#         mat*flat/debug color for untextured ones)
+#   29:38 nx/w, ny/w, nz/w planes (lighting variant only)
+#
+# attr output channels: [u/w, v/w, 1/w, tex, C0..C3] (+ [nx,ny,nz]/w).
+
+ATTRS_BASE = 8
+ATTRS_LIT = 11
+
+
+def _raster_fwd_kernel(n_attr, counts_ref, lists_ref, origin_ref, setup_hbm,
+                       zlow_ref, zbuf_ref, win_ref, attr_ref, scratch, sems):
     t = pl.program_id(0)
     count = counts_ref[t]
 
     zbuf_ref[0] = jnp.full((1, P), jnp.inf, jnp.float32)
     win_ref[0] = jnp.full((1, P), -1, jnp.int32)
+    attr_ref[0] = jnp.zeros((n_attr, P), jnp.float32)
 
     n_tx = origin_ref[2]
     ty = t // n_tx
@@ -262,12 +298,15 @@ def _raster_kernel(counts_ref, lists_ref, origin_ref, setup_hbm, zlow_ref,
             def col(i):
                 return blk[:, i][:, None]                # (K, 1)
 
+            def plane(i):
+                return col(i) * px + col(i + 1) * py + col(i + 2)
+
             def edge_ok(i):
-                e = col(i) * px + col(3 + i) * py + col(6 + i)  # (K, P)
+                e = col(i) * px + col(3 + i) * py + col(6 + i)
                 return e > col(9 + i)
 
             inside = edge_ok(0) & edge_ok(1) & edge_ok(2)
-            z = col(12) * px + col(13) * py + col(14)    # (K, P)
+            z = plane(12)                                # (K, P)
             zok = (inside & (z >= 0.0) & (z <= zbuf_ref[0])
                    & (z > zlow_ref[0]))
             zm = jnp.where(zok, z, jnp.inf)
@@ -277,6 +316,25 @@ def _raster_kernel(counts_ref, lists_ref, origin_ref, setup_hbm, zlow_ref,
                 jnp.where(zok & (zm == zmin), kids, -1), axis=0, keepdims=True
             )
             upd = jnp.isfinite(zmin) & (zmin <= zbuf_ref[0])
+
+            # attribute selection: exactly one winner row per updated
+            # pixel; skipped whole-chunk when early-z rejected every
+            # pixel (it is ~2x the visibility math). Values build lazily
+            # one at a time to bound VMEM stack pressure.
+            @pl.when(jnp.any(upd))
+            def _():
+                onehot = zok & (zm == zmin) & (kids == winner_k)
+                val_fns = [lambda i=i: plane(i) for i in (15, 18, 21)]
+                val_fns += [lambda i=i: col(i) for i in range(24, 29)]
+                if n_attr == ATTRS_LIT:
+                    val_fns += [lambda i=i: plane(i) for i in (29, 32, 35)]
+                for j, fn in enumerate(val_fns):
+                    sel = jnp.sum(jnp.where(onehot, fn(), 0.0), axis=0,
+                                  keepdims=True)          # (1, P)
+                    attr_ref[0, j:j + 1, :] = jnp.where(
+                        upd, sel, attr_ref[0, j:j + 1, :]
+                    )
+
             cid = lists_ref[t, s]
             zbuf_ref[0] = jnp.where(upd, zmin, zbuf_ref[0])
             win_ref[0] = jnp.where(upd, cid * K + winner_k, win_ref[0])
@@ -287,22 +345,16 @@ def _raster_kernel(counts_ref, lists_ref, origin_ref, setup_hbm, zlow_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "maxc", "interpret"),
+    static_argnames=("width", "height", "maxc", "interpret", "n_attr"),
 )
-def raster_pallas(setup, x0, y0, *, width: int, height: int,
-                  maxc: int = MAXC_DEFAULT, interpret: bool = False,
-                  zlow=None):
-    """Binned Pallas raster → per-pixel (depth f32, winner i32, n_over).
+def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
+                      maxc: int = MAXC_DEFAULT, interpret: bool = False,
+                      zlow=None, n_attr: int = ATTRS_BASE):
+    """Forward-attribute binned raster over a band → per-pixel
+    (depth f32, winner i32, attrs (n_attr, bh, bw) f32, n_over).
 
-    Same contract as ``device.raster_stage`` over the band
-    ``[x0, x0+width) × [y0, y0+height)`` of the full frame (the caller's
-    setup must already be in full-frame viewport coordinates). width and
-    height must be multiples of the tile size.
-
-    The third output is the number of tiles whose true candidate count
-    exceeded ``maxc`` (i.e. tiles that dropped triangles) — callers feed
-    it to ``queue_overflow_check`` so no scene can fail silently.
-    """
+    ``extras``: (T, E) per-triangle attribute columns (see module
+    comment). Same band/coordinate contract as ``raster_pallas``."""
     if width % TILE_W or height % TILE_H:
         raise ValueError(f"band {width}x{height} not tile-aligned "
                          f"({TILE_W}x{TILE_H})")
@@ -310,12 +362,11 @@ def raster_pallas(setup, x0, y0, *, width: int, height: int,
     n_tx = width // TILE_W
     n_tiles = n_ty * n_tx
 
-    packed, bbox = pack_setup(setup)
+    packed, bbox = pack_setup(setup, extras)
     maxc = min(maxc, packed.shape[0])
     lists, counts, counts_true = bin_chunks(bbox, n_ty, n_tx, maxc, x0, y0)
     n_over = jnp.sum(counts_true > maxc)
 
-    # depth-peeling lower bound, tiled to match the flat output layout
     if zlow is None:
         zlow_t = jnp.full((n_tiles, 1, P), -jnp.inf, jnp.float32)
     else:
@@ -328,25 +379,20 @@ def raster_pallas(setup, x0, y0, *, width: int, height: int,
         [jnp.int32(x0), jnp.int32(y0), jnp.int32(n_tx)]
     ).astype(jnp.int32)
 
+    def imap(t, counts_ref, lists_ref, origin_ref):
+        return (t, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (1, 1, P),
-                index_map=lambda t, counts_ref, lists_ref, origin_ref: (t, 0, 0),
-            ),
+            pl.BlockSpec((1, 1, P), index_map=imap),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, 1, P),
-                index_map=lambda t, counts_ref, lists_ref, origin_ref: (t, 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, P),
-                index_map=lambda t, counts_ref, lists_ref, origin_ref: (t, 0, 0),
-            ),
+            pl.BlockSpec((1, 1, P), index_map=imap),
+            pl.BlockSpec((1, 1, P), index_map=imap),
+            pl.BlockSpec((1, n_attr, P), index_map=imap),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, K, NF), jnp.float32),
@@ -354,12 +400,13 @@ def raster_pallas(setup, x0, y0, *, width: int, height: int,
         ],
     )
 
-    zb, ib = pl.pallas_call(
-        _raster_kernel,
+    zb, ib, attrs = pl.pallas_call(
+        functools.partial(_raster_fwd_kernel, n_attr),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, n_attr, P), jnp.float32),
         ],
         interpret=interpret,
     )(counts, lists, origin, packed, zlow_t)
@@ -373,5 +420,10 @@ def raster_pallas(setup, x0, y0, *, width: int, height: int,
 
     zb = unflatten(zb)
     ib = unflatten(ib)
+    attrs = (
+        attrs.reshape(n_ty, n_tx, n_attr, TILE_H, TILE_W)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(n_attr, height, width)
+    )
     zb = jnp.where(ib >= 0, zb, 1.0)
-    return zb, ib, n_over
+    return zb, ib, attrs, n_over
