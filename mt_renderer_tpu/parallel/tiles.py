@@ -178,7 +178,7 @@ def render_frame_geomsplit(
     Returns the full frame replicated on every chip.
     """
     n = mesh.devices.size
-    tp = scene.tris.shape[0]
+    tp = scene.tri_valid.shape[0]
     if tp % n:
         raise ValueError(f"padded triangle count {tp} not divisible by {n}")
     shard_t = tp // n

@@ -55,12 +55,17 @@ class DeviceScene:
     the analog of the reference's vertex/index/texture uploads,
     model.rs:77-87 / texture.rs:12-30)."""
 
-    positions: jax.Array      # (V, 3) f32
-    uvs: jax.Array            # (V, 2) f32
-    normals: jax.Array        # (V, 3) f32 (zeros when the layout has none)
-    joints: jax.Array         # (V, 4) i32
-    weights: jax.Array        # (V, 4) f32
-    tris: jax.Array           # (Tp, 3) i32, padded
+    # geometry is DE-INDEXED at upload: arrays are corner-major
+    # (V = 3·Tp rows, triangle corners contiguous) so the per-triangle
+    # stages reshape instead of gathering through an index buffer —
+    # vertex gathers were ~5 ms of the r2 frame. Costs ~2-4x vertex
+    # memory (a few MB/100k tris); skinning stays cheap via the one-hot
+    # palette matmul.
+    positions: jax.Array      # (3Tp, 3) f32
+    uvs: jax.Array            # (3Tp, 2) f32
+    normals: jax.Array        # (3Tp, 3) f32 (zeros when the layout has none)
+    joints: jax.Array         # (3Tp, W) i32
+    weights: jax.Array        # (3Tp, W) f32
     tri_texture: jax.Array    # (Tp,) i32 atlas layer, -1 = untextured
     tri_debug_id: jax.Array   # (Tp,) i32
     tri_flat: jax.Array       # (Tp, 4) f32 flat color 0-255; alpha<0 = unused
@@ -79,7 +84,7 @@ class DeviceScene:
     def tree_flatten(self):
         children = (
             self.positions, self.uvs, self.normals, self.joints,
-            self.weights, self.tris,
+            self.weights,
             self.tri_texture, self.tri_debug_id, self.tri_flat,
             self.tri_material, self.mat_color,
             self.tri_valid, self.tri_parts, self.parts_mask,
@@ -97,8 +102,9 @@ def upload(batch: DrawBatch) -> DeviceScene:
     """Pad + device_put a host DrawBatch. Called once at load time."""
     t = len(batch.tris)
     tp = max(TRI_PAD, -(-t // TRI_PAD) * TRI_PAD)
-    tris = np.zeros((tp, 3), np.int32)
+    tris = np.zeros((tp, 3), np.int64)
     tris[:t] = batch.tris
+    corner = tris.reshape(-1)            # (3Tp,) de-indexing permutation
     tri_tex = np.full(tp, -1, np.int32)
     tri_tex[:t] = batch.tri_texture
     tri_dbg = np.zeros(tp, np.int32)
@@ -180,14 +186,28 @@ def upload(batch: DrawBatch) -> DeviceScene:
 
     nj = len(batch.inverse_bind_mats) if batch.inverse_bind_mats is not None else 1
 
+    if batch.num_vertices == 0:
+        corner = np.zeros(3 * tp, np.int64)
+        pos_src = np.zeros((1, 3), np.float32)
+        uv_src = np.zeros((1, 2), np.float32)
+        nrm_src = np.zeros((1, 3), np.float32)
+        j_src = np.zeros((1, batch.joints.shape[1] if batch.joints.ndim == 2 else 4), np.int32)
+        w_src = np.zeros_like(j_src, dtype=np.float32)
+    else:
+        pos_src = batch.positions.astype(np.float32)
+        uv_src = batch.uvs.astype(np.float32)
+        nrm_src = batch.normals_or_zero().astype(np.float32)
+        j_src = batch.joints.astype(np.int32)
+        w_src = batch.weights.astype(np.float32)
+
     dp = jax.device_put
     return DeviceScene(
-        positions=dp(batch.positions.astype(np.float32)),
-        uvs=dp(batch.uvs.astype(np.float32)),
-        normals=dp(batch.normals_or_zero().astype(np.float32)),
-        joints=dp(batch.joints.astype(np.int32)),
-        weights=dp(batch.weights.astype(np.float32)),
-        tris=dp(tris), tri_texture=dp(tri_tex), tri_debug_id=dp(tri_dbg),
+        positions=dp(pos_src[corner]),
+        uvs=dp(uv_src[corner]),
+        normals=dp(nrm_src[corner]),
+        joints=dp(j_src[corner]),
+        weights=dp(w_src[corner]),
+        tri_texture=dp(tri_tex), tri_debug_id=dp(tri_dbg),
         tri_flat=dp(tri_flat),
         tri_material=dp(tri_mat), mat_color=dp(mat_color),
         tri_valid=dp(valid), tri_parts=dp(tri_parts),
@@ -216,15 +236,38 @@ def set_parts_mask(scene: DeviceScene, parts_disp) -> DeviceScene:
 # ---------------------------------------------------------------- stages
 
 
+# Palettes up to this size blend via a one-hot MXU matmul instead of a
+# (V, W, 4, 4) matrix gather — vertex gathers were ~9.5 ms of the 52 ms
+# frame (r2, 153k verts); the one-hot intermediate is (V, W, nj) so the
+# trick only pays while nj is small.
+ONEHOT_SKIN_MAX_JOINTS = 32
+
+
+def _blend_bone_mats(scene: DeviceScene, bone_mats: jax.Array) -> jax.Array:
+    """(V, 4, 4) per-vertex blended palette matrix."""
+    hi = jax.lax.Precision.HIGHEST
+    v = scene.joints.shape[0]
+    nj = bone_mats.shape[0]
+    if scene.num_joints <= ONEHOT_SKIN_MAX_JOINTS:
+        onehot = jnp.sum(
+            (scene.joints[..., None] == jnp.arange(nj, dtype=jnp.int32))
+            * scene.weights[..., None],
+            axis=1,
+        )                                                  # (V, nj)
+        return jnp.matmul(
+            onehot, bone_mats.reshape(nj, 16), precision=hi
+        ).reshape(v, 4, 4)
+    m = bone_mats[scene.joints]                            # (V, W, 4, 4)
+    return jnp.einsum("vw,vwij->vij", scene.weights, m, precision=hi)
+
+
 def vertex_stage(scene: DeviceScene, view_proj: jax.Array,
                  bone_mats: jax.Array | None) -> jax.Array:
     """Skin + transform → (V, 4) clip coords."""
     pos = scene.positions
     if scene.skinned and bone_mats is not None:
         homo = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1), jnp.float32)], 1)
-        m = bone_mats[scene.joints]                       # (V, 4, 4, 4)
-        blended = jnp.einsum("vw,vwij->vij", scene.weights, m,
-                             precision=jax.lax.Precision.HIGHEST)
+        blended = _blend_bone_mats(scene, bone_mats)
         skinned = jnp.einsum("vij,vj->vi", blended, homo,
                              precision=jax.lax.Precision.HIGHEST)[:, :3]
         # zero-weight vertices (merged unskinned geometry) pass through
@@ -240,9 +283,7 @@ def world_normals(scene: DeviceScene, bone_mats: jax.Array | None) -> jax.Array:
     transpose, matching typical engine skinning)."""
     nrm = scene.normals
     if scene.skinned and bone_mats is not None:
-        m = bone_mats[scene.joints]                       # (V, 4, 4, 4)
-        blended = jnp.einsum("vw,vwij->vij", scene.weights, m,
-                             precision=jax.lax.Precision.HIGHEST)
+        blended = _blend_bone_mats(scene, bone_mats)
         rot = blended[:, :3, :3]
         has_w = jnp.sum(scene.weights, axis=1, keepdims=True) > 0
         rotated = jnp.einsum("vij,vj->vi", rot, nrm,
@@ -257,7 +298,7 @@ def setup_stage(scene: DeviceScene, clip: jax.Array, width: int, height: int,
     """Per-triangle setup. Returns a dict of (Tp, ...) arrays.
     Normal triplets are gathered only when the shading needs them
     (``need_normals``) — they cost a (Tp, 3, 3) gather per frame."""
-    c = clip[scene.tris]                                  # (Tp, 3, 4)
+    c = clip.reshape(-1, 3, 4)                            # (Tp, 3, 4)
     w = c[..., 3]
     inv_w = 1.0 / jnp.where(jnp.abs(w) < W_EPS, W_EPS, w)
     ndc = c[..., :3] * inv_w[..., None]
@@ -307,11 +348,11 @@ def setup_stage(scene: DeviceScene, clip: jax.Array, width: int, height: int,
     out = dict(
         ea=ea, eb=eb, ec=ec, topleft=topleft, esnap=esnap,
         area=-area2, sz=sz, inv_w=inv_w, valid=valid,
-        uv=scene.uvs[scene.tris],                         # (Tp, 3, 2)
+        uv=scene.uvs.reshape(-1, 3, 2),                   # (Tp, 3, 2)
         xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax,
     )
     if need_normals:
-        out["nrm"] = world_normals(scene, bone_mats)[scene.tris]
+        out["nrm"] = world_normals(scene, bone_mats).reshape(-1, 3, 3)
     return out
 
 
