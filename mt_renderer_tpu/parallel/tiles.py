@@ -87,10 +87,7 @@ def _render_frame_multichip_core(
             )
             src, covered = dev.shade_fwd(scene, attrs, ib, mipmap=mipmap,
                                          lighting=lighting)
-            clear = jnp.asarray(np.asarray(clear_color, np.float32))
-            dst = jnp.broadcast_to(clear, (pb, pw, 4))
-            out = dev.blend_over(src, covered, dst)
-            color = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.uint8)
+            color = dev.finish_planes(src, covered, clear_color, pb, pw)
             return (color[:band_h, :width], zb[:band_h, :width],
                     n_over[None])
         zb, ib = dev.raster_stage(
