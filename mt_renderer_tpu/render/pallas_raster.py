@@ -115,7 +115,8 @@ def pack_setup(setup, extras=None):
     xmax = jnp.where(v, setup["xmax"], -big).reshape(c, K).max(1)
     ymin = jnp.where(v, setup["ymin"], big).reshape(c, K).min(1)
     ymax = jnp.where(v, setup["ymax"], -big).reshape(c, K).max(1)
-    return packed, (xmin, xmax, ymin, ymax)
+    zmin = jnp.where(v, setup["sz"].min(1), big).reshape(c, K).min(1)
+    return packed, (xmin, xmax, ymin, ymax, zmin)
 
 
 def bin_stats(setup, *, width: int, height: int,
@@ -138,8 +139,14 @@ def bin_chunks(bbox, n_ty: int, n_tx: int, maxc: int, x0, y0):
 
     Returns (lists (n_tiles, maxc) i32 with -1 padding,
     counts (n_tiles,) capped at maxc, counts_true (n_tiles,) uncapped).
-    x0/y0: band origin in pixels (may be traced, for shard_map bands)."""
-    xmin, xmax, ymin, ymax = bbox
+    x0/y0: band origin in pixels (may be traced, for shard_map bands).
+
+    Candidate chunks order NEAREST-FIRST (by chunk min depth): early-z
+    then rejects most of a far chunk's pixels outright and the kernel
+    skips its attribute work entirely. Depth ties across chunks resolve
+    by this order (the in-chunk later-triangle-wins rule is unchanged);
+    coverage and depth are unaffected."""
+    xmin, xmax, ymin, ymax, zmin = bbox
     c = xmin.shape[0]
     ty = jnp.arange(n_ty, dtype=jnp.float32)
     tx = jnp.arange(n_tx, dtype=jnp.float32)
@@ -156,10 +163,17 @@ def bin_chunks(bbox, n_ty: int, n_tx: int, maxc: int, x0, y0):
 
     counts_true = ov.sum(axis=1).astype(jnp.int32)
     counts = jnp.minimum(counts_true, maxc)
-    # top_k over key = C - cid keeps earliest chunks, in ascending order
-    key = jnp.where(ov, jnp.int32(c) - jnp.arange(c, dtype=jnp.int32), 0)
+    # z-rank per chunk: perm[i] = chunk id of the i-th nearest chunk
+    perm = jnp.argsort(zmin).astype(jnp.int32)           # (C,)
+    rank = jnp.zeros(c, jnp.int32).at[perm].set(
+        jnp.arange(c, dtype=jnp.int32)
+    )
+    # top_k over key = C - rank keeps the NEAREST chunks (overflow drops
+    # the farthest — strictly better than dropping the latest) in
+    # nearest-first processing order
+    key = jnp.where(ov, jnp.int32(c) - rank, 0)
     topk, _ = jax.lax.top_k(key, maxc)                   # (tiles, maxc) desc
-    lists = jnp.where(topk > 0, jnp.int32(c) - topk, -1)
+    lists = jnp.where(topk > 0, perm[jnp.int32(c) - topk], -1)
     return lists, counts, counts_true
 
 
