@@ -270,16 +270,21 @@ def flush_overflow_checks():
 
 ATTRS_BASE = 8
 ATTRS_LIT = 11
+# extra packed columns per variant (9 plane coefficients + tex + C rgba,
+# plus 9 normal-plane coefficients when lighting)
+_N_COEF = {ATTRS_BASE: 14, ATTRS_LIT: 23}
 
 
 def _raster_fwd_kernel(n_attr, counts_ref, lists_ref, origin_ref, setup_hbm,
-                       zlow_ref, zbuf_ref, win_ref, attr_ref, scratch, sems):
+                       zlow_ref, zbuf_ref, win_ref, attr_ref, scratch, sems,
+                       coef_ref):
+    n_coef = _N_COEF[n_attr]
     t = pl.program_id(0)
     count = counts_ref[t]
 
     zbuf_ref[0] = jnp.full((1, P), jnp.inf, jnp.float32)
     win_ref[0] = jnp.full((1, P), -1, jnp.int32)
-    attr_ref[0] = jnp.zeros((n_attr, P), jnp.float32)
+    coef_ref[...] = jnp.zeros((n_coef, P), jnp.float32)
 
     n_tx = origin_ref[2]
     ty = t // n_tx
@@ -331,23 +336,23 @@ def _raster_fwd_kernel(n_attr, counts_ref, lists_ref, origin_ref, setup_hbm,
             )
             upd = jnp.isfinite(zmin) & (zmin <= zbuf_ref[0])
 
-            # attribute selection: exactly one winner row per updated
-            # pixel; skipped whole-chunk when early-z rejected every
-            # pixel (it is ~2x the visibility math). Values build lazily
-            # one at a time to bound VMEM stack pressure.
+            # attribute-coefficient selection: exactly one winner row per
+            # updated pixel → selecting the winner's packed columns is
+            # ONE (n_coef, K) x (K, P) MXU matmul against the one-hot
+            # (exact: products with 0/1 and a single nonzero addend);
+            # skipped whole-chunk when early-z rejected every pixel. The
+            # interpolation planes evaluate once per tile, after the loop.
             @pl.when(jnp.any(upd))
             def _():
-                onehot = zok & (zm == zmin) & (kids == winner_k)
-                val_fns = [lambda i=i: plane(i) for i in (15, 18, 21)]
-                val_fns += [lambda i=i: col(i) for i in range(24, 29)]
-                if n_attr == ATTRS_LIT:
-                    val_fns += [lambda i=i: plane(i) for i in (29, 32, 35)]
-                for j, fn in enumerate(val_fns):
-                    sel = jnp.sum(jnp.where(onehot, fn(), 0.0), axis=0,
-                                  keepdims=True)          # (1, P)
-                    attr_ref[0, j:j + 1, :] = jnp.where(
-                        upd, sel, attr_ref[0, j:j + 1, :]
-                    )
+                onehot = (zok & (zm == zmin) & (kids == winner_k)).astype(
+                    jnp.float32
+                )                                         # (K, P)
+                cols = blk[:, 15:15 + n_coef]             # (K, n_coef)
+                sel = jax.lax.dot_general(
+                    cols, onehot, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                         # (n_coef, P)
+                coef_ref[...] = jnp.where(upd, sel, coef_ref[...])
 
             cid = lists_ref[t, s]
             zbuf_ref[0] = jnp.where(upd, zmin, zbuf_ref[0])
@@ -355,6 +360,22 @@ def _raster_fwd_kernel(n_attr, counts_ref, lists_ref, origin_ref, setup_hbm,
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
+
+    # evaluate the selected planes at the pixel centers (zero coefficients
+    # → zero attrs for uncovered pixels, matching the old contract)
+    a = coef_ref[...]
+
+    def ev(i):
+        return a[i:i + 1] * px + a[i + 1:i + 2] * py + a[i + 2:i + 3]
+
+    attr_ref[0, 0:1, :] = ev(0)          # u/w
+    attr_ref[0, 1:2, :] = ev(3)          # v/w
+    attr_ref[0, 2:3, :] = ev(6)          # 1/w
+    attr_ref[0, 3:8, :] = a[9:14]        # tex + C rgba (constants)
+    if n_attr == ATTRS_LIT:
+        attr_ref[0, 8:9, :] = ev(14)     # nx/w
+        attr_ref[0, 9:10, :] = ev(17)    # ny/w
+        attr_ref[0, 10:11, :] = ev(20)   # nz/w
 
 
 @functools.partial(
@@ -411,6 +432,7 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
         scratch_shapes=[
             pltpu.VMEM((2, K, NF), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_N_COEF[n_attr], P), jnp.float32),
         ],
     )
 
