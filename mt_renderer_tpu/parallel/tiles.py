@@ -70,8 +70,6 @@ def _render_frame_multichip_core(
 
     def band_render(scene, view_proj, bone_mats):
         clip = dev.vertex_stage(scene, view_proj, bone_mats)
-        setup = dev.setup_stage(scene, clip, width, height,
-                                bone_mats=bone_mats, need_normals=lighting)
         y0 = jax.lax.axis_index("rows") * band_h
         if backend == "pallas":
             from ..render import pallas_raster as pr
@@ -79,9 +77,12 @@ def _render_frame_multichip_core(
             pw = -(-width // pr.TILE_W) * pr.TILE_W
             pb = -(-band_h // pr.TILE_H) * pr.TILE_H
             interp = jax.default_backend() != "tpu"
-            extras, n_attr = dev.fwd_extras(scene, setup, lighting=lighting)
+            cols, bbox, n_attr = dev.setup_packed_cols(
+                scene, clip, width, height, bone_mats=bone_mats,
+                lighting=lighting,
+            )
             zb, ib, attrs, n_over = pr.raster_pallas_fwd(
-                setup, extras, 0, y0, width=pw, height=pb,
+                (cols, bbox), None, 0, y0, width=pw, height=pb,
                 maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
                 n_attr=n_attr,
             )
@@ -90,6 +91,8 @@ def _render_frame_multichip_core(
             color = dev.finish_planes(src, covered, clear_color, pb, pw)
             return (color[:band_h, :width], zb[:band_h, :width],
                     n_over[None])
+        setup = dev.setup_stage(scene, clip, width, height,
+                                bone_mats=bone_mats, need_normals=lighting)
         zb, ib = dev.raster_stage(
             setup, width, height, chunk,
             origin=(0, y0), band=(width, band_h),

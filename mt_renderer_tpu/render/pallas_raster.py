@@ -348,9 +348,16 @@ def _raster_fwd_kernel(n_attr, counts_ref, lists_ref, origin_ref, setup_hbm,
                     jnp.float32
                 )                                         # (K, P)
                 cols = blk[:, 15:15 + n_coef]             # (K, n_coef)
+                # HIGHEST precision is required for exactness: the MXU's
+                # default bf16 multiply quantizes the selected f32
+                # coefficients (7.3% color mismatch on the real chip,
+                # invisible in CPU interpret mode); the bf16x3
+                # decomposition recovers exact f32 for 0/1 x value
+                # products with a single nonzero addend.
                 sel = jax.lax.dot_general(
                     cols, onehot, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )                                         # (n_coef, P)
                 coef_ref[...] = jnp.where(upd, sel, coef_ref[...])
 
@@ -388,8 +395,11 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
     """Forward-attribute binned raster over a band → per-pixel
     (depth f32, winner i32, attrs (n_attr, bh, bw) f32, n_over).
 
-    ``extras``: (T, E) per-triangle attribute columns (see module
-    comment). Same band/coordinate contract as ``raster_pallas``."""
+    ``setup`` is either the setup dict (with ``extras`` the (T, E)
+    per-triangle attribute columns — see module comment) or a
+    pre-packed ``(cols (T, ncol), bbox)`` tuple from
+    ``device.setup_packed_cols`` (the fast path: no lane-padded (T, 3)
+    intermediates); pass ``extras=None`` then."""
     if width % TILE_W or height % TILE_H:
         raise ValueError(f"band {width}x{height} not tile-aligned "
                          f"({TILE_W}x{TILE_H})")
@@ -397,7 +407,15 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
     n_tx = width // TILE_W
     n_tiles = n_ty * n_tx
 
-    packed, bbox = pack_setup(setup, extras)
+    if isinstance(setup, dict):
+        packed, bbox = pack_setup(setup, extras)
+    else:
+        cols, bbox = setup
+        tp, ncol = cols.shape
+        if ncol > NF:
+            raise ValueError(f"{ncol} packed columns exceed NF={NF}")
+        packed = jnp.zeros((tp, NF), jnp.float32).at[:, :ncol].set(cols)
+        packed = packed.reshape(tp // K, K, NF)
     maxc = min(maxc, packed.shape[0])
     lists, counts, counts_true = bin_chunks(bbox, n_ty, n_tx, maxc, x0, y0)
     n_over = jnp.sum(counts_true > maxc)

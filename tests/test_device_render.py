@@ -178,11 +178,15 @@ class TestHeavySkinning:
         clip = device.vertex_stage(
             scene, jnp.eye(4, dtype=jnp.float32), jnp.asarray(bones)
         )
-        # the device scene is de-indexed (corner-major, padded): compare
-        # the real corners against the expected per-vertex positions
-        corners = batch.tris.reshape(-1)
-        got = np.asarray(clip)[: len(corners), :3]
-        np.testing.assert_allclose(got, want[corners], atol=1e-5)
+        # the device scene is de-indexed corner-PLANAR ([all corner0s |
+        # corner1s | corner2s], padded): compare the real corners per
+        # plane against the expected per-vertex positions
+        t = len(batch.tris)
+        tp = np.asarray(clip).shape[0] // 3
+        for i in range(3):
+            got = np.asarray(clip)[i * tp: i * tp + t, :3]
+            np.testing.assert_allclose(got, want[batch.tris[:, i]],
+                                       atol=1e-5)
 
         # the old 4-influence clamp would deform differently — guard it
         w4 = batch.weights[:, :4] / batch.weights[:, :4].sum(1, keepdims=True)
