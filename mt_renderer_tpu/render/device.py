@@ -598,7 +598,8 @@ def setup_packed_cols(scene: DeviceScene, clip, width: int, height: int,
         c_cols.append(jnp.where(textured, mat, base * mat))
 
     cols = (ea + eb + ec + bias + zp + up + vp_ + wp
-            + [tex.astype(jnp.float32)] + c_cols)
+            + [tex.astype(jnp.float32)] + c_cols
+            + _mip0_const_cols(scene, tex))
     n_attr = pr.ATTRS_BASE
     if lighting:
         nc = world_normals(scene, bone_mats).reshape(3, tp, 3)
@@ -608,18 +609,36 @@ def setup_packed_cols(scene: DeviceScene, clip, width: int, height: int,
     packed_cols = jnp.stack(cols, axis=1)                 # (Tp, 15+E)
 
     big = jnp.float32(1e30)
-    c_ = tp // pr.K
+    cg = tp // pr.KG
 
     def cmin(vals):
         m = jnp.minimum(jnp.minimum(vals[0], vals[1]), vals[2])
-        return jnp.where(valid, m, big).reshape(c_, pr.K).min(1)
+        return jnp.where(valid, m, big).reshape(cg, pr.KG).min(1)
 
     def cmax(vals):
         m = jnp.maximum(jnp.maximum(vals[0], vals[1]), vals[2])
-        return jnp.where(valid, m, -big).reshape(c_, pr.K).max(1)
+        return jnp.where(valid, m, -big).reshape(cg, pr.KG).max(1)
 
     bbox = (cmin(sx), cmax(sx), cmin(sy), cmax(sy), cmin(sz))
     return packed_cols, bbox, n_attr
+
+
+def _mip0_const_cols(scene: DeviceScene, tex):
+    """Per-triangle mip-0 sampling constants [off_hi, off_lo, th, tw] —
+    selected by the raster kernel so the non-mipmapped shade stage reads
+    the pool location directly from the attribute planes instead of
+    doing three per-pixel mip-table gathers. The pool offset splits as
+    hi*4096 + lo so each half stays exactly representable in f32 (pool
+    offsets can exceed 2^24 rows on large texture sets)."""
+    t0 = scene.mip_table[:, 0, :]                         # (L, 3)
+    lsafe = jnp.clip(jnp.maximum(tex, 0), 0, t0.shape[0] - 1)
+    off0 = t0[:, 0][lsafe]
+    return [
+        (off0 // 4096).astype(jnp.float32),
+        (off0 % 4096).astype(jnp.float32),
+        t0[:, 1][lsafe].astype(jnp.float32),
+        t0[:, 2][lsafe].astype(jnp.float32),
+    ]
 
 
 def fwd_extras(scene: DeviceScene, setup, lighting: bool = False):
@@ -664,6 +683,7 @@ def fwd_extras(scene: DeviceScene, setup, lighting: bool = False):
     tex = scene.tri_texture
     c_rgba = jnp.where(tex[:, None] >= 0, mat, base * mat)
     cols += [tex.astype(jnp.float32)[:, None], c_rgba]
+    cols += [c[:, None] for c in _mip0_const_cols(scene, tex)]
     n_attr = pr.ATTRS_BASE
     if lighting:
         nrm = setup["nrm"]                                 # (Tp, 3, 3)
@@ -698,10 +718,18 @@ def shade_fwd(scene: DeviceScene, attrs, ib, mipmap: bool = False,
         lod = _uv_lod_planes(u, v, tex_hw)
         albedo = sample_trilinear(scene, lsafe, u, v, lod, planes=True)
     else:
-        albedo = sample_bilinear(scene, lsafe, u, v, planes=True)
+        # mip-0 pool location straight from the winner's constant
+        # columns — no per-pixel mip-table gathers (off/h/w lookups were
+        # ~half the shade cost, r2)
+        off = (attrs[8].astype(jnp.int32) * 4096
+               + attrs[9].astype(jnp.int32))
+        hh = attrs[10].astype(jnp.int32)
+        ww = attrs[11].astype(jnp.int32)
+        albedo = _quad_bilinear(scene.mip_pool, off, hh, ww, u, v,
+                                planes=True)
     src = jnp.where(textured[None], albedo * c_rgba, c_rgba)
     if lighting:
-        n = attrs[8:11] * inv[None]                        # (3, H, W)
+        n = attrs[12:15] * inv[None]                       # (3, H, W)
         n = n / jnp.maximum(
             jnp.sqrt(jnp.sum(n * n, axis=0, keepdims=True)), 1e-6
         )
@@ -758,6 +786,13 @@ def _sample_mip_bilinear(pool, table, layer, mip, u, v,
     off = tflat[:, 0][tidx]
     hh = tflat[:, 1][tidx]
     ww = tflat[:, 2][tidx]
+    return _quad_bilinear(pool, off, hh, ww, u, v, planes=planes)
+
+
+def _quad_bilinear(pool, off, hh, ww, u, v, planes: bool = False):
+    """Bilinear tap given the pool offset and texture extent per pixel
+    (each (H, W)): ONE gather from the quad-footprint pool + the 2x2
+    contraction."""
     th = hh.astype(jnp.float32)
     tw = ww.astype(jnp.float32)
     x = u * tw - 0.5
@@ -768,8 +803,8 @@ def _sample_mip_bilinear(pool, table, layer, mip, u, v,
     # positive side, but a clamped-up x0 must not blend toward texel 1
     fx = jnp.where(x0 < 0, 0.0, x - x0)
     fy = jnp.where(y0 < 0, 0.0, y - y0)
-    x0c = jnp.clip(x0.astype(jnp.int32), 0, ww - 1)
-    y0c = jnp.clip(y0.astype(jnp.int32), 0, hh - 1)
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, jnp.maximum(ww - 1, 0))
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, jnp.maximum(hh - 1, 0))
     stride = ww
     quad = pool[off + y0c * stride + x0c]
     quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)

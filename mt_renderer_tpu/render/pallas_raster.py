@@ -59,6 +59,13 @@ TILE_H = 16
 TILE_W = 128
 P = TILE_H * TILE_W      # flattened pixels per tile
 K = 128                  # triangles per chunk (sublane dim of setup block)
+KG = 32                  # culling-group size: the kernel tests each
+                         # 32-triangle group's bbox against the tile (via
+                         # a precomputed SMEM bitmask) and skips the whole
+                         # (KG, P) edge/z/select block when it misses —
+                         # measured r2: 0.85 -> 0.33 G(tri,px) pairs at
+                         # 1080p/196k tris (chunk bboxes are ~4x looser)
+G = K // KG              # groups per chunk
 NF = 128                 # field columns per triangle (15 used, rest pad: the
                          # per-chunk DMA block minor dim must be 128-aligned)
 MAXC_DEFAULT = 256       # binning cap: candidate chunks per tile
@@ -109,13 +116,16 @@ def pack_setup(setup, extras=None):
     packed = jnp.zeros((tp, NF), jnp.float32).at[:, :ncol].set(cols)
     packed = packed.reshape(c, K, NF)
 
+    # bboxes at GROUP granularity (c*G entries of KG triangles each);
+    # bin_chunks derives chunk aggregates and the per-tile group bitmasks
     big = jnp.float32(1e30)
     v = valid
-    xmin = jnp.where(v, setup["xmin"], big).reshape(c, K).min(1)
-    xmax = jnp.where(v, setup["xmax"], -big).reshape(c, K).max(1)
-    ymin = jnp.where(v, setup["ymin"], big).reshape(c, K).min(1)
-    ymax = jnp.where(v, setup["ymax"], -big).reshape(c, K).max(1)
-    zmin = jnp.where(v, setup["sz"].min(1), big).reshape(c, K).min(1)
+    cg = c * G
+    xmin = jnp.where(v, setup["xmin"], big).reshape(cg, KG).min(1)
+    xmax = jnp.where(v, setup["xmax"], -big).reshape(cg, KG).max(1)
+    ymin = jnp.where(v, setup["ymin"], big).reshape(cg, KG).min(1)
+    ymax = jnp.where(v, setup["ymax"], -big).reshape(cg, KG).max(1)
+    zmin = jnp.where(v, setup["sz"].min(1), big).reshape(cg, KG).min(1)
     return packed, (xmin, xmax, ymin, ymax, zmin)
 
 
@@ -130,15 +140,18 @@ def bin_stats(setup, *, width: int, height: int,
     n_ty = height // TILE_H
     n_tx = width // TILE_W
     _, bbox = pack_setup(setup)
-    _, _, counts_true = bin_chunks(bbox, n_ty, n_tx, 1, 0, 0)
+    _, _, _, counts_true = bin_chunks(bbox, n_ty, n_tx, 1, 0, 0)
     return counts_true, jnp.sum(counts_true > maxc)
 
 
 def bin_chunks(bbox, n_ty: int, n_tx: int, maxc: int, x0, y0):
-    """Order-preserving per-tile chunk lists.
+    """Order-preserving per-tile chunk lists + per-group overlap masks.
 
-    Returns (lists (n_tiles, maxc) i32 with -1 padding,
-    counts (n_tiles,) capped at maxc, counts_true (n_tiles,) uncapped).
+    ``bbox`` arrays are GROUP-granularity (C·G entries, KG triangles
+    each). Returns (lists (n_tiles, maxc) i32 with -1 padding,
+    glists (n_tiles, maxc) i32 — bit g set iff group g of that chunk
+    overlaps the tile, counts (n_tiles,) capped at maxc,
+    counts_true (n_tiles,) uncapped).
     x0/y0: band origin in pixels (may be traced, for shard_map bands).
 
     Candidate chunks order NEAREST-FIRST (by chunk min depth): early-z
@@ -147,24 +160,34 @@ def bin_chunks(bbox, n_ty: int, n_tx: int, maxc: int, x0, y0):
     by this order (the in-chunk later-triangle-wins rule is unchanged);
     coverage and depth are unaffected."""
     xmin, xmax, ymin, ymax, zmin = bbox
-    c = xmin.shape[0]
+    cg = xmin.shape[0]
+    c = cg // G
+    n_tiles = n_ty * n_tx
     ty = jnp.arange(n_ty, dtype=jnp.float32)
     tx = jnp.arange(n_tx, dtype=jnp.float32)
     ty0 = ty * TILE_H + jnp.float32(y0)
     tx0 = tx * TILE_W + jnp.float32(x0)
     ovy = (ymax[:, None] >= ty0[None, :]) & (
         ymin[:, None] <= ty0[None, :] + TILE_H
-    )                                                    # (C, n_ty)
+    )                                                    # (CG, n_ty)
     ovx = (xmax[:, None] >= tx0[None, :]) & (
         xmin[:, None] <= tx0[None, :] + TILE_W
-    )                                                    # (C, n_tx)
-    ov = ovy[:, :, None] & ovx[:, None, :]               # (C, n_ty, n_tx)
-    ov = ov.reshape(c, n_ty * n_tx).T                    # (tiles, C)
+    )                                                    # (CG, n_tx)
+    ov_g = ovy[:, :, None] & ovx[:, None, :]             # (CG, n_ty, n_tx)
+    ov_g = ov_g.reshape(c, G, n_tiles)
+    # per-tile group bitmask and chunk-level overlap
+    gbit = jnp.sum(
+        ov_g.astype(jnp.int32)
+        * (jnp.int32(1) << jnp.arange(G, dtype=jnp.int32))[None, :, None],
+        axis=1,
+    ).T                                                  # (tiles, C)
+    ov = gbit > 0                                        # (tiles, C)
 
     counts_true = ov.sum(axis=1).astype(jnp.int32)
     counts = jnp.minimum(counts_true, maxc)
     # z-rank per chunk: perm[i] = chunk id of the i-th nearest chunk
-    perm = jnp.argsort(zmin).astype(jnp.int32)           # (C,)
+    zmin_c = zmin.reshape(c, G).min(1)
+    perm = jnp.argsort(zmin_c).astype(jnp.int32)         # (C,)
     rank = jnp.zeros(c, jnp.int32).at[perm].set(
         jnp.arange(c, dtype=jnp.int32)
     )
@@ -174,7 +197,11 @@ def bin_chunks(bbox, n_ty: int, n_tx: int, maxc: int, x0, y0):
     key = jnp.where(ov, jnp.int32(c) - rank, 0)
     topk, _ = jax.lax.top_k(key, maxc)                   # (tiles, maxc) desc
     lists = jnp.where(topk > 0, perm[jnp.int32(c) - topk], -1)
-    return lists, counts, counts_true
+    glists = jnp.take_along_axis(
+        gbit, jnp.maximum(lists, 0), axis=1
+    )
+    glists = jnp.where(lists >= 0, glists, 0)
+    return lists, glists, counts, counts_true
 
 
 def required_maxc(setup, *, width: int, height: int, x0=0, y0=0):
@@ -183,16 +210,17 @@ def required_maxc(setup, *, width: int, height: int, x0=0, y0=0):
     n_ty = height // TILE_H
     n_tx = width // TILE_W
     _, bbox = pack_setup(setup)
-    _, _, counts_true = bin_chunks(bbox, n_ty, n_tx, 1, x0, y0)
+    _, _, _, counts_true = bin_chunks(bbox, n_ty, n_tx, 1, x0, y0)
     return counts_true.max()
 
 
 def smem_maxc_limit(width: int, height: int) -> int:
-    """Largest safe ``maxc`` for a band: the per-tile chunk lists are
-    scalar-prefetched into SMEM ((n_tiles, maxc) i32), which is ~1 MiB on
-    current TPUs. Empirically maxc≈450 fits at 1080p (510 tiles)."""
+    """Largest safe ``maxc`` for a band: the per-tile chunk id and group
+    mask lists are scalar-prefetched into SMEM (~1 MiB on current TPUs)
+    as FLAT 1-D arrays — a 2-D (n_tiles, maxc) operand would lane-pad
+    maxc to 128 in SMEM (measured: 512K for a (1020, 24) i32 list)."""
     n_tiles = cdiv(height, TILE_H) * cdiv(width, TILE_W)
-    return max(16, (900 * 1024) // (4 * max(n_tiles, 1)))
+    return max(16, (850 * 1024) // (2 * 4 * max(n_tiles, 1)))
 
 
 # Diagnostics for the binning cap: a tile whose true candidate count
@@ -264,20 +292,28 @@ def flush_overflow_checks():
 #   24    texture layer (float, -1 = untextured)
 #   25:29 per-triangle RGBA C (mat color for textured triangles,
 #         mat*flat/debug color for untextured ones)
-#   29:38 nx/w, ny/w, nz/w planes (lighting variant only)
+#   29:31 mip-0 pool offset of the triangle's texture, split hi/lo
+#         (off = hi*4096 + lo — each half < 2^24 stays exact in f32)
+#   31:33 mip-0 texture height, width
+#   33:42 nx/w, ny/w, nz/w planes (lighting variant only)
 #
-# attr output channels: [u/w, v/w, 1/w, tex, C0..C3] (+ [nx,ny,nz]/w).
+# The mip-0 constants ride the kernel's coefficient select so the
+# non-mipmapped shade stage needs NO per-pixel mip-table lookups — the
+# three (H, W) table gathers were ~half the 7 ms shade cost (r2).
+#
+# attr output channels: [u/w, v/w, 1/w, tex, C0..C3, off_hi, off_lo,
+# th, tw] (+ [nx,ny,nz]/w when lighting).
 
-ATTRS_BASE = 8
-ATTRS_LIT = 11
-# extra packed columns per variant (9 plane coefficients + tex + C rgba,
-# plus 9 normal-plane coefficients when lighting)
-_N_COEF = {ATTRS_BASE: 14, ATTRS_LIT: 23}
+ATTRS_BASE = 12
+ATTRS_LIT = 15
+# extra packed columns per variant (9 plane coefficients + tex + C rgba
+# + 4 mip-0 constants, plus 9 normal-plane coefficients when lighting)
+_N_COEF = {ATTRS_BASE: 18, ATTRS_LIT: 27}
 
 
-def _raster_fwd_kernel(n_attr, counts_ref, lists_ref, origin_ref, setup_hbm,
-                       zlow_ref, zbuf_ref, win_ref, attr_ref, scratch, sems,
-                       coef_ref):
+def _raster_fwd_kernel(n_attr, counts_ref, lists_ref, glists_ref, origin_ref,
+                       setup_hbm, zlow_ref, zbuf_ref, win_ref, attr_ref,
+                       scratch, sems, coef_ref):
     n_coef = _N_COEF[n_attr]
     t = pl.program_id(0)
     count = counts_ref[t]
@@ -295,9 +331,14 @@ def _raster_fwd_kernel(n_attr, counts_ref, lists_ref, origin_ref, setup_hbm,
     px = (flat % TILE_W).astype(jnp.float32) + (px0 + 0.5)   # (1, P)
     py = (flat // TILE_W).astype(jnp.float32) + (py0 + 0.5)  # (1, P)
 
+    # lists/glists are FLAT (n_tiles*maxc,) in SMEM — 2-D SMEM operands
+    # lane-pad the minor dim to 128 (5x waste at 1080p, OOM with both)
+    maxc = lists_ref.shape[0] // counts_ref.shape[0]
+
     def dma(slot, s):
         return pltpu.make_async_copy(
-            setup_hbm.at[lists_ref[t, s]], scratch.at[slot], sems.at[slot]
+            setup_hbm.at[lists_ref[t * maxc + s]], scratch.at[slot],
+            sems.at[slot]
         )
 
     @pl.when(count > 0)
@@ -313,57 +354,76 @@ def _raster_fwd_kernel(n_attr, counts_ref, lists_ref, origin_ref, setup_hbm,
 
             dma(slot, s).wait()
             blk = scratch[slot]                          # (K, NF)
+            cid = lists_ref[t * maxc + s]
+            gmask = glists_ref[t * maxc + s]
 
-            def col(i):
-                return blk[:, i][:, None]                # (K, 1)
+            # groups of KG triangles, processed in ascending order (the
+            # LessEqual zbuf test makes later groups win exact-z ties,
+            # matching the whole-chunk max-winner rule); a group whose
+            # bbox missed this tile (bit g of gmask clear — precomputed
+            # by bin_chunks) skips its entire (KG, P) block
+            for g in range(G):
+                @pl.when((gmask >> g) & 1 != 0)
+                def _(g=g):
+                    r0 = g * KG
 
-            def plane(i):
-                return col(i) * px + col(i + 1) * py + col(i + 2)
+                    def col(i):
+                        return blk[r0:r0 + KG, i][:, None]   # (KG, 1)
 
-            def edge_ok(i):
-                e = col(i) * px + col(3 + i) * py + col(6 + i)
-                return e > col(9 + i)
+                    def plane(i):
+                        return col(i) * px + col(i + 1) * py + col(i + 2)
 
-            inside = edge_ok(0) & edge_ok(1) & edge_ok(2)
-            z = plane(12)                                # (K, P)
-            zok = (inside & (z >= 0.0) & (z <= zbuf_ref[0])
-                   & (z > zlow_ref[0]))
-            zm = jnp.where(zok, z, jnp.inf)
-            zmin = jnp.min(zm, axis=0, keepdims=True)    # (1, P)
-            kids = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
-            winner_k = jnp.max(
-                jnp.where(zok & (zm == zmin), kids, -1), axis=0, keepdims=True
-            )
-            upd = jnp.isfinite(zmin) & (zmin <= zbuf_ref[0])
+                    def edge_ok(i):
+                        e = col(i) * px + col(3 + i) * py + col(6 + i)
+                        return e > col(9 + i)
 
-            # attribute-coefficient selection: exactly one winner row per
-            # updated pixel → selecting the winner's packed columns is
-            # ONE (n_coef, K) x (K, P) MXU matmul against the one-hot
-            # (exact: products with 0/1 and a single nonzero addend);
-            # skipped whole-chunk when early-z rejected every pixel. The
-            # interpolation planes evaluate once per tile, after the loop.
-            @pl.when(jnp.any(upd))
-            def _():
-                onehot = (zok & (zm == zmin) & (kids == winner_k)).astype(
-                    jnp.float32
-                )                                         # (K, P)
-                cols = blk[:, 15:15 + n_coef]             # (K, n_coef)
-                # HIGHEST precision is required for exactness: the MXU's
-                # default bf16 multiply quantizes the selected f32
-                # coefficients (7.3% color mismatch on the real chip,
-                # invisible in CPU interpret mode); the bf16x3
-                # decomposition recovers exact f32 for 0/1 x value
-                # products with a single nonzero addend.
-                sel = jax.lax.dot_general(
-                    cols, onehot, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )                                         # (n_coef, P)
-                coef_ref[...] = jnp.where(upd, sel, coef_ref[...])
+                    inside = edge_ok(0) & edge_ok(1) & edge_ok(2)
+                    z = plane(12)                            # (KG, P)
+                    zok = (inside & (z >= 0.0) & (z <= zbuf_ref[0])
+                           & (z > zlow_ref[0]))
+                    zm = jnp.where(zok, z, jnp.inf)
+                    zmin = jnp.min(zm, axis=0, keepdims=True)   # (1, P)
+                    kids = jax.lax.broadcasted_iota(
+                        jnp.int32, (KG, P), 0
+                    ) + r0
+                    winner_k = jnp.max(
+                        jnp.where(zok & (zm == zmin), kids, -1),
+                        axis=0, keepdims=True,
+                    )
+                    upd = jnp.isfinite(zmin) & (zmin <= zbuf_ref[0])
 
-            cid = lists_ref[t, s]
-            zbuf_ref[0] = jnp.where(upd, zmin, zbuf_ref[0])
-            win_ref[0] = jnp.where(upd, cid * K + winner_k, win_ref[0])
+                    # attribute-coefficient selection: exactly one winner
+                    # row per updated pixel → selecting the winner's
+                    # packed columns is ONE (n_coef, KG) x (KG, P) MXU
+                    # matmul against the one-hot (exact: products with
+                    # 0/1 and a single nonzero addend); skipped
+                    # whole-group when early-z rejected every pixel. The
+                    # interpolation planes evaluate once per tile, after
+                    # the loop.
+                    @pl.when(jnp.any(upd))
+                    def _():
+                        onehot = (
+                            zok & (zm == zmin) & (kids == winner_k)
+                        ).astype(jnp.float32)                # (KG, P)
+                        cols = blk[r0:r0 + KG, 15:15 + n_coef]
+                        # HIGHEST precision is required for exactness:
+                        # the MXU's default bf16 multiply quantizes the
+                        # selected f32 coefficients (7.3% color mismatch
+                        # on the real chip, invisible in CPU interpret
+                        # mode); the bf16x3 decomposition recovers exact
+                        # f32 for 0/1 x value products with a single
+                        # nonzero addend.
+                        sel = jax.lax.dot_general(
+                            cols, onehot, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )                                    # (n_coef, P)
+                        coef_ref[...] = jnp.where(upd, sel, coef_ref[...])
+
+                    zbuf_ref[0] = jnp.where(upd, zmin, zbuf_ref[0])
+                    win_ref[0] = jnp.where(
+                        upd, cid * K + winner_k, win_ref[0]
+                    )
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
@@ -378,11 +438,11 @@ def _raster_fwd_kernel(n_attr, counts_ref, lists_ref, origin_ref, setup_hbm,
     attr_ref[0, 0:1, :] = ev(0)          # u/w
     attr_ref[0, 1:2, :] = ev(3)          # v/w
     attr_ref[0, 2:3, :] = ev(6)          # 1/w
-    attr_ref[0, 3:8, :] = a[9:14]        # tex + C rgba (constants)
+    attr_ref[0, 3:12, :] = a[9:18]       # tex, C rgba, off hi/lo, th, tw
     if n_attr == ATTRS_LIT:
-        attr_ref[0, 8:9, :] = ev(14)     # nx/w
-        attr_ref[0, 9:10, :] = ev(17)    # ny/w
-        attr_ref[0, 10:11, :] = ev(20)   # nz/w
+        attr_ref[0, 12:13, :] = ev(18)   # nx/w
+        attr_ref[0, 13:14, :] = ev(21)   # ny/w
+        attr_ref[0, 14:15, :] = ev(24)   # nz/w
 
 
 @functools.partial(
@@ -417,7 +477,9 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
         packed = jnp.zeros((tp, NF), jnp.float32).at[:, :ncol].set(cols)
         packed = packed.reshape(tp // K, K, NF)
     maxc = min(maxc, packed.shape[0])
-    lists, counts, counts_true = bin_chunks(bbox, n_ty, n_tx, maxc, x0, y0)
+    lists, glists, counts, counts_true = bin_chunks(
+        bbox, n_ty, n_tx, maxc, x0, y0
+    )
     n_over = jnp.sum(counts_true > maxc)
 
     if zlow is None:
@@ -432,11 +494,11 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
         [jnp.int32(x0), jnp.int32(y0), jnp.int32(n_tx)]
     ).astype(jnp.int32)
 
-    def imap(t, counts_ref, lists_ref, origin_ref):
+    def imap(t, counts_ref, lists_ref, glists_ref, origin_ref):
         return (t, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -463,7 +525,8 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
             jax.ShapeDtypeStruct((n_tiles, n_attr, P), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, lists, origin, packed, zlow_t)
+    )(counts, lists.reshape(-1), glists.reshape(-1), origin, packed,
+      zlow_t)
 
     def unflatten(x):
         return (
