@@ -251,18 +251,27 @@ def run_once(args, width, height, instances, frames, png=None):
     # executes each dispatch synchronously, so a blocked dispatch now
     # measures actual device execution (it scales with pixels and
     # triangles — validated r2). Subtract the RTT floor measured on a
-    # trivial program. This is the honest headline.
-    def p50(fn, reps):
-        ts = []
-        for i in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(i))
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        return ts[len(ts) // 2] * 1e3
+    # trivial program. Trivial probes INTERLEAVE with the frame
+    # dispatches and each frame is differenced against its neighboring
+    # probes: the tunnel RTT drifts by ~10 ms on the scale of seconds
+    # (measured r2), so a separate before-pass RTT estimate corrupts
+    # the subtraction. This is the honest headline.
+    def timed(fn, *a):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*a))
+        return time.perf_counter() - t0
 
-    rtt_ms = p50(lambda i: trivial(x8), 12)
-    frame_ms = max(p50(frame, min(frames, 12)) - rtt_ms, 1e-3)
+    reps = min(frames, 16)
+    probes = [timed(trivial, x8)]
+    diffs = []
+    for i in range(reps):
+        ft = timed(frame, i)
+        probes.append(timed(trivial, x8))
+        diffs.append(ft - 0.5 * (probes[-2] + probes[-1]))
+    diffs.sort()
+    probes.sort()
+    rtt_ms = probes[len(probes) // 2] * 1e3
+    frame_ms = max(diffs[len(diffs) // 2] * 1e3, 1e-3)
     fps_device = 1e3 / frame_ms
 
     tris = batch.num_triangles

@@ -311,9 +311,10 @@ ATTRS_LIT = 15
 _N_COEF = {ATTRS_BASE: 18, ATTRS_LIT: 27}
 
 
-def _raster_fwd_kernel(n_attr, counts_ref, lists_ref, glists_ref, origin_ref,
-                       setup_hbm, zlow_ref, zbuf_ref, win_ref, attr_ref,
-                       scratch, sems, coef_ref):
+def _raster_fwd_kernel(n_attr, zkill, has_zlow, counts_ref, lists_ref,
+                       glists_ref, zming_ref, origin_ref, setup_hbm,
+                       zlow_ref, zbuf_ref, win_ref, attr_ref, scratch, sems,
+                       coef_ref, zstate, dirty):
     n_coef = _N_COEF[n_attr]
     t = pl.program_id(0)
     count = counts_ref[t]
@@ -341,6 +342,9 @@ def _raster_fwd_kernel(n_attr, counts_ref, lists_ref, glists_ref, origin_ref,
             sems.at[slot]
         )
 
+    zstate[0] = jnp.float32(jnp.inf)
+    dirty[0] = jnp.int32(0)
+
     @pl.when(count > 0)
     def _():
         dma(0, 0).start()
@@ -357,13 +361,29 @@ def _raster_fwd_kernel(n_attr, counts_ref, lists_ref, glists_ref, origin_ref,
             cid = lists_ref[t * maxc + s]
             gmask = glists_ref[t * maxc + s]
 
+            # early-z group kill: once every pixel is covered (zmax —
+            # the cached max of the z buffer — goes finite) a group
+            # whose min vertex depth lies beyond it cannot win any
+            # pixel. The margin over-approximates plane-evaluation
+            # rounding so a fragment within float noise of the
+            # incumbent is never skipped. zmax is refreshed AFTER the
+            # groups (one chunk stale — conservative) and only when the
+            # z buffer changed, keeping the vector→scalar reduce off
+            # the critical path.
+            zthresh = zstate[0] * 1.000002 + 1e-6 if zkill else None
+
             # groups of KG triangles, processed in ascending order (the
             # LessEqual zbuf test makes later groups win exact-z ties,
             # matching the whole-chunk max-winner rule); a group whose
             # bbox missed this tile (bit g of gmask clear — precomputed
-            # by bin_chunks) skips its entire (KG, P) block
+            # by bin_chunks) or whose min depth is early-z killed skips
+            # its entire (KG, P) block
             for g in range(G):
-                @pl.when((gmask >> g) & 1 != 0)
+                live = (gmask >> g) & 1 != 0
+                if zkill:
+                    live &= zming_ref[cid * G + g] <= zthresh
+
+                @pl.when(live)
                 def _(g=g):
                     r0 = g * KG
 
@@ -379,8 +399,9 @@ def _raster_fwd_kernel(n_attr, counts_ref, lists_ref, glists_ref, origin_ref,
 
                     inside = edge_ok(0) & edge_ok(1) & edge_ok(2)
                     z = plane(12)                            # (KG, P)
-                    zok = (inside & (z >= 0.0) & (z <= zbuf_ref[0])
-                           & (z > zlow_ref[0]))
+                    zok = inside & (z >= 0.0) & (z <= zbuf_ref[0])
+                    if has_zlow:
+                        zok &= z > zlow_ref[0]
                     zm = jnp.where(zok, z, jnp.inf)
                     zmin = jnp.min(zm, axis=0, keepdims=True)   # (1, P)
                     kids = jax.lax.broadcasted_iota(
@@ -419,11 +440,21 @@ def _raster_fwd_kernel(n_attr, counts_ref, lists_ref, glists_ref, origin_ref,
                             precision=jax.lax.Precision.HIGHEST,
                         )                                    # (n_coef, P)
                         coef_ref[...] = jnp.where(upd, sel, coef_ref[...])
+                        if zkill:
+                            dirty[0] = jnp.int32(1)
 
                     zbuf_ref[0] = jnp.where(upd, zmin, zbuf_ref[0])
                     win_ref[0] = jnp.where(
                         upd, cid * K + winner_k, win_ref[0]
                     )
+
+            # refresh the cached tile zmax (inf while any pixel is
+            # uncovered — the kill only fires on fully-covered tiles)
+            if zkill:
+                @pl.when(dirty[0] != 0)
+                def _():
+                    zstate[0] = jnp.max(zbuf_ref[0])
+                    dirty[0] = jnp.int32(0)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
@@ -447,11 +478,13 @@ def _raster_fwd_kernel(n_attr, counts_ref, lists_ref, glists_ref, origin_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "maxc", "interpret", "n_attr"),
+    static_argnames=("width", "height", "maxc", "interpret", "n_attr",
+                     "zkill"),
 )
 def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
                       maxc: int = MAXC_DEFAULT, interpret: bool = False,
-                      zlow=None, n_attr: int = ATTRS_BASE):
+                      zlow=None, n_attr: int = ATTRS_BASE,
+                      zkill: bool = False):
     """Forward-attribute binned raster over a band → per-pixel
     (depth f32, winner i32, attrs (n_attr, bh, bw) f32, n_over).
 
@@ -459,7 +492,15 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
     per-triangle attribute columns — see module comment) or a
     pre-packed ``(cols (T, ncol), bbox)`` tuple from
     ``device.setup_packed_cols`` (the fast path: no lane-padded (T, 3)
-    intermediates); pass ``extras=None`` then."""
+    intermediates); pass ``extras=None`` then.
+
+    ``zkill``: early-z group kill — once a tile is fully covered, groups
+    whose min vertex depth lies beyond the tile's cached max depth skip
+    entirely (pixel-identical; see TestEarlyZKill). Default OFF: on the
+    bench scenes it measured neutral within the environment's ±1-2 ms
+    tunnel noise (48-rep in-process A/B, r2) — the per-group scalar
+    tests and the zmax refresh roughly cancel the skipped work. The
+    hook exists for heavily-occluded static walkthrough scenes."""
     if width % TILE_W or height % TILE_H:
         raise ValueError(f"band {width}x{height} not tile-aligned "
                          f"({TILE_W}x{TILE_H})")
@@ -494,11 +535,11 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
         [jnp.int32(x0), jnp.int32(y0), jnp.int32(n_tx)]
     ).astype(jnp.int32)
 
-    def imap(t, counts_ref, lists_ref, glists_ref, origin_ref):
+    def imap(t, counts_ref, lists_ref, glists_ref, zming_ref, origin_ref):
         return (t, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -513,11 +554,14 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
             pltpu.VMEM((2, K, NF), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((_N_COEF[n_attr], P), jnp.float32),
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
 
     zb, ib, attrs = pl.pallas_call(
-        functools.partial(_raster_fwd_kernel, n_attr),
+        functools.partial(_raster_fwd_kernel, n_attr, zkill,
+                          zlow is not None),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.float32),
@@ -525,8 +569,8 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
             jax.ShapeDtypeStruct((n_tiles, n_attr, P), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, lists.reshape(-1), glists.reshape(-1), origin, packed,
-      zlow_t)
+    )(counts, lists.reshape(-1), glists.reshape(-1), bbox[4], origin,
+      packed, zlow_t)
 
     def unflatten(x):
         return (
