@@ -415,32 +415,42 @@ def _raster_fwd_kernel(n_attr, zkill, has_zlow, counts_ref, lists_ref,
 
                     # attribute-coefficient selection: exactly one winner
                     # row per updated pixel → selecting the winner's
-                    # packed columns is ONE (n_coef, KG) x (KG, P) MXU
-                    # matmul against the one-hot (exact: products with
-                    # 0/1 and a single nonzero addend); skipped
-                    # whole-group when early-z rejected every pixel. The
-                    # interpolation planes evaluate once per tile, after
-                    # the loop.
-                    @pl.when(jnp.any(upd))
-                    def _():
-                        onehot = (
-                            zok & (zm == zmin) & (kids == winner_k)
-                        ).astype(jnp.float32)                # (KG, P)
-                        cols = blk[r0:r0 + KG, 15:15 + n_coef]
-                        # HIGHEST precision is required for exactness:
-                        # the MXU's default bf16 multiply quantizes the
-                        # selected f32 coefficients (7.3% color mismatch
-                        # on the real chip, invisible in CPU interpret
-                        # mode); the bf16x3 decomposition recovers exact
-                        # f32 for 0/1 x value products with a single
-                        # nonzero addend.
-                        sel = jax.lax.dot_general(
-                            cols, onehot, (((0,), (0,)), ((), ())),
+                    # packed columns is a (n_coef, KG) x (KG, P) MXU
+                    # matmul against the one-hot. Runs UNGATED: a
+                    # @pl.when(jnp.any(upd)) guard measured 3 ms SLOWER
+                    # at 1080p/196k tris — the vector→scalar reduce +
+                    # branch stalls the pipeline more than the skipped
+                    # matmuls save (r2). With no update the one-hot is
+                    # all-zero and the where keeps old state.
+                    #
+                    # Exactness: the MXU multiplies in bf16, which would
+                    # quantize the selected f32 coefficients (7.3% color
+                    # mismatch on chip, invisible in CPU interpret mode).
+                    # XLA's HIGHEST fixes that with a 6-pass two-sided
+                    # bf16x3 split; but the one-hot side is EXACTLY
+                    # representable in bf16 (0/1), so a manual 3-way
+                    # split of the coefficient side alone is exact in 3
+                    # DEFAULT passes — each product is 0/1 × bf16 with a
+                    # single nonzero addend per column, and the f32
+                    # recombination b1+b2+b3 carries 8+8+8 mantissa bits.
+                    onehot = (
+                        zok & (zm == zmin) & (kids == winner_k)
+                    ).astype(jnp.bfloat16)                   # (KG, P)
+                    cols = blk[r0:r0 + KG, 15:15 + n_coef]
+                    b1 = cols.astype(jnp.bfloat16)
+                    r1 = cols - b1.astype(jnp.float32)
+                    b2 = r1.astype(jnp.bfloat16)
+                    b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+                    sel = jnp.float32(0.0)
+                    for part in (b1, b2, b3):
+                        sel += jax.lax.dot_general(
+                            part, onehot, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
                         )                                    # (n_coef, P)
-                        coef_ref[...] = jnp.where(upd, sel, coef_ref[...])
-                        if zkill:
+                    coef_ref[...] = jnp.where(upd, sel, coef_ref[...])
+                    if zkill:
+                        @pl.when(jnp.any(upd))
+                        def _():
                             dirty[0] = jnp.int32(1)
 
                     zbuf_ref[0] = jnp.where(upd, zmin, zbuf_ref[0])
