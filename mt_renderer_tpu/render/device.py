@@ -77,6 +77,18 @@ class DeviceScene:
     tex_size: jax.Array       # (L, 2) i32 actual (h, w) per layer
     mip_pool: jax.Array       # (P, 16) u8 — all mips; 2x2 quad per row
     mip_table: jax.Array      # (L, M, 3) i32 — (offset, h, w) per mip
+    # cached per-triangle constants, COLUMN-major ((9, Tp): a (Tp, 9)
+    # array would lane-pad 9 → 128 at rest). Rows: [tex_f32,
+    # cbase rgba (1 for textured, flat/debug base otherwise),
+    # off_hi, off_lo, th, tw]. Static per scene — computed at upload so
+    # the per-frame setup does ZERO per-triangle table gathers
+    # (palette/flat/mip-table gathers were ~1.5 ms/frame, r2); the
+    # animatable mat_color folds in per frame as C = mat × cbase via a
+    # one-hot MXU select.
+    cols_const: jax.Array     # (9, Tp) f32
+    # tri_valid & parts_mask[tri_parts], refreshed by set_parts_mask —
+    # keeps the per-frame parts gather out of the setup stage
+    tri_vis: jax.Array        # (Tp,) bool
     num_joints: int           # static
     skinned: bool             # static
     num_mips: int = 1         # static
@@ -90,6 +102,7 @@ class DeviceScene:
             self.tri_valid, self.tri_parts, self.parts_mask,
             self.tex_size,
             self.mip_pool, self.mip_table,
+            self.cols_const, self.tri_vis,
         )
         return children, (self.num_joints, self.skinned, self.num_mips)
 
@@ -203,6 +216,25 @@ def upload(batch: DrawBatch) -> DeviceScene:
         j_src = batch.joints.astype(np.int32)
         w_src = batch.weights.astype(np.float32)
 
+    # per-triangle constant columns (see DeviceScene.cols_const)
+    lsafe = np.clip(np.maximum(tri_tex, 0), 0, table.shape[0] - 1)
+    off0 = table[lsafe, 0, 0].astype(np.int64)
+    textured_h = tri_tex >= 0
+    use_flat = tri_flat[:, 3] >= 0.0
+    pal = np.concatenate(
+        [DEBUG_PALETTE.astype(np.float32),
+         np.full((20, 1), 255.0, np.float32)], axis=1)
+    dbg_rgba = pal[tri_dbg % 20]                          # (Tp, 4)
+    cols_const = np.empty((9, tp), np.float32)
+    cols_const[0] = tri_tex.astype(np.float32)
+    for ch in range(4):
+        base = np.where(use_flat, tri_flat[:, ch], dbg_rgba[:, ch])
+        cols_const[1 + ch] = np.where(textured_h, 1.0, base)
+    cols_const[5] = (off0 // 4096).astype(np.float32)
+    cols_const[6] = (off0 % 4096).astype(np.float32)
+    cols_const[7] = table[lsafe, 0, 1].astype(np.float32)
+    cols_const[8] = table[lsafe, 0, 2].astype(np.float32)
+
     dp = jax.device_put
     return DeviceScene(
         positions=dp(pos_src[corner]),
@@ -217,6 +249,8 @@ def upload(batch: DrawBatch) -> DeviceScene:
         parts_mask=dp(parts_mask),
         tex_size=dp(sizes),
         mip_pool=dp(mip_pool), mip_table=dp(table),
+        cols_const=dp(cols_const),
+        tri_vis=dp(valid & parts_mask[tri_parts]),
         num_joints=nj, skinned=bool(batch.skinned), num_mips=n_mips,
     )
 
@@ -233,7 +267,16 @@ def set_parts_mask(scene: DeviceScene, parts_disp) -> DeviceScene:
     mask = np.ones(p, bool)
     pd = np.asarray(parts_disp, bool)
     mask[: min(p, len(pd))] = pd[:p]
-    return dataclasses.replace(scene, parts_mask=jax.device_put(mask))
+    mask_dev = jax.device_put(mask)
+    # refresh the cached visibility fold on device (one tiny async
+    # gather per toggle — never a per-frame cost, never a host transfer)
+    tri_vis = _fold_parts_mask(scene.tri_valid, scene.tri_parts, mask_dev)
+    return dataclasses.replace(scene, parts_mask=mask_dev, tri_vis=tri_vis)
+
+
+@jax.jit
+def _fold_parts_mask(tri_valid, tri_parts, mask):
+    return tri_valid & mask[tri_parts]
 
 
 # ---------------------------------------------------------------- stages
@@ -314,8 +357,7 @@ def setup_stage(scene: DeviceScene, clip: jax.Array, width: int, height: int,
     ) * (sx[:, 2] - sx[:, 0])
 
     valid = (
-        scene.tri_valid
-        & scene.parts_mask[scene.tri_parts]               # parts visibility
+        scene.tri_vis                                     # incl. parts visibility
         & jnp.all(w > W_EPS, axis=1)                      # shared near-reject
         & (area2 < 0.0)                                   # back-face cull
     )
@@ -540,8 +582,7 @@ def setup_packed_cols(scene: DeviceScene, clip, width: int, height: int,
         sx[2] - sx[0]
     )
     valid = (
-        scene.tri_valid
-        & scene.parts_mask[scene.tri_parts]
+        scene.tri_vis
         & (w[0] > W_EPS) & (w[1] > W_EPS) & (w[2] > W_EPS)
         & (area2 < 0.0)
     )
@@ -580,26 +621,19 @@ def setup_packed_cols(scene: DeviceScene, clip, width: int, height: int,
     vp_ = plane3(*[uv[i, :, 1] * inv_w[i] for i in range(3)])
     wp = plane3(*inv_w)
 
-    # per-triangle constants: texture layer + color C (all column-wise)
-    tex = scene.tri_texture
-    palette = np.concatenate(
-        [DEBUG_PALETTE.astype(np.float32),
-         np.full((20, 1), 255.0, np.float32)], axis=1,
-    )
-    dbg = scene.tri_debug_id % 20
-    flat_a = scene.tri_flat[:, 3]
-    use_flat = flat_a >= 0.0
-    textured = tex >= 0
-    c_cols = []
-    for ch in range(4):
-        base = jnp.where(use_flat, scene.tri_flat[:, ch],
-                         jnp.asarray(palette[:, ch])[dbg])
-        mat = scene.mat_color[:, ch][scene.tri_material]
-        c_cols.append(jnp.where(textured, mat, base * mat))
+    # per-triangle constants come pre-gathered (scene.cols_const); only
+    # the animatable material color folds in per frame:
+    # C = mat × cbase (cbase is 1 for textured triangles, so textured C
+    # is exactly mat; untextured is base*mat — both bit-equal to the
+    # old gather form). mat selects via a one-hot MXU matmul — exact via
+    # the one-sided 3-way bf16 split (the one-hot side is 0/1-exact in
+    # bf16), and ~free next to four (Tp,) table gathers.
+    cc = scene.cols_const
+    mat = _mat_select(scene.mat_color, scene.tri_material)   # (4, Tp)
+    c_cols = [mat[ch] * cc[1 + ch] for ch in range(4)]
 
     cols = (ea + eb + ec + bias + zp + up + vp_ + wp
-            + [tex.astype(jnp.float32)] + c_cols
-            + _mip0_const_cols(scene, tex))
+            + [cc[0]] + c_cols + [cc[5], cc[6], cc[7], cc[8]])
     n_attr = pr.ATTRS_BASE
     if lighting:
         nc = world_normals(scene, bone_mats).reshape(3, tp, 3)
@@ -621,6 +655,35 @@ def setup_packed_cols(scene: DeviceScene, clip, width: int, height: int,
 
     bbox = (cmin(sx), cmax(sx), cmin(sy), cmax(sy), cmin(sz))
     return packed_cols, bbox, n_attr
+
+
+def _mat_select(mat_color, tri_material):
+    """Per-triangle material color via one-hot MXU select → (4, Tp) f32.
+
+    Bit-exact: the one-hot operand is exactly representable in bf16, so
+    a 3-way bf16 split of the value side alone recovers the full f32
+    mantissa in 3 DEFAULT-precision passes (single nonzero addend per
+    output). Falls back to row gathers for huge material tables."""
+    m = mat_color.shape[0]
+    if m > 512:
+        return jnp.stack(
+            [mat_color[:, ch][tri_material] for ch in range(4)], axis=0
+        )
+    onehot = (
+        jnp.arange(m, dtype=jnp.int32)[:, None] == tri_material[None, :]
+    ).astype(jnp.bfloat16)                                 # (M, Tp)
+    vals = mat_color.T                                     # (4, M)
+    b1 = vals.astype(jnp.bfloat16)
+    r1 = vals - b1.astype(jnp.float32)
+    b2 = r1.astype(jnp.bfloat16)
+    b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jnp.float32(0.0)
+    for part in (b1, b2, b3):
+        out += jax.lax.dot_general(
+            part, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return out                                             # (4, Tp)
 
 
 def _mip0_const_cols(scene: DeviceScene, tex):
