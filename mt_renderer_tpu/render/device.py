@@ -806,6 +806,27 @@ def shade_fwd(scene: DeviceScene, attrs, ib, mipmap: bool = False,
     return src, covered
 
 
+def shade_tap(scene: DeviceScene, tattrs, tapidx, ib):
+    """Shade from the kernel's tap-epilogue outputs (raster_pallas_fwd
+    with ``tap=True``): the address arithmetic already ran in-kernel on
+    VMEM vectors, so this is exactly ONE pool gather + the 2x2
+    contraction + the color modulate.
+
+    Returns (src (4, bh, bw) f32 0-255, covered (bh, bw) bool)."""
+    covered = ib >= 0
+    fx = tattrs[0]
+    fy = tattrs[1]
+    c_rgba = tattrs[2:6]                                   # (4, H, W)
+    textured = tapidx >= 0
+    quad = scene.mip_pool[jnp.maximum(tapidx, 0)]
+    quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)
+    wq = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
+                    (1 - fx) * fy, fx * fy], axis=-1)
+    albedo = jnp.einsum("hwq,hwqc->chw", wq, quad)
+    src = jnp.where(textured[None], albedo * c_rgba, c_rgba)
+    return src, covered
+
+
 def blend_over_planes(src, covered, dst):
     """Channel-plane variant of ``blend_over``: src/dst are (4, H, W)."""
     a = src[3:4] / 255.0
@@ -1113,12 +1134,22 @@ def _render_frame_core(scene: DeviceScene, view_proj: jax.Array,
             scene, clip, width, height, bone_mats=bone_mats,
             lighting=lighting,
         )
-        zb, ib, attrs, n_over = pr.raster_pallas_fwd(
-            (cols, bbox), None, 0, 0, width=pw, height=ph,
-            maxc=maxc or pr.MAXC_DEFAULT, interpret=interp, n_attr=n_attr,
-        )
-        src, covered = shade_fwd(scene, attrs, ib, mipmap=mipmap,
-                                 lighting=lighting)
+        if not mipmap and not lighting:
+            # fast path: tap addresses computed in the kernel epilogue
+            zb, ib, tattrs, tapidx, n_over = pr.raster_pallas_fwd(
+                (cols, bbox), None, 0, 0, width=pw, height=ph,
+                maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
+                n_attr=n_attr, tap=True, w_eps=W_EPS,
+            )
+            src, covered = shade_tap(scene, tattrs, tapidx, ib)
+        else:
+            zb, ib, attrs, n_over = pr.raster_pallas_fwd(
+                (cols, bbox), None, 0, 0, width=pw, height=ph,
+                maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
+                n_attr=n_attr,
+            )
+            src, covered = shade_fwd(scene, attrs, ib, mipmap=mipmap,
+                                     lighting=lighting)
         color = finish_planes(src, covered, clear_color, ph, pw)
         return color[:height, :width], zb[:height, :width], n_over
     setup = setup_stage(scene, clip, width, height, bone_mats=bone_mats,

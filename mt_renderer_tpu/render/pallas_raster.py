@@ -311,10 +311,17 @@ ATTRS_LIT = 15
 _N_COEF = {ATTRS_BASE: 18, ATTRS_LIT: 27}
 
 
-def _raster_fwd_kernel(n_attr, zkill, has_zlow, counts_ref, lists_ref,
-                       glists_ref, zming_ref, origin_ref, setup_hbm,
-                       zlow_ref, zbuf_ref, win_ref, attr_ref, scratch, sems,
-                       coef_ref, zstate, dirty):
+ATTRS_TAP = 6            # tap epilogue output planes: fx, fy, C rgba
+
+
+def _raster_fwd_kernel(n_attr, zkill, has_zlow, tap, w_eps, counts_ref,
+                       lists_ref, glists_ref, zming_ref, origin_ref,
+                       setup_hbm, zlow_ref, zbuf_ref, win_ref, attr_ref,
+                       *rest):
+    if tap:
+        tapidx_ref, scratch, sems, coef_ref, zstate, dirty = rest
+    else:
+        scratch, sems, coef_ref, zstate, dirty = rest
     n_coef = _N_COEF[n_attr]
     t = pl.program_id(0)
     count = counts_ref[t]
@@ -476,6 +483,36 @@ def _raster_fwd_kernel(n_attr, zkill, has_zlow, counts_ref, lists_ref,
     def ev(i):
         return a[i:i + 1] * px + a[i + 1:i + 2] * py + a[i + 2:i + 3]
 
+    if tap:
+        # the full bilinear-tap ADDRESS computation runs here, on VMEM
+        # vectors — the shade stage then only gathers + contracts. Same
+        # formulas as device._quad_bilinear (1-ulp divide differences vs
+        # XLA are inside the verify tolerance).
+        w1 = ev(6)
+        inv = 1.0 / jnp.where(jnp.abs(w1) < w_eps, jnp.float32(w_eps), w1)
+        u = ev(0) * inv
+        v = ev(3) * inv
+        th = a[16:17]
+        tw = a[17:18]
+        x = u * tw - 0.5
+        y = v * th - 0.5
+        x0f = jnp.floor(x)
+        y0f = jnp.floor(y)
+        fx = jnp.where(x0f < 0, 0.0, x - x0f)
+        fy = jnp.where(y0f < 0, 0.0, y - y0f)
+        wwi = tw.astype(jnp.int32)
+        hhi = th.astype(jnp.int32)
+        x0c = jnp.clip(x0f.astype(jnp.int32), 0, jnp.maximum(wwi - 1, 0))
+        y0c = jnp.clip(y0f.astype(jnp.int32), 0, jnp.maximum(hhi - 1, 0))
+        offi = (a[14:15].astype(jnp.int32) * 4096
+                + a[15:16].astype(jnp.int32))
+        idx = offi + y0c * wwi + x0c
+        tapidx_ref[0] = jnp.where(a[9:10] >= 0.0, idx, -1)  # <0: untextured
+        attr_ref[0, 0:1, :] = fx
+        attr_ref[0, 1:2, :] = fy
+        attr_ref[0, 2:6, :] = a[10:14]   # C rgba
+        return
+
     attr_ref[0, 0:1, :] = ev(0)          # u/w
     attr_ref[0, 1:2, :] = ev(3)          # v/w
     attr_ref[0, 2:3, :] = ev(6)          # 1/w
@@ -489,12 +526,13 @@ def _raster_fwd_kernel(n_attr, zkill, has_zlow, counts_ref, lists_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "maxc", "interpret", "n_attr",
-                     "zkill"),
+                     "zkill", "tap", "w_eps"),
 )
 def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
                       maxc: int = MAXC_DEFAULT, interpret: bool = False,
                       zlow=None, n_attr: int = ATTRS_BASE,
-                      zkill: bool = False):
+                      zkill: bool = False, tap: bool = False,
+                      w_eps: float = 1e-6):
     """Forward-attribute binned raster over a band → per-pixel
     (depth f32, winner i32, attrs (n_attr, bh, bw) f32, n_over).
 
@@ -510,7 +548,14 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
     bench scenes it measured neutral within the environment's ±1-2 ms
     tunnel noise (48-rep in-process A/B, r2) — the per-group scalar
     tests and the zmax refresh roughly cancel the skipped work. The
-    hook exists for heavily-occluded static walkthrough scenes."""
+    hook exists for heavily-occluded static walkthrough scenes.
+
+    ``tap`` (requires n_attr=ATTRS_BASE): the epilogue computes the
+    bilinear tap address in-kernel and returns
+    (depth, winner, tattrs (6, bh, bw) [fx, fy, C rgba],
+    tapidx (bh, bw) i32 pool row (-1 = untextured), n_over) — the shade
+    stage then only gathers the texel quads and contracts
+    (device.shade_tap). ``w_eps`` must match the shade W_EPS."""
     if width % TILE_W or height % TILE_H:
         raise ValueError(f"band {width}x{height} not tile-aligned "
                          f"({TILE_W}x{TILE_H})")
@@ -548,6 +593,24 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
     def imap(t, counts_ref, lists_ref, glists_ref, zming_ref, origin_ref):
         return (t, 0, 0)
 
+    if tap and n_attr != ATTRS_BASE:
+        raise ValueError("tap epilogue requires the base attribute set")
+    n_out_attr = ATTRS_TAP if tap else n_attr
+
+    out_specs = [
+        pl.BlockSpec((1, 1, P), index_map=imap),
+        pl.BlockSpec((1, 1, P), index_map=imap),
+        pl.BlockSpec((1, n_out_attr, P), index_map=imap),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles, n_out_attr, P), jnp.float32),
+    ]
+    if tap:
+        out_specs.append(pl.BlockSpec((1, 1, P), index_map=imap))
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.int32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_tiles,),
@@ -555,11 +618,7 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, P), index_map=imap),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, P), index_map=imap),
-            pl.BlockSpec((1, 1, P), index_map=imap),
-            pl.BlockSpec((1, n_attr, P), index_map=imap),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, K, NF), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -569,18 +628,15 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
         ],
     )
 
-    zb, ib, attrs = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_raster_fwd_kernel, n_attr, zkill,
-                          zlow is not None),
+                          zlow is not None, tap, w_eps),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, n_attr, P), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(counts, lists.reshape(-1), glists.reshape(-1), bbox[4], origin,
       packed, zlow_t)
+    zb, ib, attrs = outs[:3]
 
     def unflatten(x):
         return (
@@ -592,9 +648,11 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
     zb = unflatten(zb)
     ib = unflatten(ib)
     attrs = (
-        attrs.reshape(n_ty, n_tx, n_attr, TILE_H, TILE_W)
+        attrs.reshape(n_ty, n_tx, n_out_attr, TILE_H, TILE_W)
         .transpose(2, 0, 3, 1, 4)
-        .reshape(n_attr, height, width)
+        .reshape(n_out_attr, height, width)
     )
     zb = jnp.where(ib >= 0, zb, 1.0)
+    if tap:
+        return zb, ib, attrs, unflatten(outs[3]), n_over
     return zb, ib, attrs, n_over
