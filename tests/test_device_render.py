@@ -6,6 +6,7 @@ devices); the same code compiles for TPU unchanged.
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from mt_renderer_tpu import dti as dti_mod
 from mt_renderer_tpu import fixtures
@@ -69,6 +70,24 @@ class TestDeviceVsCpu:
         # depth buffers agree off edges too
         dd = np.abs(np.asarray(got_depth) - want_depth)
         assert (dd < 1e-4).mean() > 0.997
+
+    def test_packed_output_equivalent(self, scene):
+        """packed=True (the production u32 frame format) must unpack to
+        the exact bytes of the default (H, W, 4) u8 frame."""
+        rm, shader2, model, material = scene
+        batch = build_draw_batch(model, material, shader2, rm)
+        vp = _vp()
+        dscene = device.upload(batch)
+        ref, ref_d = device.render_frame(
+            dscene, vp, width=128, height=128, backend="pallas"
+        )
+        got, got_d = device.render_frame(
+            dscene, vp, width=128, height=128, backend="pallas", packed=True
+        )
+        assert got.dtype == jnp.uint32 and got.shape == (128, 128)
+        np.testing.assert_array_equal(device.unpack_rgba(got),
+                                      np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
 
     def test_untextured_debug_palette(self, scene):
         rm, shader2, model, _ = scene
