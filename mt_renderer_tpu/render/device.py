@@ -44,7 +44,9 @@ from ..scene.model import DEBUG_PALETTE, DrawBatch
 
 W_EPS = 1e-6
 PEEL_EPS = 1e-6        # depth-peel layer separation (NDC depth units)
-TRI_PAD = 128          # triangle-count padding quantum
+TRI_PAD = 384          # triangle-count padding quantum — one S-packed
+                       # raster chunk (pallas_raster.CT = K·S triangles
+                       # per (K, NF) setup block)
 DEFAULT_CHUNK = 16     # triangles per scan step
 
 
@@ -1106,11 +1108,11 @@ def auto_maxc(batch, view_proj, bone_mats=None, *,
     xmax[:t] = np.where(valid, sx.max(1), -big)
     ymin[:t] = np.where(valid, sy.min(1), big)
     ymax[:t] = np.where(valid, sy.max(1), -big)
-    cc = tp // pr.K
-    xmin = xmin.reshape(cc, pr.K).min(1)
-    xmax = xmax.reshape(cc, pr.K).max(1)
-    ymin = ymin.reshape(cc, pr.K).min(1)
-    ymax = ymax.reshape(cc, pr.K).max(1)
+    cc = tp // pr.CT
+    xmin = xmin.reshape(cc, pr.CT).min(1)
+    xmax = xmax.reshape(cc, pr.CT).max(1)
+    ymin = ymin.reshape(cc, pr.CT).min(1)
+    ymax = ymax.reshape(cc, pr.CT).max(1)
 
     n_ty, n_tx = ph // pr.TILE_H, pw // pr.TILE_W
     ty0 = np.arange(n_ty, dtype=np.float32) * pr.TILE_H
