@@ -45,7 +45,7 @@ def make_row_mesh(n_devices: int | None = None) -> Mesh:
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "chunk", "clear_color",
-                     "backend", "maxc", "mipmap", "lighting"),
+                     "backend", "maxc", "mipmap", "lighting", "packed"),
 )
 def _render_frame_multichip_core(
     scene: dev.DeviceScene,
@@ -61,6 +61,7 @@ def _render_frame_multichip_core(
     maxc: int | None = None,
     mipmap: bool = False,
     lighting: bool = False,
+    packed: bool = False,
 ):
     """Jitted band-sharded frame body → (color, depth, n_over (n,) i32)."""
     n = mesh.devices.size
@@ -81,14 +82,25 @@ def _render_frame_multichip_core(
                 scene, clip, width, height, bone_mats=bone_mats,
                 lighting=lighting,
             )
-            zb, ib, attrs, n_over = pr.raster_pallas_fwd(
-                (cols, bbox), None, 0, y0, width=pw, height=pb,
-                maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
-                n_attr=n_attr,
-            )
-            src, covered = dev.shade_fwd(scene, attrs, ib, mipmap=mipmap,
-                                         lighting=lighting)
-            color = dev.finish_planes(src, covered, clear_color, pb, pw)
+            if not mipmap and not lighting:
+                # same fast path as single-chip: tap addresses in-kernel
+                zb, ib, tattrs, tapidx, n_over = pr.raster_pallas_fwd(
+                    (cols, bbox), None, 0, y0, width=pw, height=pb,
+                    maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
+                    n_attr=n_attr, tap=True, w_eps=dev.W_EPS,
+                )
+                src, covered = dev.shade_tap(scene, tattrs, tapidx, ib)
+            else:
+                zb, ib, attrs, n_over = pr.raster_pallas_fwd(
+                    (cols, bbox), None, 0, y0, width=pw, height=pb,
+                    maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
+                    n_attr=n_attr,
+                )
+                src, covered = dev.shade_fwd(scene, attrs, ib,
+                                             mipmap=mipmap,
+                                             lighting=lighting)
+            fin = dev.finish_packed if packed else dev.finish_planes
+            color = fin(src, covered, clear_color, pb, pw)
             return (color[:band_h, :width], zb[:band_h, :width],
                     n_over[None])
         setup = dev.setup_stage(scene, clip, width, height,
@@ -127,17 +139,19 @@ def render_frame_multichip(scene, view_proj, bone_mats=None, *,
                            clear_color: tuple = (255, 255, 255, 255),
                            backend: str = "pallas", maxc: int | None = None,
                            mipmap: bool = False, lighting: bool = False,
-                           check_overflow: bool = True):
+                           check_overflow: bool = True,
+                           packed: bool = False):
     """Render one frame with the raster+shade stages sharded over screen
     bands. Returns ((H, W, 4) uint8, (H, W) f32), row-sharded over the
-    mesh. ``backend`` as in ``device.render_frame``; the pallas path pads
+    mesh (``packed``: (H, W) uint32 RGBA — see ``device.render_frame``).
+    ``backend`` as in ``device.render_frame``; the pallas path pads
     each band up to tile alignment and crops. Per-band bin-overflow
     counts are summed and checked host-side (see
     ``pallas_raster.queue_overflow_check``)."""
     color, depth, n_over = _render_frame_multichip_core(
         scene, view_proj, bone_mats, mesh=mesh, width=width, height=height,
         chunk=chunk, clear_color=clear_color, backend=backend, maxc=maxc,
-        mipmap=mipmap, lighting=lighting,
+        mipmap=mipmap, lighting=lighting, packed=packed,
     )
     if check_overflow and backend == "pallas":
         from ..render import pallas_raster as pr
