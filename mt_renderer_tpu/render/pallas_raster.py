@@ -341,14 +341,14 @@ _N_COEF = {ATTRS_BASE: 18, ATTRS_LIT: 27}
 ATTRS_TAP = 6            # tap epilogue output planes: fx, fy, C rgba
 
 
-def _raster_fwd_kernel(n_attr, zkill, has_zlow, tap, w_eps, counts_ref,
-                       lists_ref, glists_ref, zming_ref, origin_ref,
+def _raster_fwd_kernel(n_attr, has_zlow, tap, w_eps, counts_ref,
+                       lists_ref, glists_ref, origin_ref,
                        setup_hbm, zlow_ref, zbuf_ref, win_ref, attr_ref,
                        *rest):
     if tap:
-        tapidx_ref, scratch, sems, coef_ref, zstate, dirty = rest
+        tapidx_ref, scratch, sems, coef_ref = rest
     else:
-        scratch, sems, coef_ref, zstate, dirty = rest
+        scratch, sems, coef_ref = rest
     n_coef = _N_COEF[n_attr]
     t = pl.program_id(0)
     count = counts_ref[t]
@@ -376,9 +376,6 @@ def _raster_fwd_kernel(n_attr, zkill, has_zlow, tap, w_eps, counts_ref,
             sems.at[slot]
         )
 
-    zstate[0] = jnp.float32(jnp.inf)
-    dirty[0] = jnp.int32(0)
-
     @pl.when(count > 0)
     def _():
         dma(0, 0).start()
@@ -395,28 +392,19 @@ def _raster_fwd_kernel(n_attr, zkill, has_zlow, tap, w_eps, counts_ref,
             cid = lists_ref[t * maxc + s]
             gmask = glists_ref[t * maxc + s]
 
-            # early-z group kill: once every pixel is covered (zmax —
-            # the cached max of the z buffer — goes finite) a group
-            # whose min vertex depth lies beyond it cannot win any
-            # pixel. The margin over-approximates plane-evaluation
-            # rounding so a fragment within float noise of the
-            # incumbent is never skipped. zmax is refreshed AFTER the
-            # groups (one chunk stale — conservative) and only when the
-            # z buffer changed, keeping the vector→scalar reduce off
-            # the critical path.
-            zthresh = zstate[0] * 1.000002 + 1e-6 if zkill else None
-
             # groups of KG triangles, processed in ascending order (the
             # LessEqual zbuf test makes later groups win exact-z ties,
             # matching the whole-chunk max-winner rule); a group whose
             # bbox missed this tile (bit g of gmask clear — precomputed
-            # by bin_chunks) or whose min depth is early-z killed skips
-            # its entire (KG, P) block. Group gi lives in sub-block
-            # gi // (K // KG) (lane offset c0), rows r0..r0+KG.
+            # by bin_chunks) skips its entire (KG, P) block. Group gi
+            # lives in sub-block gi // (K // KG) (lane offset c0), rows
+            # r0..r0+KG. (An explicit early-z group kill — cached tile
+            # zmax + per-group min-depth test — was tried and REMOVED:
+            # ~1 ms/frame SLOWER on both the default and the dense 75%-
+            # coverage scene, scan-harness A/B r2; the nearest-first
+            # chunk order + the z<=zbuf test already reap the benefit.)
             for g in range(G):
                 live = (gmask >> g) & 1 != 0
-                if zkill:
-                    live &= zming_ref[cid * G + g] <= zthresh
 
                 @pl.when(live)
                 def _(g=g):
@@ -485,23 +473,11 @@ def _raster_fwd_kernel(n_attr, zkill, has_zlow, tap, w_eps, counts_ref,
                             preferred_element_type=jnp.float32,
                         )                                    # (n_coef, P)
                     coef_ref[...] = jnp.where(upd, sel, coef_ref[...])
-                    if zkill:
-                        @pl.when(jnp.any(upd))
-                        def _():
-                            dirty[0] = jnp.int32(1)
 
                     zbuf_ref[0] = jnp.where(upd, zmin, zbuf_ref[0])
                     win_ref[0] = jnp.where(
                         upd, cid * CT + sub * K + winner_k, win_ref[0]
                     )
-
-            # refresh the cached tile zmax (inf while any pixel is
-            # uncovered — the kill only fires on fully-covered tiles)
-            if zkill:
-                @pl.when(dirty[0] != 0)
-                def _():
-                    zstate[0] = jnp.max(zbuf_ref[0])
-                    dirty[0] = jnp.int32(0)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
@@ -556,13 +532,12 @@ def _raster_fwd_kernel(n_attr, zkill, has_zlow, tap, w_eps, counts_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "maxc", "interpret", "n_attr",
-                     "zkill", "tap", "w_eps"),
+                     "tap", "w_eps"),
 )
 def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
                       maxc: int = MAXC_DEFAULT, interpret: bool = False,
                       zlow=None, n_attr: int = ATTRS_BASE,
-                      zkill: bool = False, tap: bool = False,
-                      w_eps: float = 1e-6):
+                      tap: bool = False, w_eps: float = 1e-6):
     """Forward-attribute binned raster over a band → per-pixel
     (depth f32, winner i32, attrs (n_attr, bh, bw) f32, n_over).
 
@@ -571,14 +546,6 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
     pre-packed ``(cols (T, ncol), bbox)`` tuple from
     ``device.setup_packed_cols`` (the fast path: no lane-padded (T, 3)
     intermediates); pass ``extras=None`` then.
-
-    ``zkill``: early-z group kill — once a tile is fully covered, groups
-    whose min vertex depth lies beyond the tile's cached max depth skip
-    entirely (pixel-identical; see TestEarlyZKill). Default OFF: on the
-    bench scenes it measured neutral within the environment's ±1-2 ms
-    tunnel noise (48-rep in-process A/B, r2) — the per-group scalar
-    tests and the zmax refresh roughly cancel the skipped work. The
-    hook exists for heavily-occluded static walkthrough scenes.
 
     ``tap`` (requires n_attr=ATTRS_BASE): the epilogue computes the
     bilinear tap address in-kernel and returns
@@ -616,7 +583,7 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
         [jnp.int32(x0), jnp.int32(y0), jnp.int32(n_tx)]
     ).astype(jnp.int32)
 
-    def imap(t, counts_ref, lists_ref, glists_ref, zming_ref, origin_ref):
+    def imap(t, counts_ref, lists_ref, glists_ref, origin_ref):
         return (t, 0, 0)
 
     if tap and n_attr != ATTRS_BASE:
@@ -638,7 +605,7 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
         out_shape.append(jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -649,18 +616,16 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
             pltpu.VMEM((2, K, NF), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((_N_COEF[n_attr], P), jnp.float32),
-            pltpu.SMEM((1,), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
         ],
     )
 
     outs = pl.pallas_call(
-        functools.partial(_raster_fwd_kernel, n_attr, zkill,
+        functools.partial(_raster_fwd_kernel, n_attr,
                           zlow is not None, tap, w_eps),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(counts, lists.reshape(-1), glists.reshape(-1), bbox[4], origin,
+    )(counts, lists.reshape(-1), glists.reshape(-1), origin,
       packed, zlow_t)
     zb, ib, attrs = outs[:3]
 

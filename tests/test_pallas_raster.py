@@ -74,40 +74,6 @@ class TestPallasRaster:
         assert (np.asarray(d) == 1.0).all()
 
 
-class TestEarlyZKill:
-    def test_zkill_pixel_identical(self):
-        """The early-z group kill must be invisible: a high-occlusion
-        scene (camera inside the cube field, every tile multi-layered)
-        renders bit-identically with the kill on and off — the kill may
-        only skip groups that cannot win any pixel."""
-        import jax.numpy as jnp
-
-        from mt_renderer_tpu.render import pallas_raster as pr
-
-        batch = demo.build_demo_batch(instances=64, skinned=True, subdiv=2)
-        cam = demo.demo_camera(64, 256, 128)
-        cam.position = cam.position * 0.3      # inside the field
-        vp = np.asarray(cam.view_proj())
-        bones = demo.demo_bone_mats(0.5)
-        scene = device.upload(batch)
-        clip = device.vertex_stage(scene, jnp.asarray(vp),
-                                   jnp.asarray(bones))
-        cols, bbox, n_attr = device.setup_packed_cols(scene, clip, 256, 128)
-        outs = {}
-        for zk in (False, True):
-            zb, ib, attrs, _ = pr.raster_pallas_fwd(
-                (cols, bbox), None, 0, 0, width=256, height=128,
-                maxc=64, interpret=True, n_attr=n_attr, zkill=zk,
-            )
-            outs[zk] = (np.asarray(zb), np.asarray(ib), np.asarray(attrs))
-        assert (outs[False][0] == outs[True][0]).all()
-        assert (outs[False][1] == outs[True][1]).all()
-        assert (outs[False][2] == outs[True][2]).all()
-        # the scene must actually exercise the kill: some tile fully
-        # covered by near geometry with farther chunks binned behind it
-        assert (outs[True][0] < 1.0).mean() > 0.5
-
-
 class TestBinStats:
     def test_counts_and_overflow(self, scene_batch):
         import jax.numpy as jnp
