@@ -82,12 +82,14 @@ def _render_frame_multichip_core(
                 scene, clip, width, height, bone_mats=bone_mats,
                 lighting=lighting,
             )
-            if not mipmap and not lighting:
-                # same fast path as single-chip: tap addresses in-kernel
+            if not mipmap:
+                # same fast path as single-chip: tap addresses (and the
+                # lambert factor when lighting) in-kernel
                 zb, ib, tattrs, tapidx, n_over = pr.raster_pallas_fwd(
                     (cols, bbox), None, 0, y0, width=pw, height=pb,
                     maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
                     n_attr=n_attr, tap=True, w_eps=dev.W_EPS,
+                    light=dev._light_unit() if lighting else None,
                 )
                 src, covered = dev.shade_tap(scene, tattrs, tapidx, ib)
             else:

@@ -971,6 +971,13 @@ def _uv_lod_planes(u, v, tex_hw):
 LIGHT_DIR = (0.35, 0.65, 0.67)   # world-space directional light (normalized-ish)
 
 
+def _light_unit() -> tuple:
+    """LIGHT_DIR normalized, as a static python tuple (kernel constant)."""
+    l = np.asarray(LIGHT_DIR, np.float32)
+    l = l / np.linalg.norm(l)
+    return (float(l[0]), float(l[1]), float(l[2]))
+
+
 def shade_src(scene: DeviceScene, setup, ib, width: int, height: int,
               origin=(0, 0), band=None, mipmap: bool = False,
               lighting: bool = False):
@@ -1158,12 +1165,14 @@ def _render_frame_core(scene: DeviceScene, view_proj: jax.Array,
             scene, clip, width, height, bone_mats=bone_mats,
             lighting=lighting,
         )
-        if not mipmap and not lighting:
-            # fast path: tap addresses computed in the kernel epilogue
+        if not mipmap:
+            # fast path: tap addresses (and the lambert factor when
+            # lighting) computed in the kernel epilogue
             zb, ib, tattrs, tapidx, n_over = pr.raster_pallas_fwd(
                 (cols, bbox), None, 0, 0, width=pw, height=ph,
                 maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
                 n_attr=n_attr, tap=True, w_eps=W_EPS,
+                light=_light_unit() if lighting else None,
             )
             src, covered = shade_tap(scene, tattrs, tapidx, ib)
         else:

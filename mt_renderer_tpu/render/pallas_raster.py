@@ -341,7 +341,7 @@ _N_COEF = {ATTRS_BASE: 18, ATTRS_LIT: 27}
 ATTRS_TAP = 6            # tap epilogue output planes: fx, fy, C rgba
 
 
-def _raster_fwd_kernel(n_attr, has_zlow, tap, w_eps, counts_ref,
+def _raster_fwd_kernel(n_attr, has_zlow, tap, w_eps, light, counts_ref,
                        lists_ref, glists_ref, origin_ref,
                        setup_hbm, zlow_ref, zbuf_ref, win_ref, attr_ref,
                        *rest):
@@ -516,7 +516,27 @@ def _raster_fwd_kernel(n_attr, has_zlow, tap, w_eps, counts_ref,
         tapidx_ref[0] = jnp.where(a[9:10] >= 0.0, idx, -1)  # <0: untextured
         attr_ref[0, 0:1, :] = fx
         attr_ref[0, 1:2, :] = fy
-        attr_ref[0, 2:6, :] = a[10:14]   # C rgba
+        if n_attr == ATTRS_LIT:
+            # directional lambert folds into the C rgb planes here: the
+            # albedo multiply downstream distributes over the scale
+            # (albedo × (C·s) == (albedo × C)·s). Same formulas as
+            # device.shade_fwd's lighting branch.
+            nx = ev(18) * inv
+            ny = ev(21) * inv
+            nz = ev(24) * inv
+            ln = jnp.maximum(
+                jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-6
+            )
+            ndl = jnp.maximum(
+                (light[0] * nx + light[1] * ny + light[2] * nz) / ln, 0.0
+            )
+            s = 0.3 + 0.7 * ndl
+            attr_ref[0, 2:3, :] = a[10:11] * s
+            attr_ref[0, 3:4, :] = a[11:12] * s
+            attr_ref[0, 4:5, :] = a[12:13] * s
+            attr_ref[0, 5:6, :] = a[13:14]            # alpha unlit
+        else:
+            attr_ref[0, 2:6, :] = a[10:14]            # C rgba
         return
 
     attr_ref[0, 0:1, :] = ev(0)          # u/w
@@ -532,12 +552,13 @@ def _raster_fwd_kernel(n_attr, has_zlow, tap, w_eps, counts_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "maxc", "interpret", "n_attr",
-                     "tap", "w_eps"),
+                     "tap", "w_eps", "light"),
 )
 def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
                       maxc: int = MAXC_DEFAULT, interpret: bool = False,
                       zlow=None, n_attr: int = ATTRS_BASE,
-                      tap: bool = False, w_eps: float = 1e-6):
+                      tap: bool = False, w_eps: float = 1e-6,
+                      light: tuple | None = None):
     """Forward-attribute binned raster over a band → per-pixel
     (depth f32, winner i32, attrs (n_attr, bh, bw) f32, n_over).
 
@@ -547,12 +568,14 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
     ``device.setup_packed_cols`` (the fast path: no lane-padded (T, 3)
     intermediates); pass ``extras=None`` then.
 
-    ``tap`` (requires n_attr=ATTRS_BASE): the epilogue computes the
-    bilinear tap address in-kernel and returns
-    (depth, winner, tattrs (6, bh, bw) [fx, fy, C rgba],
+    ``tap``: the epilogue computes the bilinear tap address in-kernel
+    and returns (depth, winner, tattrs (6, bh, bw) [fx, fy, C rgba],
     tapidx (bh, bw) i32 pool row (-1 = untextured), n_over) — the shade
     stage then only gathers the texel quads and contracts
-    (device.shade_tap). ``w_eps`` must match the shade W_EPS."""
+    (device.shade_tap). ``w_eps`` must match the shade W_EPS. With
+    n_attr=ATTRS_LIT, ``light`` (a normalized 3-tuple) must be given
+    and the directional lambert factor folds into the emitted C rgb
+    planes in-kernel — shade_tap needs no lighting branch."""
     if width % TILE_W or height % TILE_H:
         raise ValueError(f"band {width}x{height} not tile-aligned "
                          f"({TILE_W}x{TILE_H})")
@@ -586,8 +609,8 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
     def imap(t, counts_ref, lists_ref, glists_ref, origin_ref):
         return (t, 0, 0)
 
-    if tap and n_attr != ATTRS_BASE:
-        raise ValueError("tap epilogue requires the base attribute set")
+    if tap and n_attr == ATTRS_LIT and light is None:
+        raise ValueError("lit tap epilogue needs the light direction")
     n_out_attr = ATTRS_TAP if tap else n_attr
 
     out_specs = [
@@ -621,7 +644,7 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
 
     outs = pl.pallas_call(
         functools.partial(_raster_fwd_kernel, n_attr,
-                          zlow is not None, tap, w_eps),
+                          zlow is not None, tap, w_eps, light),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,

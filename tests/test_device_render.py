@@ -328,6 +328,21 @@ class TestRichLayoutAndLighting:
         # alpha untouched
         np.testing.assert_array_equal(lit[..., 3], unlit[..., 3])
 
+    def test_lighting_pallas_tap_matches_scan(self):
+        """The lit tap epilogue (lambert folded into the C planes
+        in-kernel) must match the scan backend's lighting math."""
+        b = self._rich_batch()
+        scene = device.upload(b)
+        vp = _vp()
+        want, wd = device.render_frame(scene, vp, None, width=128,
+                                       height=64, lighting=True)
+        got, gd = device.render_frame(scene, vp, None, width=128,
+                                      height=64, lighting=True,
+                                      backend="pallas")
+        assert_frames_match(np.asarray(got), np.asarray(want))
+        cov_mis = (np.asarray(gd) < 1.0) != (np.asarray(wd) < 1.0)
+        assert cov_mis.mean() <= 0.003
+
     def test_unlit_default_unchanged(self):
         b = self._rich_batch()
         scene = device.upload(b)
