@@ -777,11 +777,18 @@ def shade_fwd(scene: DeviceScene, attrs, ib, mipmap: bool = False,
     textured = layer >= 0
     lsafe = jnp.maximum(layer, 0)
     if mipmap:
-        tex_hw = scene.tex_size[
-            jnp.clip(lsafe, 0, scene.tex_size.shape[0] - 1)
-        ]
-        lod = _uv_lod_planes(u, v, tex_hw)
-        albedo = sample_trilinear(scene, lsafe, u, v, lod, planes=True)
+        # trilinear with ARITHMETIC mip addressing: mip chains are
+        # contiguous in the pool (upload appends each level in order),
+        # so level offsets/extents derive from the winner's constant
+        # columns (off0, th, tw) by shift chains — zero per-pixel
+        # mip-table or tex-size gathers, bit-identical to the table.
+        off0 = (attrs[8].astype(jnp.int32) * 4096
+                + attrs[9].astype(jnp.int32))
+        th = attrs[10].astype(jnp.int32)
+        tw = attrs[11].astype(jnp.int32)
+        lod = _uv_lod_planes(u, v, hw_planes=(attrs[10], attrs[11]))
+        albedo = _trilinear_arith(scene.mip_pool, off0, th, tw, lod, u, v,
+                                  scene.num_mips, planes=True)
     else:
         # mip-0 pool location straight from the winner's constant
         # columns — no per-pixel mip-table gathers (off/h/w lookups were
@@ -954,10 +961,53 @@ def _uv_lod(uvp, tex_hw):
     return jnp.log2(jnp.maximum(rho, 1e-6))
 
 
-def _uv_lod_planes(u, v, tex_hw):
-    """Per-pixel LOD from (H, W) u/v planes (same math as _uv_lod)."""
-    tx = tex_hw[..., 1].astype(jnp.float32)
-    ty = tex_hw[..., 0].astype(jnp.float32)
+def _mip_arith(off0, th, tw, m, num_mips: int):
+    """Level-m pool offset/extents from the mip-0 constants — the pool
+    stores each texture's chain contiguously and level i spans
+    max(th>>i,1)·max(tw>>i,1) rows (exactly how upload() builds it), so
+    this matches the mip_table bit-for-bit with zero gathers. All args
+    (H, W) i32; m must be <= the texture's last real level."""
+    hm = jnp.maximum(th >> m, 1)
+    wm = jnp.maximum(tw >> m, 1)
+    off = off0
+    for i in range(num_mips - 1):
+        sz = jnp.maximum(th >> i, 1) * jnp.maximum(tw >> i, 1)
+        off = off + jnp.where(m > i, sz, 0)
+    return off, hm, wm
+
+
+def _trilinear_arith(pool, off0, th, tw, lod, u, v, num_mips: int,
+                     planes: bool = False):
+    """Trilinear sample with arithmetic mip addressing (see _mip_arith).
+    Reproduces sample_trilinear exactly: lod clips to [0, num_mips-1],
+    levels clamp to the texture's last real level (the table repeats it,
+    so blending past the end degenerates to that level)."""
+    big = jnp.maximum(th, tw)
+    mmax = jnp.zeros_like(th)
+    for m in range(1, num_mips):
+        mmax = jnp.where((big >> m) > 0, m, mmax)
+    lod = jnp.clip(lod, 0.0, float(num_mips - 1))
+    m0f = jnp.floor(lod)
+    fm = lod - m0f
+    fm = fm[None] if planes else fm[..., None]
+    m0 = jnp.minimum(m0f.astype(jnp.int32), mmax)
+    m1 = jnp.minimum(m0 + 1, mmax)
+    s0 = _quad_bilinear(pool, *_mip_arith(off0, th, tw, m0, num_mips),
+                        u, v, planes=planes)
+    s1 = _quad_bilinear(pool, *_mip_arith(off0, th, tw, m1, num_mips),
+                        u, v, planes=planes)
+    return s0 * (1 - fm) + s1 * fm
+
+
+def _uv_lod_planes(u, v, tex_hw=None, hw_planes=None):
+    """Per-pixel LOD from (H, W) u/v planes (same math as _uv_lod).
+    Texture extents come either from ``tex_hw`` (H, W, 2) or from
+    ``hw_planes`` = (h_plane, w_plane) f32 (H, W) each."""
+    if hw_planes is not None:
+        ty, tx = hw_planes
+    else:
+        tx = tex_hw[..., 1].astype(jnp.float32)
+        ty = tex_hw[..., 0].astype(jnp.float32)
 
     def rho(c, scale):
         dx = jnp.abs(jnp.diff(c, axis=1, append=c[:, -1:])) * scale

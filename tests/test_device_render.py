@@ -273,6 +273,46 @@ class TestMipmapping:
         diff = np.abs(np.asarray(c0).astype(int) - np.asarray(c1).astype(int))
         assert (diff.max(-1) > 2).mean() < 0.02
 
+    def test_arith_mip_addressing_exact(self):
+        """The pallas mipmap path derives level offsets/extents
+        arithmetically from the winner's mip-0 constants
+        (_trilinear_arith); it must reproduce the mip_table-based
+        sample_trilinear BIT-EXACTLY, across mixed texture sizes
+        including non-power-of-2."""
+        import jax.numpy as jnp
+
+        from mt_renderer_tpu.scene import demo
+        from mt_renderer_tpu.scene.model import merge_batches
+
+        a = demo.build_demo_batch(instances=1, skinned=False,
+                                  texture_size=64)
+        b = demo.build_demo_batch(instances=1, skinned=False,
+                                  texture_size=16)
+        c = demo.build_demo_batch(instances=1, skinned=False,
+                                  texture_size=33)
+        ds = device.upload(merge_batches(merge_batches(a, b), c))
+        rng = np.random.default_rng(1)
+        n = 4096
+        lyr = rng.integers(0, ds.mip_table.shape[0], n).astype(np.int32)
+        u = jnp.asarray(rng.uniform(-0.2, 1.2, n).astype(np.float32)
+                        ).reshape(64, 64)
+        v = jnp.asarray(rng.uniform(-0.2, 1.2, n).astype(np.float32)
+                        ).reshape(64, 64)
+        lod = jnp.asarray(
+            rng.uniform(-1, ds.num_mips + 1, n).astype(np.float32)
+        ).reshape(64, 64)
+        want = device.sample_trilinear(
+            ds, jnp.asarray(lyr).reshape(64, 64), u, v, lod, planes=True
+        )
+        t0 = np.asarray(ds.mip_table[:, 0, :])
+        mk = lambda col: jnp.asarray(
+            t0[:, col][lyr].reshape(64, 64).astype(np.int32))
+        got = device._trilinear_arith(
+            ds.mip_pool, mk(0), mk(1), mk(2), lod, u, v, ds.num_mips,
+            planes=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_minification_reduces_aliasing(self, scene):
         # far away, the checkerboard aliases without mips; with mips the
         # covered pixels converge toward the texture average -> lower
