@@ -1326,17 +1326,28 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
             scene, clip, width, height, bone_mats=bone_mats,
             lighting=lighting,
         )
+        # pack + bin ONCE: every peel pass rasters the same geometry
+        pre = pr.prebin((cols, bbox), None, 0, 0, width=pw, height=ph,
+                        maxc=maxc or pr.MAXC_DEFAULT)
+        n_over = pre[4]
         zlow = None
         for _ in range(layers):
-            zb, ib, attrs, n_over_i = pr.raster_pallas_fwd(
-                (cols, bbox), None, 0, 0, width=pw, height=ph,
-                maxc=maxc or pr.MAXC_DEFAULT, interpret=interp, zlow=zlow,
-                n_attr=n_attr,
-            )
-            if n_over is None:
-                n_over = n_over_i
-            src, covered = shade_fwd(scene, attrs, ib, mipmap=mipmap,
-                                     lighting=lighting)
+            if not mipmap:
+                zb, ib, tattrs, tapidx, _ = pr.raster_pallas_fwd(
+                    (cols, bbox), None, 0, 0, width=pw, height=ph,
+                    maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
+                    zlow=zlow, n_attr=n_attr, tap=True, w_eps=W_EPS,
+                    light=_light_unit() if lighting else None, pre=pre,
+                )
+                src, covered = shade_tap(scene, tattrs, tapidx, ib)
+            else:
+                zb, ib, attrs, _ = pr.raster_pallas_fwd(
+                    (cols, bbox), None, 0, 0, width=pw, height=ph,
+                    maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
+                    zlow=zlow, n_attr=n_attr, pre=pre,
+                )
+                src, covered = shade_fwd(scene, attrs, ib, mipmap=mipmap,
+                                         lighting=lighting)
             passes.append((src, covered, zb))
             zlow = jnp.where(ib >= 0, zb + PEEL_EPS, jnp.inf)
     else:

@@ -341,6 +341,27 @@ _N_COEF = {ATTRS_BASE: 18, ATTRS_LIT: 27}
 ATTRS_TAP = 6            # tap epilogue output planes: fx, fy, C rgba
 
 
+def prebin(setup, extras, x0, y0, *, width: int, height: int,
+           maxc: int = MAXC_DEFAULT):
+    """Pack + bin once → reusable (packed, lists, glists, counts, n_over)
+    for ``raster_pallas_fwd(pre=...)``. Depth peeling re-rasters the SAME
+    geometry per layer — binning is identical across passes, so hoist it
+    out of the layer loop."""
+    n_ty = height // TILE_H
+    n_tx = width // TILE_W
+    if isinstance(setup, dict):
+        packed, bbox = pack_setup(setup, extras)
+    else:
+        cols, bbox = setup
+        packed = pack_cols(cols)
+    maxc = min(maxc, packed.shape[0])
+    lists, glists, counts, counts_true = bin_chunks(
+        bbox, n_ty, n_tx, maxc, x0, y0
+    )
+    n_over = jnp.sum(counts_true > maxc)
+    return packed, lists, glists, counts, n_over
+
+
 def _raster_fwd_kernel(n_attr, has_zlow, tap, w_eps, light, counts_ref,
                        lists_ref, glists_ref, origin_ref,
                        setup_hbm, zlow_ref, zbuf_ref, win_ref, attr_ref,
@@ -558,7 +579,7 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
                       maxc: int = MAXC_DEFAULT, interpret: bool = False,
                       zlow=None, n_attr: int = ATTRS_BASE,
                       tap: bool = False, w_eps: float = 1e-6,
-                      light: tuple | None = None):
+                      light: tuple | None = None, pre=None):
     """Forward-attribute binned raster over a band → per-pixel
     (depth f32, winner i32, attrs (n_attr, bh, bw) f32, n_over).
 
@@ -583,16 +604,10 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
     n_tx = width // TILE_W
     n_tiles = n_ty * n_tx
 
-    if isinstance(setup, dict):
-        packed, bbox = pack_setup(setup, extras)
-    else:
-        cols, bbox = setup
-        packed = pack_cols(cols)
-    maxc = min(maxc, packed.shape[0])
-    lists, glists, counts, counts_true = bin_chunks(
-        bbox, n_ty, n_tx, maxc, x0, y0
-    )
-    n_over = jnp.sum(counts_true > maxc)
+    if pre is None:
+        pre = prebin(setup, extras, x0, y0, width=width, height=height,
+                     maxc=maxc)
+    packed, lists, glists, counts, n_over = pre
 
     if zlow is None:
         zlow_t = jnp.full((n_tiles, 1, P), -jnp.inf, jnp.float32)
