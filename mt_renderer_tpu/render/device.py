@@ -836,6 +836,39 @@ def shade_tap(scene: DeviceScene, tattrs, tapidx, ib):
     return src, covered
 
 
+def shade_finish_tap_flat(scene: DeviceScene, tattrs, tapidx, ib,
+                          clear_color):
+    """TILE-MAJOR shade + composite: consumes ``raster_pallas_fwd``
+    ``flat=True`` outputs (tattrs (n_tiles, 6, P), tapidx/ib
+    (n_tiles, 1, P)) and emits the packed-u32 frame still in tile order
+    — shading and blending are elementwise, so the only raster-order
+    relayout in the whole frame is the caller's final
+    ``unflatten_tiles`` of this one u32 plane (the raster-order
+    pipeline paid ~8 of them). Math is channel-for-channel identical to
+    shade_tap + finish_packed.
+
+    Returns (packed (n_tiles, P) uint32, covered (n_tiles, P) bool)."""
+    ti = tapidx[:, 0, :]
+    covered = ib[:, 0, :] >= 0
+    fx = tattrs[:, 0, :]
+    fy = tattrs[:, 1, :]
+    textured = ti >= 0
+    quad = scene.mip_pool[jnp.maximum(ti, 0)]
+    quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)
+    wq = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
+                    (1 - fx) * fy, fx * fy], axis=-1)
+    alb = jnp.einsum("tpq,tpqc->ctp", wq, quad)
+    clear = np.asarray(clear_color, np.float32)
+    src = [jnp.where(textured, alb[c] * tattrs[:, 2 + c, :],
+                     tattrs[:, 2 + c, :]) for c in range(4)]
+    a = src[3] / 255.0
+    out = [jnp.where(covered, src[c] * a + clear[c] * (1.0 - a),
+                     clear[c]) for c in range(3)]
+    out.append(jnp.where(covered, src[3], clear[3]))
+    q = [jnp.clip(o + 0.5, 0.0, 255.0).astype(jnp.uint32) for o in out]
+    return q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24), covered
+
+
 def blend_over_planes(src, covered, dst):
     """Channel-plane variant of ``blend_over``: src/dst are (4, H, W)."""
     a = src[3:4] / 255.0
@@ -1215,6 +1248,21 @@ def _render_frame_core(scene: DeviceScene, view_proj: jax.Array,
             scene, clip, width, height, bone_mats=bone_mats,
             lighting=lighting,
         )
+        if not mipmap and packed:
+            # fastest path: tap addresses (and the lambert factor when
+            # lighting) in the kernel epilogue, everything downstream
+            # tile-major — one relayout per returned plane, total
+            zb, ib, tattrs, tapidx, n_over = pr.raster_pallas_fwd(
+                (cols, bbox), None, 0, 0, width=pw, height=ph,
+                maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
+                n_attr=n_attr, tap=True, w_eps=W_EPS,
+                light=_light_unit() if lighting else None, flat=True,
+            )
+            colort, _ = shade_finish_tap_flat(scene, tattrs, tapidx, ib,
+                                              clear_color)
+            color = pr.unflatten_tiles(colort, ph, pw)
+            zbf = pr.unflatten_tiles(zb[:, 0, :], ph, pw)
+            return color[:height, :width], zbf[:height, :width], n_over
         if not mipmap:
             # fast path: tap addresses (and the lambert factor when
             # lighting) computed in the kernel epilogue

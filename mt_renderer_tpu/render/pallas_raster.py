@@ -573,13 +573,14 @@ def _raster_fwd_kernel(n_attr, has_zlow, tap, w_eps, light, counts_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "maxc", "interpret", "n_attr",
-                     "tap", "w_eps", "light"),
+                     "tap", "w_eps", "light", "flat"),
 )
 def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
                       maxc: int = MAXC_DEFAULT, interpret: bool = False,
                       zlow=None, n_attr: int = ATTRS_BASE,
                       tap: bool = False, w_eps: float = 1e-6,
-                      light: tuple | None = None, pre=None):
+                      light: tuple | None = None, pre=None,
+                      flat: bool = False):
     """Forward-attribute binned raster over a band → per-pixel
     (depth f32, winner i32, attrs (n_attr, bh, bw) f32, n_over).
 
@@ -667,6 +668,18 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
       packed, zlow_t)
     zb, ib, attrs = outs[:3]
 
+    if flat:
+        # TILE-MAJOR outputs: (n_tiles, 1|n_attr, P), no relayouts.
+        # Shading/compositing are elementwise, so keep everything in
+        # tile order and unflatten ONLY the final packed color plane
+        # (each (H, W) ↔ tile-major relayout costs ~0.1-0.3 ms at
+        # 1080p and the raster-order pipeline paid ~8 of them). Use
+        # ``unflatten_tiles`` on whatever needs raster order.
+        zb = jnp.where(ib >= 0, zb, 1.0)
+        if tap:
+            return zb, ib, attrs, outs[3], n_over
+        return zb, ib, attrs, n_over
+
     def unflatten(x):
         return (
             x.reshape(n_ty, n_tx, TILE_H, TILE_W)
@@ -685,3 +698,14 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
     if tap:
         return zb, ib, attrs, unflatten(outs[3]), n_over
     return zb, ib, attrs, n_over
+
+
+def unflatten_tiles(x, height: int, width: int):
+    """(n_tiles, 1, P) or (n_tiles, P) tile-major → (height, width)."""
+    n_ty = height // TILE_H
+    n_tx = width // TILE_W
+    return (
+        x.reshape(n_ty, n_tx, TILE_H, TILE_W)
+        .transpose(0, 2, 1, 3)
+        .reshape(height, width)
+    )
