@@ -31,11 +31,24 @@ class RendererApp:
         raise NotImplementedError
 
     def render(self, manager: "RendererAppManager") -> np.ndarray:
-        """Return the frame as (H, W, 4) uint8 (device array OK)."""
+        """Return the frame as (H, W, 4) uint8, or as the production
+        packed format — (H, W) uint32 RGBA (``render_frame(packed=True)``;
+        the manager unpacks at the host boundary). Device arrays OK."""
         raise NotImplementedError
 
     def post_render(self, manager: "RendererAppManager") -> None:
         pass
+
+
+def _to_rgba(frame) -> np.ndarray:
+    """Host-side frame normalization: packed (H, W) u32 → (H, W, 4) u8
+    view (free); anything else passes through as a NumPy array."""
+    a = np.asarray(frame)
+    if a.ndim == 2 and a.dtype == np.uint32:
+        from ..render.device import unpack_rgba
+
+        return unpack_rgba(a)
+    return a
 
 
 class RendererAppManager:
@@ -81,7 +94,7 @@ class RendererAppManager:
         self.app.setup(self)
         last = None
         for i in range(frames):
-            frame = np.asarray(self.run_frame())
+            frame = _to_rgba(self.run_frame())
             if on_frame is not None:
                 on_frame(i, frame)
             if out_path is not None and "{i}" in str(out_path):
@@ -127,7 +140,7 @@ class RendererAppManager:
         for i, events in enumerate(event_frames):
             for ev in events:
                 self.dispatch_event(ev)
-            frame = np.asarray(self.run_frame())
+            frame = _to_rgba(self.run_frame())
             if on_frame is not None:
                 on_frame(i, frame)
             if out_path is not None and "{i}" in str(out_path):

@@ -142,6 +142,7 @@ class ModelViewerApp(RendererApp):
             self.scene, mgr.camera.view_proj(), self.bones,
             width=mgr.width, height=mgr.height, backend=self.backend,
             mipmap=self.mipmap, lighting=self.lighting,
+            packed=self.backend == "pallas",
         )
         return color
 

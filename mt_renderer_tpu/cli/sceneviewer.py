@@ -123,8 +123,10 @@ def main(argv=None):
     else:
         color, _ = device.render_frame(
             scene, vp, None, width=args.width, height=args.height,
-            backend=args.backend,
+            backend=args.backend, packed=args.backend == "pallas",
         )
+        if args.backend == "pallas":
+            color = device.unpack_rgba(color)
 
     from ..utils.png import write_png
 
