@@ -827,7 +827,9 @@ def shade_tap(scene: DeviceScene, tattrs, tapidx, ib):
     fy = tattrs[1]
     c_rgba = tattrs[2:6]                                   # (4, H, W)
     textured = tapidx >= 0
-    quad = scene.mip_pool[jnp.maximum(tapidx, 0)]
+    quad = jax.lax.optimization_barrier(      # one gather (see tap_flat)
+        scene.mip_pool[jnp.maximum(tapidx, 0)]
+    )
     quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)
     wq = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
                     (1 - fx) * fy, fx * fy], axis=-1)
@@ -853,7 +855,13 @@ def shade_finish_tap_flat(scene: DeviceScene, tattrs, tapidx, ib,
     fx = tattrs[:, 0, :]
     fy = tattrs[:, 1, :]
     textured = ti >= 0
-    quad = scene.mip_pool[jnp.maximum(ti, 0)]
+    # the optimization_barrier pins the gather as ONE materialized op:
+    # without it XLA input-fuses the gather into the contraction and
+    # re-issues it per consumer — measured 1.9 ms/frame slower at 1080p
+    # (12-rep scan-harness A/B, r2)
+    quad = jax.lax.optimization_barrier(
+        scene.mip_pool[jnp.maximum(ti, 0)]
+    )
     quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)
     wq = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
                     (1 - fx) * fy, fx * fy], axis=-1)
@@ -953,7 +961,9 @@ def _quad_bilinear(pool, off, hh, ww, u, v, planes: bool = False):
     x0c = jnp.clip(x0.astype(jnp.int32), 0, jnp.maximum(ww - 1, 0))
     y0c = jnp.clip(y0.astype(jnp.int32), 0, jnp.maximum(hh - 1, 0))
     stride = ww
-    quad = pool[off + y0c * stride + x0c]
+    # barrier: pin the gather as ONE materialized op (XLA otherwise
+    # re-issues it inside the fused contraction — 1.9 ms/frame, r2)
+    quad = jax.lax.optimization_barrier(pool[off + y0c * stride + x0c])
     quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)
     # single contraction over the 2x2 footprint — the sliced two-step
     # lerp materializes lane-padded (…, 16) f32 temporaries and runs 2x
