@@ -877,6 +877,32 @@ def shade_finish_tap_flat(scene: DeviceScene, tattrs, tapidx, ib,
     return q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24), covered
 
 
+def shade_mip_tap(scene: DeviceScene, mattrs, ib):
+    """Trilinear shade from the kernel's mip-tap epilogue outputs
+    (raster_pallas_fwd with ``mtap=True``): mattrs (11, H, W) =
+    [u, v, tex, off_hi, off_lo, th, tw, C rgba (lit-scaled when
+    lighting)]. LOD comes from screen-space forward differences of the
+    in-kernel u/v; both mip levels address arithmetically
+    (_trilinear_arith) — zero per-pixel table gathers, two quad
+    gathers total.
+
+    Returns (src (4, bh, bw) f32 0-255, covered (bh, bw) bool)."""
+    covered = ib >= 0
+    u = mattrs[0]
+    v = mattrs[1]
+    textured = mattrs[2] >= 0.0
+    off0 = (mattrs[3].astype(jnp.int32) * 4096
+            + mattrs[4].astype(jnp.int32))
+    th = mattrs[5].astype(jnp.int32)
+    tw = mattrs[6].astype(jnp.int32)
+    c_rgba = mattrs[7:11]
+    lod = _uv_lod_planes(u, v, hw_planes=(mattrs[5], mattrs[6]))
+    albedo = _trilinear_arith(scene.mip_pool, off0, th, tw, lod, u, v,
+                              scene.num_mips, planes=True)
+    src = jnp.where(textured[None], albedo * c_rgba, c_rgba)
+    return src, covered
+
+
 def blend_over_planes(src, covered, dst):
     """Channel-plane variant of ``blend_over``: src/dst are (4, H, W)."""
     a = src[3:4] / 255.0
@@ -1284,13 +1310,15 @@ def _render_frame_core(scene: DeviceScene, view_proj: jax.Array,
             )
             src, covered = shade_tap(scene, tattrs, tapidx, ib)
         else:
-            zb, ib, attrs, n_over = pr.raster_pallas_fwd(
+            # mipmap: trilinear via the mip-tap epilogue (u/v + texture
+            # constants from the kernel; lighting folded in-kernel)
+            zb, ib, mattrs, n_over = pr.raster_pallas_fwd(
                 (cols, bbox), None, 0, 0, width=pw, height=ph,
                 maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
-                n_attr=n_attr,
+                n_attr=n_attr, mtap=True, w_eps=W_EPS,
+                light=_light_unit() if lighting else None,
             )
-            src, covered = shade_fwd(scene, attrs, ib, mipmap=mipmap,
-                                     lighting=lighting)
+            src, covered = shade_mip_tap(scene, mattrs, ib)
         fin = finish_packed if packed else finish_planes
         color = fin(src, covered, clear_color, ph, pw)
         return color[:height, :width], zb[:height, :width], n_over

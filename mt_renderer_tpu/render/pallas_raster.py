@@ -339,6 +339,10 @@ _N_COEF = {ATTRS_BASE: 18, ATTRS_LIT: 27}
 
 
 ATTRS_TAP = 6            # tap epilogue output planes: fx, fy, C rgba
+ATTRS_MTAP = 11          # mip-tap epilogue planes: u, v, tex, off_hi,
+                         # off_lo, th, tw, C rgba (C pre-scaled by the
+                         # lambert factor when lighting) — the trilinear
+                         # shade derives both mip levels arithmetically
 
 
 def prebin(setup, extras, x0, y0, *, width: int, height: int,
@@ -362,8 +366,8 @@ def prebin(setup, extras, x0, y0, *, width: int, height: int,
     return packed, lists, glists, counts, n_over
 
 
-def _raster_fwd_kernel(n_attr, has_zlow, tap, w_eps, light, counts_ref,
-                       lists_ref, glists_ref, origin_ref,
+def _raster_fwd_kernel(n_attr, has_zlow, tap, mtap, w_eps, light,
+                       counts_ref, lists_ref, glists_ref, origin_ref,
                        setup_hbm, zlow_ref, zbuf_ref, win_ref, attr_ref,
                        *rest):
     if tap:
@@ -510,6 +514,39 @@ def _raster_fwd_kernel(n_attr, has_zlow, tap, w_eps, light, counts_ref,
     def ev(i):
         return a[i:i + 1] * px + a[i + 1:i + 2] * py + a[i + 2:i + 3]
 
+    def lit_scale(inv):
+        """Directional-lambert factor from the winner's normal planes
+        (n_attr == ATTRS_LIT): same formulas as device.shade_fwd."""
+        nx = ev(18) * inv
+        ny = ev(21) * inv
+        nz = ev(24) * inv
+        ln = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-6)
+        ndl = jnp.maximum(
+            (light[0] * nx + light[1] * ny + light[2] * nz) / ln, 0.0
+        )
+        return 0.3 + 0.7 * ndl
+
+    if mtap:
+        # mip-tap epilogue: perspective-correct u/v plus the winner's
+        # texture constants (the trilinear shade derives both mip
+        # levels' pool locations arithmetically — device.shade_mip_tap);
+        # lighting folds into the C rgb planes like the base tap.
+        w1 = ev(6)
+        inv = 1.0 / jnp.where(jnp.abs(w1) < w_eps, jnp.float32(w_eps), w1)
+        attr_ref[0, 0:1, :] = ev(0) * inv          # u
+        attr_ref[0, 1:2, :] = ev(3) * inv          # v
+        attr_ref[0, 2:3, :] = a[9:10]              # tex (<0: untextured)
+        attr_ref[0, 3:7, :] = a[14:18]             # off hi/lo, th, tw
+        if n_attr == ATTRS_LIT:
+            s = lit_scale(inv)
+            attr_ref[0, 7:8, :] = a[10:11] * s
+            attr_ref[0, 8:9, :] = a[11:12] * s
+            attr_ref[0, 9:10, :] = a[12:13] * s
+            attr_ref[0, 10:11, :] = a[13:14]       # alpha unlit
+        else:
+            attr_ref[0, 7:11, :] = a[10:14]        # C rgba
+        return
+
     if tap:
         # the full bilinear-tap ADDRESS computation runs here, on VMEM
         # vectors — the shade stage then only gathers + contracts. Same
@@ -540,18 +577,8 @@ def _raster_fwd_kernel(n_attr, has_zlow, tap, w_eps, light, counts_ref,
         if n_attr == ATTRS_LIT:
             # directional lambert folds into the C rgb planes here: the
             # albedo multiply downstream distributes over the scale
-            # (albedo × (C·s) == (albedo × C)·s). Same formulas as
-            # device.shade_fwd's lighting branch.
-            nx = ev(18) * inv
-            ny = ev(21) * inv
-            nz = ev(24) * inv
-            ln = jnp.maximum(
-                jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-6
-            )
-            ndl = jnp.maximum(
-                (light[0] * nx + light[1] * ny + light[2] * nz) / ln, 0.0
-            )
-            s = 0.3 + 0.7 * ndl
+            # (albedo × (C·s) == (albedo × C)·s).
+            s = lit_scale(inv)
             attr_ref[0, 2:3, :] = a[10:11] * s
             attr_ref[0, 3:4, :] = a[11:12] * s
             attr_ref[0, 4:5, :] = a[12:13] * s
@@ -573,12 +600,13 @@ def _raster_fwd_kernel(n_attr, has_zlow, tap, w_eps, light, counts_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "maxc", "interpret", "n_attr",
-                     "tap", "w_eps", "light", "flat"),
+                     "tap", "mtap", "w_eps", "light", "flat"),
 )
 def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
                       maxc: int = MAXC_DEFAULT, interpret: bool = False,
                       zlow=None, n_attr: int = ATTRS_BASE,
-                      tap: bool = False, w_eps: float = 1e-6,
+                      tap: bool = False, mtap: bool = False,
+                      w_eps: float = 1e-6,
                       light: tuple | None = None, pre=None,
                       flat: bool = False):
     """Forward-attribute binned raster over a band → per-pixel
@@ -625,9 +653,11 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
     def imap(t, counts_ref, lists_ref, glists_ref, origin_ref):
         return (t, 0, 0)
 
-    if tap and n_attr == ATTRS_LIT and light is None:
+    if tap and mtap:
+        raise ValueError("tap and mtap are mutually exclusive")
+    if (tap or mtap) and n_attr == ATTRS_LIT and light is None:
         raise ValueError("lit tap epilogue needs the light direction")
-    n_out_attr = ATTRS_TAP if tap else n_attr
+    n_out_attr = ATTRS_TAP if tap else (ATTRS_MTAP if mtap else n_attr)
 
     out_specs = [
         pl.BlockSpec((1, 1, P), index_map=imap),
@@ -660,7 +690,7 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
 
     outs = pl.pallas_call(
         functools.partial(_raster_fwd_kernel, n_attr,
-                          zlow is not None, tap, w_eps, light),
+                          zlow is not None, tap, mtap, w_eps, light),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
