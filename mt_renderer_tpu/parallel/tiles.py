@@ -93,14 +93,13 @@ def _render_frame_multichip_core(
                 )
                 src, covered = dev.shade_tap(scene, tattrs, tapidx, ib)
             else:
-                zb, ib, attrs, n_over = pr.raster_pallas_fwd(
+                zb, ib, mattrs, n_over = pr.raster_pallas_fwd(
                     (cols, bbox), None, 0, y0, width=pw, height=pb,
                     maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
-                    n_attr=n_attr,
+                    n_attr=n_attr, mtap=True, w_eps=dev.W_EPS,
+                    light=dev._light_unit() if lighting else None,
                 )
-                src, covered = dev.shade_fwd(scene, attrs, ib,
-                                             mipmap=mipmap,
-                                             lighting=lighting)
+                src, covered = dev.shade_mip_tap(scene, mattrs, ib)
             fin = dev.finish_packed if packed else dev.finish_planes
             color = fin(src, covered, clear_color, pb, pw)
             return (color[:band_h, :width], zb[:band_h, :width],
