@@ -50,7 +50,12 @@ class TestMultichip:
         import jax
 
         out = jax.jit(fn)(*example)
-        assert np.asarray(out).shape == (256, 256, 4)
+        # entry() renders on the production path: packed-u32 RGBA frame
+        a = np.asarray(out)
+        assert a.shape == (256, 256) and a.dtype == np.uint32
+        from mt_renderer_tpu.render.device import unpack_rgba
+
+        assert unpack_rgba(a).shape == (256, 256, 4)
 
     def test_graft_dryrun(self):
         import __graft_entry__ as ge
