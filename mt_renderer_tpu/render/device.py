@@ -563,7 +563,7 @@ def setup_packed_cols(scene: DeviceScene, clip, width: int, height: int,
     """Per-triangle setup + forward-attribute planes computed as 1-D
     columns and packed straight into the raster kernel's column matrix.
 
-    Equivalent math to ``setup_stage`` + ``fwd_extras`` + the kernel's
+    Equivalent math to ``setup_stage`` + the kernel's
     ``pack_setup``, but every intermediate is a (Tp,) vector: the dict
     form materializes ~10 (Tp, 3) arrays whose minor dim lane-pads
     3 → 128 (42× traffic — measured ~4.5 ms of the 22 ms r2 frame).
@@ -686,76 +686,6 @@ def _mat_select(mat_color, tri_material):
             preferred_element_type=jnp.float32,
         )
     return out                                             # (4, Tp)
-
-
-def _mip0_const_cols(scene: DeviceScene, tex):
-    """Per-triangle mip-0 sampling constants [off_hi, off_lo, th, tw] —
-    selected by the raster kernel so the non-mipmapped shade stage reads
-    the pool location directly from the attribute planes instead of
-    doing three per-pixel mip-table gathers. The pool offset splits as
-    hi*4096 + lo so each half stays exactly representable in f32 (pool
-    offsets can exceed 2^24 rows on large texture sets)."""
-    t0 = scene.mip_table[:, 0, :]                         # (L, 3)
-    lsafe = jnp.clip(jnp.maximum(tex, 0), 0, t0.shape[0] - 1)
-    off0 = t0[:, 0][lsafe]
-    return [
-        (off0 // 4096).astype(jnp.float32),
-        (off0 % 4096).astype(jnp.float32),
-        t0[:, 1][lsafe].astype(jnp.float32),
-        t0[:, 2][lsafe].astype(jnp.float32),
-    ]
-
-
-def fwd_extras(scene: DeviceScene, setup, lighting: bool = False):
-    """Per-triangle columns for the forward raster kernel
-    (pallas_raster.raster_pallas_fwd): perspective-correct interpolation
-    planes for u, v, 1/w (and normals when lighting), the texture layer,
-    and the per-triangle color C (material color for textured triangles,
-    material×flat/debug color for untextured ones). Selecting these in
-    VMEM at raster time removes every per-pixel table gather from the
-    shade stage (the measured 85% of the r2 frame)."""
-    from . import pallas_raster as pr
-
-    hi = jax.lax.Precision.HIGHEST
-    area = setup["area"]
-    inv_area = jnp.where(
-        area != 0.0, 1.0 / jnp.where(area == 0.0, 1.0, area), 0.0
-    )
-    inv_w = setup["inv_w"]                                 # (Tp, 3)
-
-    def planes(fvals):
-        """Plane (a, b, c) of Σ_i f_i·bary_i with bary_i = e_i/area."""
-        a = jnp.einsum("tp,tp->t", fvals, setup["ea"], precision=hi)
-        b = jnp.einsum("tp,tp->t", fvals, setup["eb"], precision=hi)
-        c = jnp.einsum("tp,tp->t", fvals, setup["ec"], precision=hi)
-        return [(a * inv_area)[:, None], (b * inv_area)[:, None],
-                (c * inv_area)[:, None]]
-
-    cols = (planes(setup["uv"][..., 0] * inv_w)
-            + planes(setup["uv"][..., 1] * inv_w)
-            + planes(inv_w))
-
-    palette = jnp.asarray(
-        np.concatenate(
-            [DEBUG_PALETTE.astype(np.float32),
-             np.full((20, 1), 255.0, np.float32)], axis=1,
-        )
-    )
-    debug_rgba = palette[scene.tri_debug_id % 20]
-    flat = scene.tri_flat
-    base = jnp.where(flat[:, 3:4] >= 0.0, flat, debug_rgba)   # 0-255
-    mat = scene.mat_color[scene.tri_material]                 # 0-1
-    tex = scene.tri_texture
-    c_rgba = jnp.where(tex[:, None] >= 0, mat, base * mat)
-    cols += [tex.astype(jnp.float32)[:, None], c_rgba]
-    cols += [c[:, None] for c in _mip0_const_cols(scene, tex)]
-    n_attr = pr.ATTRS_BASE
-    if lighting:
-        nrm = setup["nrm"]                                 # (Tp, 3, 3)
-        for ch in range(3):
-            cols += planes(nrm[..., ch] * inv_w)
-        n_attr = pr.ATTRS_LIT
-    return jnp.concatenate(cols, axis=1), n_attr
 
 
 def shade_fwd(scene: DeviceScene, attrs, ib, mipmap: bool = False,
