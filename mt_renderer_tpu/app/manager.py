@@ -100,9 +100,18 @@ class RendererAppManager:
             if out_path is not None and "{i}" in str(out_path):
                 self._write(str(out_path).format(i=i), frame)
             last = frame
+        self._flush_overflow()
         if out_path is not None and "{i}" not in str(out_path):
             self._write(out_path, last)
         return last
+
+    @staticmethod
+    def _flush_overflow() -> None:
+        """Check queued bin-overflow counts at frame-loop exit (one
+        device→host transfer; see pallas_raster.queue_overflow_check)."""
+        from ..render.pallas_raster import flush_overflow_checks
+
+        flush_overflow_checks()
 
     # -- interactive session (scripted event pump) -----------------------
     #
@@ -146,6 +155,7 @@ class RendererAppManager:
             if out_path is not None and "{i}" in str(out_path):
                 self._write(str(out_path).format(i=i), frame)
             last = frame
+        self._flush_overflow()
         if out_path is not None and last is not None and "{i}" not in str(out_path):
             self._write(out_path, last)
         return last

@@ -19,6 +19,7 @@ Layout (reference ``/root/reference/src/rguimessage.rs``):
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 
 import numpy as np
@@ -75,9 +76,14 @@ def _dec_index(v: int) -> int:
 
 
 def _verify_hash_chains(table, index) -> None:
-    """Every label must be reachable exactly once by walking
-    ``table[crc & 0xff]`` → ``hash_link`` chains (insertion order within
-    a chain is writer-defined, so only reachability is checked)."""
+    """Diagnose the hash table by walking ``table[crc & 0xff]`` →
+    ``hash_link`` chains. The check is TOLERANT of valid-but-unusual
+    writer layouts (the reference never verifies chains at all):
+    a slot pointing into the middle of another chain just stops the
+    walk; only structurally impossible data raises (an index out of
+    range, or a cycle within one walk); labels unreachable by hash
+    lookup are a warning, not an error — the sequential index is
+    intact and parsing can proceed."""
     reached: set[int] = set()
     n = len(index)
     for slot in range(HASH_TABLE_LEN):
@@ -85,17 +91,26 @@ def _verify_hash_chains(table, index) -> None:
         if v == _NULL:
             continue
         i = _dec_index(v)
+        walk: set[int] = set()
         while True:
-            if i in reached or i >= n:
+            if i >= n:
                 raise ValueError(f"GMD hash chain corrupt at slot {slot}")
+            if i in walk:
+                raise ValueError(f"GMD hash chain cycle at slot {slot}")
+            if i in reached:
+                break                     # joined a chain seen earlier
+            walk.add(i)
             reached.add(i)
             nxt = int(index[i]["hash_link"])
             if nxt == _NULL:
                 break
             i = _dec_index(nxt)
     if len(reached) != n:
-        raise ValueError(
-            f"GMD hash table reaches {len(reached)} of {n} labels"
+        warnings.warn(
+            f"GMD hash table reaches {len(reached)} of {n} labels — "
+            "hash lookups will miss some; parsing continues from the "
+            "sequential index",
+            RuntimeWarning,
         )
 
 

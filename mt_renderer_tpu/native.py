@@ -126,6 +126,12 @@ def decode_bc1(data: bytes, width: int, height: int):
     """BC1 → (H, W, 4) uint8; falls back to render.bcn."""
     import numpy as np
 
+    nblocks = ((width + 3) // 4) * ((height + 3) // 4)
+    if len(data) < nblocks * 8:
+        raise ValueError(
+            f"BC1 data truncated: {len(data)} bytes < {nblocks * 8} "
+            f"needed for {width}x{height}"
+        )
     lib = _load()
     if lib is None:
         from .render.bcn import decode_bc1_numpy
@@ -148,6 +154,15 @@ def decode_bc7(data: bytes, width: int, height: int):
     (~40× the vectorised NumPy fallback in render.bcn)."""
     import numpy as np
 
+    # bounds check BEFORE the native call: the C decoder derives the
+    # block count from the dimensions and reads with no length check —
+    # truncated data must raise a clean parse error, not read OOB
+    nblocks = ((width + 3) // 4) * ((height + 3) // 4)
+    if len(data) < nblocks * 16:
+        raise ValueError(
+            f"BC7 data truncated: {len(data)} bytes < {nblocks * 16} "
+            f"needed for {width}x{height}"
+        )
     lib = _load()
     if lib is None:
         from .render.bcn import decode_bc7_numpy

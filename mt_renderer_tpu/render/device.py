@@ -665,9 +665,12 @@ def _mat_select(mat_color, tri_material):
     Bit-exact: the one-hot operand is exactly representable in bf16, so
     a 3-way bf16 split of the value side alone recovers the full f32
     mantissa in 3 DEFAULT-precision passes (single nonzero addend per
-    output). Falls back to row gathers for huge material tables."""
+    output). Falls back to row gathers when the (M, Tp) one-hot operand
+    would outweigh the four (Tp,) gathers it replaces (the one-hot trick
+    pays only for small M, like the skinning palette)."""
     m = mat_color.shape[0]
-    if m > 512:
+    tp = tri_material.shape[0]
+    if m > 128 or m * tp * 2 > 64 * 1024 * 1024:
         return jnp.stack(
             [mat_color[:, ch][tri_material] for ch in range(4)], axis=0
         )
@@ -745,6 +748,35 @@ def shade_fwd(scene: DeviceScene, attrs, ib, mipmap: bool = False,
     return src, covered
 
 
+def _tap_albedo_channels(pool, idx, fx, fy):
+    """ONE pinned pool gather + the 2x2 bilinear contraction → list of
+    4 albedo channel arrays shaped like ``idx`` (any rank).
+
+    The optimization_barrier pins the gather as ONE materialized op:
+    without it XLA input-fuses the gather into the contraction and
+    re-issues it per consumer — the frame's most expensive op silently
+    duplicated (measured 1.9 ms/frame at 1080p, 12-rep scan A/B, r2)."""
+    quad = jax.lax.optimization_barrier(pool[jnp.maximum(idx, 0)])
+    quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)
+    wq = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
+                    (1 - fx) * fy, fx * fy], axis=-1)
+    alb = jnp.einsum("...q,...qc->c...", wq, quad)
+    return [alb[c] for c in range(4)]
+
+
+def _blend_pack_u32(src_channels, covered, clear_color):
+    """Src-alpha blend over the clear color + RGBA→u32 pack, channel
+    lists of any (matching) shape. The ONE definition of the composite
+    math shared by every packed path (raster-order and tile-major)."""
+    clear = np.asarray(clear_color, np.float32)
+    a = src_channels[3] / 255.0
+    out = [jnp.where(covered, src_channels[c] * a + clear[c] * (1.0 - a),
+                     clear[c]) for c in range(3)]
+    out.append(jnp.where(covered, src_channels[3], clear[3]))
+    q = [jnp.clip(o + 0.5, 0.0, 255.0).astype(jnp.uint32) for o in out]
+    return q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
+
+
 def shade_tap(scene: DeviceScene, tattrs, tapidx, ib):
     """Shade from the kernel's tap-epilogue outputs (raster_pallas_fwd
     with ``tap=True``): the address arithmetic already ran in-kernel on
@@ -753,18 +785,14 @@ def shade_tap(scene: DeviceScene, tattrs, tapidx, ib):
 
     Returns (src (4, bh, bw) f32 0-255, covered (bh, bw) bool)."""
     covered = ib >= 0
-    fx = tattrs[0]
-    fy = tattrs[1]
-    c_rgba = tattrs[2:6]                                   # (4, H, W)
+    alb = _tap_albedo_channels(scene.mip_pool, tapidx, tattrs[0],
+                               tattrs[1])
     textured = tapidx >= 0
-    quad = jax.lax.optimization_barrier(      # one gather (see tap_flat)
-        scene.mip_pool[jnp.maximum(tapidx, 0)]
+    c_rgba = tattrs[2:6]                                   # (4, H, W)
+    src = jnp.stack(
+        [jnp.where(textured, alb[c] * c_rgba[c], c_rgba[c])
+         for c in range(4)], axis=0,
     )
-    quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)
-    wq = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
-                    (1 - fx) * fy, fx * fy], axis=-1)
-    albedo = jnp.einsum("hwq,hwqc->chw", wq, quad)
-    src = jnp.where(textured[None], albedo * c_rgba, c_rgba)
     return src, covered
 
 
@@ -776,35 +804,18 @@ def shade_finish_tap_flat(scene: DeviceScene, tattrs, tapidx, ib,
     — shading and blending are elementwise, so the only raster-order
     relayout in the whole frame is the caller's final
     ``unflatten_tiles`` of this one u32 plane (the raster-order
-    pipeline paid ~8 of them). Math is channel-for-channel identical to
-    shade_tap + finish_packed.
+    pipeline paid ~8 of them). Per-pixel math is the same helpers the
+    raster-order path uses (_tap_albedo_channels + _blend_pack_u32).
 
     Returns (packed (n_tiles, P) uint32, covered (n_tiles, P) bool)."""
     ti = tapidx[:, 0, :]
     covered = ib[:, 0, :] >= 0
-    fx = tattrs[:, 0, :]
-    fy = tattrs[:, 1, :]
+    alb = _tap_albedo_channels(scene.mip_pool, ti, tattrs[:, 0, :],
+                               tattrs[:, 1, :])
     textured = ti >= 0
-    # the optimization_barrier pins the gather as ONE materialized op:
-    # without it XLA input-fuses the gather into the contraction and
-    # re-issues it per consumer — measured 1.9 ms/frame slower at 1080p
-    # (12-rep scan-harness A/B, r2)
-    quad = jax.lax.optimization_barrier(
-        scene.mip_pool[jnp.maximum(ti, 0)]
-    )
-    quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)
-    wq = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
-                    (1 - fx) * fy, fx * fy], axis=-1)
-    alb = jnp.einsum("tpq,tpqc->ctp", wq, quad)
-    clear = np.asarray(clear_color, np.float32)
     src = [jnp.where(textured, alb[c] * tattrs[:, 2 + c, :],
                      tattrs[:, 2 + c, :]) for c in range(4)]
-    a = src[3] / 255.0
-    out = [jnp.where(covered, src[c] * a + clear[c] * (1.0 - a),
-                     clear[c]) for c in range(3)]
-    out.append(jnp.where(covered, src[3], clear[3]))
-    q = [jnp.clip(o + 0.5, 0.0, 255.0).astype(jnp.uint32) for o in out]
-    return q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24), covered
+    return _blend_pack_u32(src, covered, clear_color), covered
 
 
 def shade_mip_tap(scene: DeviceScene, mattrs, ib):
@@ -858,11 +869,8 @@ def finish_packed(src, covered, clear_color, bh, bw):
     it replaces cost 1.6 ms/frame at 1080p (and a device-side bitcast
     costs the same, so the u32 rides to the host boundary; see
     ``unpack_rgba``)."""
-    clear = jnp.asarray(np.asarray(clear_color, np.float32))[:, None, None]
-    dst = jnp.broadcast_to(clear, (4, bh, bw))
-    out = blend_over_planes(src, covered, dst)
-    q = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.uint32)
-    return q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
+    return _blend_pack_u32([src[c] for c in range(4)], covered,
+                           clear_color)
 
 
 def unpack_rgba(packed) -> np.ndarray:

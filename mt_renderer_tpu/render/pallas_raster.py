@@ -183,9 +183,9 @@ def bin_chunks(bbox, n_ty: int, n_tx: int, maxc: int, x0, y0):
 
     Candidate chunks order NEAREST-FIRST (by chunk min depth): early-z
     then rejects most of a far chunk's pixels outright and the kernel
-    skips its attribute work entirely. Depth ties across chunks resolve
-    by this order (the in-chunk later-triangle-wins rule is unchanged);
-    coverage and depth are unaffected."""
+    skips its attribute work entirely. Processing order does NOT affect
+    the result: exact-z ties resolve by global triangle id in-kernel
+    (later wins — the oracle rule), so the reorder is invisible."""
     xmin, xmax, ymin, ymax, zmin = bbox
     cg = xmin.shape[0]
     c = cg // G
@@ -417,9 +417,9 @@ def _raster_fwd_kernel(n_attr, has_zlow, tap, mtap, w_eps, light,
             cid = lists_ref[t * maxc + s]
             gmask = glists_ref[t * maxc + s]
 
-            # groups of KG triangles, processed in ascending order (the
-            # LessEqual zbuf test makes later groups win exact-z ties,
-            # matching the whole-chunk max-winner rule); a group whose
+            # groups of KG triangles; exact-z ties resolve by global
+            # triangle id (see the upd rule below), so group/chunk
+            # processing order never changes the image; a group whose
             # bbox missed this tile (bit g of gmask clear — precomputed
             # by bin_chunks) skips its entire (KG, P) block. Group gi
             # lives in sub-block gi // (K // KG) (lane offset c0), rows
@@ -461,7 +461,17 @@ def _raster_fwd_kernel(n_attr, has_zlow, tap, mtap, w_eps, light,
                         jnp.where(zok & (zm == zmin), kids, -1),
                         axis=0, keepdims=True,
                     )
-                    upd = jnp.isfinite(zmin) & (zmin <= zbuf_ref[0])
+                    new_id = cid * CT + sub * K + winner_k
+                    # exact-z ties resolve by GLOBAL triangle id (later
+                    # wins — the oracle's rule), not by processing
+                    # order: nearest-first chunk ordering would
+                    # otherwise let an earlier-index triangle in a
+                    # nearer-sorted chunk steal a tie from a
+                    # later-index one (cross-chunk coplanar decals)
+                    upd = jnp.isfinite(zmin) & (
+                        (zmin < zbuf_ref[0])
+                        | ((zmin == zbuf_ref[0]) & (new_id > win_ref[0]))
+                    )
 
                     # attribute-coefficient selection: exactly one winner
                     # row per updated pixel → selecting the winner's
@@ -500,9 +510,7 @@ def _raster_fwd_kernel(n_attr, has_zlow, tap, mtap, w_eps, light,
                     coef_ref[...] = jnp.where(upd, sel, coef_ref[...])
 
                     zbuf_ref[0] = jnp.where(upd, zmin, zbuf_ref[0])
-                    win_ref[0] = jnp.where(
-                        upd, cid * CT + sub * K + winner_k, win_ref[0]
-                    )
+                    win_ref[0] = jnp.where(upd, new_id, win_ref[0])
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)

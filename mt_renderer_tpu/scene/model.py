@@ -307,19 +307,30 @@ def merge_batches(a: DrawBatch, b: DrawBatch,
     b_mat = b.material_ids() + nmat_a
     wa = a.joints.shape[1] if a.num_vertices else 4
     if keep_b_skin:
-        b_joints = np.zeros((b.num_vertices, wa), np.int32)
-        b_weights = np.zeros((b.num_vertices, wa), np.float32)
-        m = min(wa, b.joints.shape[1])
-        b_joints[:, :m] = b.joints[:, :m].astype(np.int32)
-        b_weights[:, :m] = b.weights[:, :m].astype(np.float32)
+        # widen the merged influence layout to cover BOTH batches —
+        # truncating b's wider skin to a's width would drop weights
+        # without renormalizing (underweighted blend → vertices
+        # collapse toward the origin)
+        wm = max(wa, b.joints.shape[1] if b.num_vertices else 0)
+        b_joints = np.zeros((b.num_vertices, wm), np.int32)
+        b_weights = np.zeros((b.num_vertices, wm), np.float32)
+        mb = b.joints.shape[1]
+        b_joints[:, :mb] = b.joints.astype(np.int32)
+        b_weights[:, :mb] = b.weights.astype(np.float32)
     else:
-        b_joints = np.zeros((b.num_vertices, wa), np.int32)
-        b_weights = np.zeros((b.num_vertices, wa), np.float32)
+        wm = wa
+        b_joints = np.zeros((b.num_vertices, wm), np.int32)
+        b_weights = np.zeros((b.num_vertices, wm), np.float32)
+    a_joints = a.joints.astype(np.int32)
+    a_weights = a.weights.astype(np.float32)
+    if wm > wa:
+        a_joints = np.pad(a_joints, ((0, 0), (0, wm - wa)))
+        a_weights = np.pad(a_weights, ((0, 0), (0, wm - wa)))
     return DrawBatch(
         positions=np.concatenate([a.positions, b.positions]),
         uvs=np.concatenate([a.uvs, b.uvs]),
-        joints=np.concatenate([a.joints, b_joints]),
-        weights=np.concatenate([a.weights, b_weights]),
+        joints=np.concatenate([a_joints, b_joints]),
+        weights=np.concatenate([a_weights, b_weights]),
         tris=np.concatenate([a.tris, b.tris + va]),
         tri_texture=np.concatenate([a.tri_texture, b_tex]).astype(np.int32),
         tri_material=np.concatenate([a.material_ids(), b_mat]).astype(np.int32),

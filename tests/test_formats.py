@@ -468,8 +468,12 @@ class TestGmd:
         bad = bytearray(blob)
         ofs = hdr + int(linked[0]) * gmd.INDEX_ITEM_DTYPE.itemsize + 24
         bad[ofs:ofs + 8] = b"\0" * 8   # break one chain link
-        with pytest.raises(ValueError, match="hash table reaches"):
-            gmd.GuiMessageFile.parse(bytes(bad))
+        # unreachable-by-hash labels WARN (the sequential index is
+        # intact, so parsing proceeds — the reference never verifies
+        # chains; only structurally impossible data raises)
+        with pytest.warns(RuntimeWarning, match="hash table reaches"):
+            g3 = gmd.GuiMessageFile.parse(bytes(bad))
+        assert [m.label for m in g3.messages] == [m.label for m in msgs]
 
     def test_hash_verification(self):
         blob = bytearray(fixtures.build_gmd())
