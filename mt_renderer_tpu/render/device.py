@@ -808,6 +808,15 @@ def shade_finish_tap_flat(scene: DeviceScene, tattrs, tapidx, ib,
     raster-order path uses (_tap_albedo_channels + _blend_pack_u32).
 
     Returns (packed (n_tiles, P) uint32, covered (n_tiles, P) bool)."""
+    src, covered = shade_tap_flat_channels(scene, tattrs, tapidx, ib)
+    return _blend_pack_u32(src, covered, clear_color), covered
+
+
+def shade_tap_flat_channels(scene: DeviceScene, tattrs, tapidx, ib):
+    """Tile-major tap shade → (src channel list [r, g, b, a] each
+    (n_tiles, P) f32 0-255, covered (n_tiles, P) bool). The layered
+    building block behind shade_finish_tap_flat and the flat peel
+    compositor."""
     ti = tapidx[:, 0, :]
     covered = ib[:, 0, :] >= 0
     alb = _tap_albedo_channels(scene.mip_pool, ti, tattrs[:, 0, :],
@@ -815,7 +824,7 @@ def shade_finish_tap_flat(scene: DeviceScene, tattrs, tapidx, ib,
     textured = ti >= 0
     src = [jnp.where(textured, alb[c] * tattrs[:, 2 + c, :],
                      tattrs[:, 2 + c, :]) for c in range(4)]
-    return _blend_pack_u32(src, covered, clear_color), covered
+    return src, covered
 
 
 def shade_mip_tap(scene: DeviceScene, mattrs, ib):
@@ -1355,23 +1364,50 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
                         maxc=maxc or pr.MAXC_DEFAULT)
         n_over = pre[4]
         zlow = None
-        for _ in range(layers):
-            if not mipmap:
+        if not mipmap:
+            # TILE-MAJOR peel: passes stay in tile order end-to-end
+            # (zlow feeds back untiled; src channels composite flat);
+            # only the final frame and nearest depth unflatten
+            for _ in range(layers):
                 zb, ib, tattrs, tapidx, _ = pr.raster_pallas_fwd(
                     (cols, bbox), None, 0, 0, width=pw, height=ph,
                     maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
                     zlow=zlow, n_attr=n_attr, tap=True, w_eps=W_EPS,
                     light=_light_unit() if lighting else None, pre=pre,
+                    flat=True,
                 )
-                src, covered = shade_tap(scene, tattrs, tapidx, ib)
-            else:
-                zb, ib, attrs, _ = pr.raster_pallas_fwd(
-                    (cols, bbox), None, 0, 0, width=pw, height=ph,
-                    maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
-                    zlow=zlow, n_attr=n_attr, pre=pre,
+                src, covered = shade_tap_flat_channels(
+                    scene, tattrs, tapidx, ib
                 )
-                src, covered = shade_fwd(scene, attrs, ib, mipmap=mipmap,
-                                         lighting=lighting)
+                passes.append((src, covered, zb))
+                zlow = jnp.where(ib >= 0, zb + PEEL_EPS, jnp.inf)
+            clear = np.asarray(clear_color, np.float32)
+            dst = [jnp.full(passes[0][1].shape, clear[c], jnp.float32)
+                   for c in range(4)]
+            for src, covered, _ in reversed(passes):
+                a = src[3] / 255.0
+                dst = (
+                    [jnp.where(covered, src[c] * a + dst[c] * (1.0 - a),
+                               dst[c]) for c in range(3)]
+                    + [jnp.where(covered, src[3], dst[3])]
+                )
+            out8 = [
+                pr.unflatten_tiles(
+                    jnp.clip(d + 0.5, 0.0, 255.0).astype(jnp.uint8),
+                    ph, pw,
+                ) for d in dst
+            ]
+            color = jnp.stack(out8, axis=-1)[:height, :width]
+            zb0 = pr.unflatten_tiles(passes[0][2][:, 0, :], ph, pw)
+            return color, zb0[:height, :width], n_over
+        for _ in range(layers):
+            zb, ib, attrs, _ = pr.raster_pallas_fwd(
+                (cols, bbox), None, 0, 0, width=pw, height=ph,
+                maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
+                zlow=zlow, n_attr=n_attr, pre=pre,
+            )
+            src, covered = shade_fwd(scene, attrs, ib, mipmap=mipmap,
+                                     lighting=lighting)
             passes.append((src, covered, zb))
             zlow = jnp.where(ib >= 0, zb + PEEL_EPS, jnp.inf)
     else:

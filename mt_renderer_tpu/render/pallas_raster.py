@@ -648,6 +648,8 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
 
     if zlow is None:
         zlow_t = jnp.full((n_tiles, 1, P), -jnp.inf, jnp.float32)
+    elif zlow.ndim == 3:
+        zlow_t = zlow                    # already tile-major (flat peel)
     else:
         zlow_t = (
             zlow.reshape(n_ty, TILE_H, n_tx, TILE_W)
