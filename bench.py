@@ -319,7 +319,7 @@ def run_once(args, width, height, instances, frames, png=None):
         jax.block_until_ready(scan_run(scene, vps_s, bones_s))
         jax.block_until_ready(single_run(scene, vps_s[0], bones_s[0]))
         ests = []
-        for _ in range(4):
+        for _ in range(6):
             tn = timed(scan_run, scene, vps_s, bones_s)
             t1 = timed(single_run, scene, vps_s[0], bones_s[0])
             ests.append((tn - t1) / (scan_n - 1) * 1e3)
