@@ -324,8 +324,14 @@ def run_once(args, width, height, instances, frames, png=None):
             t1 = timed(single_run, scene, vps_s[0], bones_s[0])
             ests.append((tn - t1) / (scan_n - 1) * 1e3)
         ests.sort()
-        frame_ms = max(ests[len(ests) // 2], 1e-3)
-        method = "scan"
+        est = ests[len(ests) // 2]
+        # the scan estimator needs N·frame to dominate the RTT jitter
+        # (~±5 ms): with tiny frames (smoke preset) the difference of
+        # two RTT-loaded timings is noise — fall back to the blocked
+        # estimator rather than report a degenerate number
+        if est > 0.2 and est > 0.1 * frame_ms_blocked:
+            frame_ms = est
+            method = "scan"
     fps_device = 1e3 / frame_ms
 
     tris = batch.num_triangles
