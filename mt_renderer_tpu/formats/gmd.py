@@ -75,7 +75,7 @@ def _dec_index(v: int) -> int:
     return 0 if v == _ZERO_ENC else v
 
 
-def _verify_hash_chains(table, index) -> None:
+def _verify_hash_chains(table, index, strict: bool = False) -> None:
     """Diagnose the hash table by walking ``table[crc & 0xff]`` →
     ``hash_link`` chains. The check is TOLERANT of valid-but-unusual
     writer layouts (the reference never verifies chains at all):
@@ -106,12 +106,12 @@ def _verify_hash_chains(table, index) -> None:
                 break
             i = _dec_index(nxt)
     if len(reached) != n:
-        warnings.warn(
-            f"GMD hash table reaches {len(reached)} of {n} labels — "
-            "hash lookups will miss some; parsing continues from the "
-            "sequential index",
-            RuntimeWarning,
-        )
+        msg = (f"GMD hash table reaches {len(reached)} of {n} labels — "
+               "hash lookups will miss some; parsing continues from the "
+               "sequential index")
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg, RuntimeWarning)
 
 
 class GuiMessageFile:
@@ -123,7 +123,7 @@ class GuiMessageFile:
         self.messages: list[GuiMessage] = messages or []
 
     @classmethod
-    def parse(cls, src) -> "GuiMessageFile":
+    def parse(cls, src, strict: bool = False) -> "GuiMessageFile":
         r = Reader(src)
         h = r.struct(HEADER_DTYPE)
         if bytes(h["magic"]) != GMD_MAGIC.rstrip(b"\0"):
@@ -159,7 +159,7 @@ class GuiMessageFile:
             out.append(GuiMessage(label, messages[int(item["message_index"])]))
 
         if table is not None:
-            _verify_hash_chains(table, index)
+            _verify_hash_chains(table, index, strict=strict)
 
         return cls(
             language_id=int(h["language_id"]),

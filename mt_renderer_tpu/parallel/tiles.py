@@ -63,11 +63,17 @@ def _render_frame_multichip_core(
     lighting: bool = False,
     packed: bool = False,
 ):
-    """Jitted band-sharded frame body → (color, depth, n_over (n,) i32)."""
+    """Jitted band-sharded frame body → (color, depth, n_over (n,) i32).
+
+    Arbitrary heights work: bands are ceil(height / n) rows; every chip
+    rasterises a tile-aligned padded band and crops, and the caller
+    crops the padded global frame back to ``height`` (1080 / 8 chips =
+    135-row bands padded to 144 in-kernel — same pad-and-crop the
+    single-chip path does, device.py:_render_frame_core)."""
+    if backend == "scan" and packed:
+        raise ValueError("packed output requires the pallas backend")
     n = mesh.devices.size
-    if height % n:
-        raise ValueError(f"height {height} not divisible by {n} devices")
-    band_h = height // n
+    band_h = -(-height // n)              # ceil: rows per chip pre-crop
 
     def band_render(scene, view_proj, bone_mats):
         clip = dev.vertex_stage(scene, view_proj, bone_mats)
@@ -118,11 +124,15 @@ def _render_frame_multichip_core(
         zero = jnp.zeros((1,), jnp.int32) + jnp.int32(y0) * 0
         return color, zb, zero
 
+    # packed frames are rank-2 (H, W) uint32 — the color out_spec must
+    # match the band rank (a rank-3 spec on the packed frame raised
+    # "out_specs entry which is too long", advisor r2)
+    color_spec = P("rows", None) if packed else P("rows", None, None)
     shard_fn = jax.shard_map(
         band_render,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P("rows", None, None), P("rows", None), P("rows")),
+        out_specs=(color_spec, P("rows", None), P("rows")),
         # pallas_call's out_shape carries no varying-mesh-axis info;
         # band partitioning is trivially correct, so skip the vma check
         check_vma=False,
@@ -131,7 +141,14 @@ def _render_frame_multichip_core(
         bone_mats = jnp.tile(
             jnp.eye(4, dtype=jnp.float32), (scene.num_joints, 1, 1)
         )
-    return shard_fn(scene, view_proj, bone_mats)
+    color, depth, n_over = shard_fn(scene, view_proj, bone_mats)
+    # crop the ceil-padded global frame back to the asked-for height
+    # (a row slice of the row-sharded array; XLA keeps shards intact
+    # until someone asks for the full frame)
+    if band_h * n != height:
+        color = color[:height]
+        depth = depth[:height]
+    return color, depth, n_over
 
 
 def render_frame_multichip(scene, view_proj, bone_mats=None, *,

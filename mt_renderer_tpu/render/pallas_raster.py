@@ -358,12 +358,108 @@ def prebin(setup, extras, x0, y0, *, width: int, height: int,
     else:
         cols, bbox = setup
         packed = pack_cols(cols)
+    # clamp to the chunk count AND the SMEM budget: the flat per-tile
+    # chunk/group lists are scalar-prefetched (2 i32 per entry), so a
+    # caller-passed maxc that overflows ~1 MiB of SMEM at this
+    # resolution would fail Mosaic compilation — clamp and let the
+    # per-frame overflow check catch any resulting drops loudly
+    limit = smem_maxc_limit(width, height)
+    if maxc > limit:
+        logger.warning(
+            "prebin: maxc=%d exceeds the SMEM limit %d for %dx%d — "
+            "clamped (overflow checking reports any dropped chunks)",
+            maxc, limit, width, height,
+        )
+        maxc = limit
     maxc = min(maxc, packed.shape[0])
     lists, glists, counts, counts_true = bin_chunks(
         bbox, n_ty, n_tx, maxc, x0, y0
     )
     n_over = jnp.sum(counts_true > maxc)
     return packed, lists, glists, counts, n_over
+
+
+def _epilogue_rows(a, px, py, n_attr, tap, mtap, w_eps, light):
+    """Shared kernel epilogue: selected coefficient rows ``a``
+    (n_coef, P) → (attr rows (n_out_attr, P), tapidx row (1, P) | None).
+    Evaluates the winner's planes at the pixel centers; zero
+    coefficients (uncovered pixels) evaluate to zero attrs."""
+
+    def ev(i):
+        return a[i:i + 1] * px + a[i + 1:i + 2] * py + a[i + 2:i + 3]
+
+    def lit_scale(inv):
+        """Directional-lambert factor from the winner's normal planes
+        (n_attr == ATTRS_LIT): same formulas as device.shade_fwd."""
+        nx = ev(18) * inv
+        ny = ev(21) * inv
+        nz = ev(24) * inv
+        ln = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-6)
+        ndl = jnp.maximum(
+            (light[0] * nx + light[1] * ny + light[2] * nz) / ln, 0.0
+        )
+        return 0.3 + 0.7 * ndl
+
+    if mtap:
+        # mip-tap epilogue: perspective-correct u/v plus the winner's
+        # texture constants (the trilinear shade derives both mip
+        # levels' pool locations arithmetically — device.shade_mip_tap);
+        # lighting folds into the C rgb planes like the base tap.
+        w1 = ev(6)
+        inv = 1.0 / jnp.where(jnp.abs(w1) < w_eps, jnp.float32(w_eps), w1)
+        rows = [ev(0) * inv, ev(3) * inv,      # u, v
+                a[9:10],                       # tex (<0: untextured)
+                a[14:18]]                      # off hi/lo, th, tw
+        if n_attr == ATTRS_LIT:
+            s = lit_scale(inv)
+            rows += [a[10:11] * s, a[11:12] * s, a[12:13] * s,
+                     a[13:14]]                 # alpha unlit
+        else:
+            rows.append(a[10:14])              # C rgba
+        return jnp.concatenate(rows, axis=0), None
+
+    if tap:
+        # the full bilinear-tap ADDRESS computation runs here, on VMEM
+        # vectors — the shade stage then only gathers + contracts. Same
+        # formulas as device._quad_bilinear (1-ulp divide differences vs
+        # XLA are inside the verify tolerance).
+        w1 = ev(6)
+        inv = 1.0 / jnp.where(jnp.abs(w1) < w_eps, jnp.float32(w_eps), w1)
+        u = ev(0) * inv
+        v = ev(3) * inv
+        th = a[16:17]
+        tw = a[17:18]
+        x = u * tw - 0.5
+        y = v * th - 0.5
+        x0f = jnp.floor(x)
+        y0f = jnp.floor(y)
+        fx = jnp.where(x0f < 0, 0.0, x - x0f)
+        fy = jnp.where(y0f < 0, 0.0, y - y0f)
+        wwi = tw.astype(jnp.int32)
+        hhi = th.astype(jnp.int32)
+        x0c = jnp.clip(x0f.astype(jnp.int32), 0, jnp.maximum(wwi - 1, 0))
+        y0c = jnp.clip(y0f.astype(jnp.int32), 0, jnp.maximum(hhi - 1, 0))
+        offi = (a[14:15].astype(jnp.int32) * 4096
+                + a[15:16].astype(jnp.int32))
+        idx = offi + y0c * wwi + x0c
+        tapidx = jnp.where(a[9:10] >= 0.0, idx, -1)  # <0: untextured
+        rows = [fx, fy]
+        if n_attr == ATTRS_LIT:
+            # directional lambert folds into the C rgb planes here: the
+            # albedo multiply downstream distributes over the scale
+            # (albedo × (C·s) == (albedo × C)·s).
+            s = lit_scale(inv)
+            rows += [a[10:11] * s, a[11:12] * s, a[12:13] * s,
+                     a[13:14]]                 # alpha unlit
+        else:
+            rows.append(a[10:14])              # C rgba
+        return jnp.concatenate(rows, axis=0), tapidx
+
+    rows = [ev(0), ev(3), ev(6),               # u/w, v/w, 1/w
+            a[9:18]]                # tex, C rgba, off hi/lo, th, tw
+    if n_attr == ATTRS_LIT:
+        rows += [ev(18), ev(21), ev(24)]       # [nx, ny, nz]/w
+    return jnp.concatenate(rows, axis=0), None
 
 
 def _raster_fwd_kernel(n_attr, has_zlow, tap, mtap, w_eps, light,
@@ -517,92 +613,11 @@ def _raster_fwd_kernel(n_attr, has_zlow, tap, mtap, w_eps, light,
 
     # evaluate the selected planes at the pixel centers (zero coefficients
     # → zero attrs for uncovered pixels, matching the old contract)
-    a = coef_ref[...]
-
-    def ev(i):
-        return a[i:i + 1] * px + a[i + 1:i + 2] * py + a[i + 2:i + 3]
-
-    def lit_scale(inv):
-        """Directional-lambert factor from the winner's normal planes
-        (n_attr == ATTRS_LIT): same formulas as device.shade_fwd."""
-        nx = ev(18) * inv
-        ny = ev(21) * inv
-        nz = ev(24) * inv
-        ln = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-6)
-        ndl = jnp.maximum(
-            (light[0] * nx + light[1] * ny + light[2] * nz) / ln, 0.0
-        )
-        return 0.3 + 0.7 * ndl
-
-    if mtap:
-        # mip-tap epilogue: perspective-correct u/v plus the winner's
-        # texture constants (the trilinear shade derives both mip
-        # levels' pool locations arithmetically — device.shade_mip_tap);
-        # lighting folds into the C rgb planes like the base tap.
-        w1 = ev(6)
-        inv = 1.0 / jnp.where(jnp.abs(w1) < w_eps, jnp.float32(w_eps), w1)
-        attr_ref[0, 0:1, :] = ev(0) * inv          # u
-        attr_ref[0, 1:2, :] = ev(3) * inv          # v
-        attr_ref[0, 2:3, :] = a[9:10]              # tex (<0: untextured)
-        attr_ref[0, 3:7, :] = a[14:18]             # off hi/lo, th, tw
-        if n_attr == ATTRS_LIT:
-            s = lit_scale(inv)
-            attr_ref[0, 7:8, :] = a[10:11] * s
-            attr_ref[0, 8:9, :] = a[11:12] * s
-            attr_ref[0, 9:10, :] = a[12:13] * s
-            attr_ref[0, 10:11, :] = a[13:14]       # alpha unlit
-        else:
-            attr_ref[0, 7:11, :] = a[10:14]        # C rgba
-        return
-
+    rows, ti = _epilogue_rows(coef_ref[...], px, py, n_attr, tap, mtap,
+                              w_eps, light)
+    attr_ref[0] = rows
     if tap:
-        # the full bilinear-tap ADDRESS computation runs here, on VMEM
-        # vectors — the shade stage then only gathers + contracts. Same
-        # formulas as device._quad_bilinear (1-ulp divide differences vs
-        # XLA are inside the verify tolerance).
-        w1 = ev(6)
-        inv = 1.0 / jnp.where(jnp.abs(w1) < w_eps, jnp.float32(w_eps), w1)
-        u = ev(0) * inv
-        v = ev(3) * inv
-        th = a[16:17]
-        tw = a[17:18]
-        x = u * tw - 0.5
-        y = v * th - 0.5
-        x0f = jnp.floor(x)
-        y0f = jnp.floor(y)
-        fx = jnp.where(x0f < 0, 0.0, x - x0f)
-        fy = jnp.where(y0f < 0, 0.0, y - y0f)
-        wwi = tw.astype(jnp.int32)
-        hhi = th.astype(jnp.int32)
-        x0c = jnp.clip(x0f.astype(jnp.int32), 0, jnp.maximum(wwi - 1, 0))
-        y0c = jnp.clip(y0f.astype(jnp.int32), 0, jnp.maximum(hhi - 1, 0))
-        offi = (a[14:15].astype(jnp.int32) * 4096
-                + a[15:16].astype(jnp.int32))
-        idx = offi + y0c * wwi + x0c
-        tapidx_ref[0] = jnp.where(a[9:10] >= 0.0, idx, -1)  # <0: untextured
-        attr_ref[0, 0:1, :] = fx
-        attr_ref[0, 1:2, :] = fy
-        if n_attr == ATTRS_LIT:
-            # directional lambert folds into the C rgb planes here: the
-            # albedo multiply downstream distributes over the scale
-            # (albedo × (C·s) == (albedo × C)·s).
-            s = lit_scale(inv)
-            attr_ref[0, 2:3, :] = a[10:11] * s
-            attr_ref[0, 3:4, :] = a[11:12] * s
-            attr_ref[0, 4:5, :] = a[12:13] * s
-            attr_ref[0, 5:6, :] = a[13:14]            # alpha unlit
-        else:
-            attr_ref[0, 2:6, :] = a[10:14]            # C rgba
-        return
-
-    attr_ref[0, 0:1, :] = ev(0)          # u/w
-    attr_ref[0, 1:2, :] = ev(3)          # v/w
-    attr_ref[0, 2:3, :] = ev(6)          # 1/w
-    attr_ref[0, 3:12, :] = a[9:18]       # tex, C rgba, off hi/lo, th, tw
-    if n_attr == ATTRS_LIT:
-        attr_ref[0, 12:13, :] = ev(18)   # nx/w
-        attr_ref[0, 13:14, :] = ev(21)   # ny/w
-        attr_ref[0, 14:15, :] = ev(24)   # nz/w
+        tapidx_ref[0] = ti
 
 
 @functools.partial(

@@ -455,7 +455,9 @@ class TestGmd:
         g = gmd.GuiMessageFile(language_id=1, package_name="pkg",
                                messages=msgs)
         blob = g.tobytes()
-        g2 = gmd.GuiMessageFile.parse(blob)
+        # strict=True: every label must be reachable via OUR writer's
+        # hash table — an unreachable one is a table-builder regression
+        g2 = gmd.GuiMessageFile.parse(blob, strict=True)
         assert [m.label for m in g2.messages] == [m.label for m in msgs]
         assert g2.tobytes() == blob
         # corrupting a chain link must be detected
@@ -474,6 +476,9 @@ class TestGmd:
         with pytest.warns(RuntimeWarning, match="hash table reaches"):
             g3 = gmd.GuiMessageFile.parse(bytes(bad))
         assert [m.label for m in g3.messages] == [m.label for m in msgs]
+        # strict mode upgrades the same diagnosis to an error
+        with pytest.raises(ValueError, match="hash table reaches"):
+            gmd.GuiMessageFile.parse(bytes(bad), strict=True)
 
     def test_hash_verification(self):
         blob = bytearray(fixtures.build_gmd())

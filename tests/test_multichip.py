@@ -43,6 +43,49 @@ class TestMultichip:
         )
         assert np.asarray(c).shape == (32, 32, 4)
 
+    def test_packed_matches_unpacked(self):
+        """packed=True emits the (H, W) u32 production frame from the
+        sharded path — pixel-identical to the unpacked sharded frame."""
+        scene, vp, bones = _scene()
+        mesh = make_row_mesh(8)
+        pc, pd = render_frame_multichip(
+            scene, vp, bones, mesh=mesh, width=64, height=64,
+            backend="pallas", packed=True,
+        )
+        uc, ud = render_frame_multichip(
+            scene, vp, bones, mesh=mesh, width=64, height=64,
+            backend="pallas",
+        )
+        assert np.asarray(pc).dtype == np.uint32
+        np.testing.assert_array_equal(device.unpack_rgba(pc),
+                                      np.asarray(uc))
+        np.testing.assert_array_equal(np.asarray(pd), np.asarray(ud))
+
+    def test_packed_requires_pallas(self):
+        scene, vp, bones = _scene()
+        mesh = make_row_mesh(2)
+        with pytest.raises(ValueError, match="packed"):
+            render_frame_multichip(
+                scene, vp, bones, mesh=mesh, width=32, height=32,
+                backend="scan", packed=True,
+            )
+
+    @pytest.mark.parametrize("backend", ["scan", "pallas"])
+    def test_unaligned_height(self, backend):
+        """Heights not divisible by the mesh (1080/8 = 135 rows) render
+        via ceil-band pad-and-crop, pixel-identical to single-chip."""
+        scene, vp, bones = _scene()
+        mesh = make_row_mesh(8)
+        got_c, got_d = render_frame_multichip(
+            scene, vp, bones, mesh=mesh, width=64, height=60,
+            backend=backend,
+        )
+        want_c, want_d = device.render_frame(
+            scene, vp, bones, width=64, height=60, backend=backend
+        )
+        np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+        np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want_d))
+
     def test_graft_entry(self):
         import __graft_entry__ as ge
 

@@ -179,6 +179,51 @@ class TestBinStats:
             pr.flush_overflow_checks()
         assert pr.OVERFLOW_EVENTS > before
 
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_auto_maxc_pins_bin_chunks(self, seed):
+        """auto_maxc re-derives the kernel's binning in host NumPy
+        (device.py mirrors bin_chunks/pack_setup constants and bbox
+        logic). This property test pins the two together: on randomized
+        scenes the NumPy predictor at margin=1.0 must equal the kernel's
+        true per-tile max, rounded up to the cap quantum — any drift in
+        TILE_W/TILE_H/CT/overlap math fails loudly here instead of
+        surfacing as an overflow event in production."""
+        import jax.numpy as jnp
+
+        from mt_renderer_tpu.render import pallas_raster as pr
+        from mt_renderer_tpu.scene.model import DrawBatch
+
+        rng = np.random.default_rng(seed)
+        nt = int(rng.integers(50, 2500))
+        pos = rng.uniform(-1.5, 1.5, (3 * nt, 3)).astype(np.float32)
+        batch = DrawBatch(
+            positions=pos,
+            uvs=np.zeros((3 * nt, 2), np.float32),
+            joints=np.zeros((3 * nt, 4), np.int32),
+            weights=np.zeros((3 * nt, 4), np.float32),
+            tris=np.arange(3 * nt, dtype=np.int32).reshape(nt, 3),
+            tri_texture=np.full(nt, -1, np.int32),
+            tri_parts=np.zeros(nt, np.int32),
+            tri_debug_id=np.zeros(nt, np.int32),
+        )
+        from mt_renderer_tpu.app.camera import Camera
+
+        width, height = 256, 128
+        vp = np.asarray(Camera(position=[0, 0, 3.5]).view_proj())
+
+        amc = device.auto_maxc(batch, vp, None,
+                               width=width, height=height, margin=1.0)
+
+        scene = device.upload(batch)
+        clip = device.vertex_stage(scene, jnp.asarray(vp), None)
+        setup = device.setup_stage(scene, clip, width, height)
+        req = int(pr.required_maxc(setup, width=width, height=height))
+        assert req > 0, "degenerate scene — nothing binned"
+        # ≥: the predictor must never under-size the cap; ==: it must be
+        # tight (same count module the 8-quantum round-up and the floor)
+        assert amc >= req
+        assert amc == max(8, -(-req // 8) * 8)
+
     def test_auto_maxc_renders_exact(self, scene_batch):
         """auto_maxc sizes the cap so pallas matches the scan backend
         with zero overflow events."""
