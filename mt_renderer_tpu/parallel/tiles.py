@@ -181,9 +181,10 @@ def render_frame_multichip(scene, view_proj, bone_mats=None, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "width", "height", "chunk", "clear_color"),
+    static_argnames=("mesh", "width", "height", "chunk", "clear_color",
+                     "backend", "maxc", "mipmap", "lighting", "packed"),
 )
-def render_frame_geomsplit(
+def _render_frame_geomsplit_core(
     scene: dev.DeviceScene,
     view_proj: jax.Array,
     bone_mats: jax.Array | None = None,
@@ -193,65 +194,153 @@ def render_frame_geomsplit(
     height: int = 512,
     chunk: int = dev.DEFAULT_CHUNK,
     clear_color: tuple = (255, 255, 255, 255),
+    backend: str = "pallas",
+    maxc: int | None = None,
+    mipmap: bool = False,
+    lighting: bool = False,
+    packed: bool = False,
 ):
     """Geometry-split multi-chip rendering: each chip rasterises a
     contiguous shard of the triangles over the FULL frame, then the
     per-pixel depth contest resolves with ICI collectives:
 
     * ``pmin`` over chips → global nearest depth per pixel,
-    * ``pmax`` of the winner id among depth-tied chips → the exact
-      later-triangle-wins tie rule across shards,
-    * each chip shades only the pixels its shard won; a ``psum``
-      composites the disjoint contributions into the full frame.
+    * ``pmax`` of the winner GLOBAL triangle id among depth-tied chips →
+      the exact later-triangle-wins tie rule across shards (the same
+      rule the kernel applies within a chip),
+    * each chip shades its own raster output and zero-masks the pixels
+      its shard lost; ONE ``psum`` of the shaded channel planes
+      composites the frame (exact: per pixel exactly one chip
+      contributes non-zero, so the sum IS that chip's f32 value).
 
     Complements the screen-band split (``render_frame_multichip``):
     geometry split keeps per-chip raster load balanced when triangles
-    cluster in one screen region, at the cost of three all-reduces.
-    Returns the full frame replicated on every chip.
-    """
+    cluster in one screen band. The pallas path is the production one
+    (tap/mip-tap epilogue, lighting, packed frames, tile-major until
+    the final relayout); ``backend="scan"`` keeps the all-triangles
+    differential path. Returns the full frame replicated on every chip
+    → (color, depth, n_over (n,))."""
     n = mesh.devices.size
     tp = scene.tri_valid.shape[0]
-    if tp % n:
-        raise ValueError(f"padded triangle count {tp} not divisible by {n}")
-    shard_t = tp // n
+
+    if backend == "scan":
+        if packed:
+            raise ValueError("packed output requires the pallas backend")
+        if tp % n:
+            raise ValueError(f"padded triangle count {tp} not "
+                             f"divisible by {n}")
+    from ..render import pallas_raster as pr
+
+    # chunk-aligned shards; the last shard pads with always-outside rows
+    # (zero edge coefficients fail ``e > bias`` at bias 0) so no
+    # triangle is ever duplicated across chips (a duplicate would tie
+    # with itself on two chips and double-count in the psum)
+    shard_t = cdiv_mult(tp, n, pr.CT)
+    pad_t = shard_t * n - tp
 
     def shard_render(scene, view_proj, bone_mats):
         r = jax.lax.axis_index("rows")
         clip = dev.vertex_stage(scene, view_proj, bone_mats)
-        setup = dev.setup_stage(scene, clip, width, height)
+        if backend == "scan":
+            setup = dev.setup_stage(scene, clip, width, height,
+                                    bone_mats=bone_mats,
+                                    need_normals=lighting)
+            base = r * (tp // n)
+            shard_setup = {
+                k: jax.lax.dynamic_slice_in_dim(v, base, tp // n, axis=0)
+                for k, v in setup.items()
+            }
+            zb, ib = dev.raster_stage(shard_setup, width, height, chunk)
+            ib = jnp.where(ib >= 0, ib + base, -1)         # globalise ids
+            z = jnp.where(ib >= 0, zb, jnp.inf)
+            zmin = jax.lax.pmin(z, "rows")
+            tied = (z == zmin) & (ib >= 0)
+            win_id = jax.lax.pmax(jnp.where(tied, ib, -1), "rows")
+            mine = tied & (ib == win_id)
+            src, _cov = dev.shade_src(
+                scene, setup, jnp.where(mine, ib, -1), width, height,
+                mipmap=mipmap, lighting=lighting)
+            contrib = jnp.where(mine[..., None], src, 0.0)
+            src_all = jax.lax.psum(contrib, "rows")
+            covered = jax.lax.psum(mine.astype(jnp.int32), "rows") > 0
+            clear = jnp.asarray(np.asarray(clear_color, np.float32))
+            dst = jnp.broadcast_to(clear, (height, width, 4))
+            out = dev.blend_over(src_all, covered, dst)
+            color = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.uint8)
+            depth = jnp.where(covered, zmin, 1.0)
+            zero = jnp.zeros((1,), jnp.int32) + r * 0
+            return color, depth, zero
+
+        pw = -(-width // pr.TILE_W) * pr.TILE_W
+        ph = -(-height // pr.TILE_H) * pr.TILE_H
+        interp = jax.default_backend() != "tpu"
+        cols, bbox, n_attr = dev.setup_packed_cols(
+            scene, clip, width, height, bone_mats=bone_mats,
+            lighting=lighting,
+        )
+        if pad_t:
+            big = jnp.float32(1e30)
+            cols = jnp.concatenate(
+                [cols, jnp.zeros((pad_t, cols.shape[1]), jnp.float32)])
+            gpad = pad_t // pr.KG
+            pads = (big, -big, big, -big, big)
+            bbox = tuple(
+                jnp.concatenate([b, jnp.full((gpad,), v, jnp.float32)])
+                for b, v in zip(bbox, pads)
+            )
         base = r * shard_t
-        # this chip's triangle shard (all per-triangle setup rows)
-        shard_setup = {
-            k: jax.lax.dynamic_slice_in_dim(v, base, shard_t, axis=0)
-            for k, v in setup.items()
-        }
-        zb, ib = dev.raster_stage(shard_setup, width, height, chunk)
-        ib = jnp.where(ib >= 0, ib + base, -1)             # globalise ids
-
-        z = jnp.where(ib >= 0, zb, jnp.inf)
+        cols_s = jax.lax.dynamic_slice_in_dim(cols, base, shard_t, 0)
+        bbox_s = tuple(
+            jax.lax.dynamic_slice_in_dim(b, base // pr.KG,
+                                         shard_t // pr.KG, 0)
+            for b in bbox
+        )
+        kw = dict(width=pw, height=ph, maxc=maxc or pr.MAXC_DEFAULT,
+                  interpret=interp, n_attr=n_attr, w_eps=dev.W_EPS,
+                  light=dev._light_unit() if lighting else None)
+        if not mipmap:
+            # tile-major end to end; unflatten only the final planes
+            zb, ib, tattrs, tapidx, n_over = pr.raster_pallas_fwd(
+                (cols_s, bbox_s), None, 0, 0, tap=True, flat=True, **kw)
+            src, _cov = dev.shade_tap_flat_channels(
+                scene, tattrs, tapidx, ib)
+            z2, ib2 = zb[:, 0, :], ib[:, 0, :]
+            unflat = lambda x: pr.unflatten_tiles(x, ph, pw)  # noqa: E731
+        else:
+            # raster order: the trilinear LOD comes from screen-space
+            # forward differences, which need true pixel neighbors
+            zb, ib, mattrs, n_over = pr.raster_pallas_fwd(
+                (cols_s, bbox_s), None, 0, 0, mtap=True, **kw)
+            srcp, _ = dev.shade_mip_tap(scene, mattrs, ib)
+            src = [srcp[c] for c in range(4)]
+            z2, ib2 = zb, ib
+            unflat = lambda x: x                             # noqa: E731
+        ib_g = jnp.where(ib2 >= 0, ib2 + base, -1)
+        z = jnp.where(ib_g >= 0, z2, jnp.inf)
         zmin = jax.lax.pmin(z, "rows")
-        tied = (z == zmin) & (ib >= 0)
-        win_id = jax.lax.pmax(jnp.where(tied, ib, -1), "rows")
-        mine = tied & (ib == win_id)
-
-        src, _cov = dev.shade_src(scene, setup, jnp.where(mine, ib, -1),
-                                  width, height)
-        contrib = jnp.where(mine[..., None], src, 0.0)
-        src_all = jax.lax.psum(contrib, "rows")
+        tied = (z == zmin) & (ib_g >= 0)
+        win_id = jax.lax.pmax(jnp.where(tied, ib_g, -1), "rows")
+        mine = tied & (ib_g == win_id)
+        src_all = [jax.lax.psum(jnp.where(mine, c, 0.0), "rows")
+                   for c in src]
         covered = jax.lax.psum(mine.astype(jnp.int32), "rows") > 0
+        n_over_all = jax.lax.psum(n_over, "rows")
 
-        clear = jnp.asarray(np.asarray(clear_color, np.float32))
-        dst = jnp.broadcast_to(clear, (height, width, 4))
-        out = dev.blend_over(src_all, covered, dst)
-        color = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.uint8)
-        depth = jnp.where(covered, zmin, 1.0)
-        return color, depth
+        out = dev._blend_channels(src_all, covered, clear_color)
+        depth = unflat(jnp.where(covered, zmin, 1.0))[:height, :width]
+        if packed:
+            color = unflat(dev.pack_u32_channels(out))[:height, :width]
+        else:
+            color = jnp.stack(
+                [unflat(jnp.clip(c + 0.5, 0.0, 255.0).astype(jnp.uint8)
+                        )[:height, :width] for c in out], axis=-1)
+        return color, depth, n_over_all[None]
 
     shard_fn = jax.shard_map(
         shard_render,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P("rows")),
         check_vma=False,
     )
     if bone_mats is None:
@@ -259,3 +348,37 @@ def render_frame_geomsplit(
             jnp.eye(4, dtype=jnp.float32), (scene.num_joints, 1, 1)
         )
     return shard_fn(scene, view_proj, bone_mats)
+
+
+def cdiv_mult(total: int, n: int, quantum: int) -> int:
+    """Smallest per-shard size covering ``total`` over ``n`` shards in
+    multiples of ``quantum``."""
+    per = -(-total // n)
+    return -(-per // quantum) * quantum
+
+
+def render_frame_geomsplit(scene, view_proj, bone_mats=None, *,
+                           mesh: Mesh, width: int = 512,
+                           height: int = 512,
+                           chunk: int = dev.DEFAULT_CHUNK,
+                           clear_color: tuple = (255, 255, 255, 255),
+                           backend: str = "pallas",
+                           maxc: int | None = None,
+                           mipmap: bool = False, lighting: bool = False,
+                           check_overflow: bool = True,
+                           packed: bool = False):
+    """Public geometry-split frontend — see
+    ``_render_frame_geomsplit_core`` for the strategy and
+    ``device.render_frame`` for the overflow-check contract."""
+    color, depth, n_over = _render_frame_geomsplit_core(
+        scene, view_proj, bone_mats, mesh=mesh, width=width,
+        height=height, chunk=chunk, clear_color=clear_color,
+        backend=backend, maxc=maxc, mipmap=mipmap, lighting=lighting,
+        packed=packed,
+    )
+    if check_overflow and backend == "pallas":
+        from ..render import pallas_raster as pr
+
+        pr.queue_overflow_check(jnp.sum(n_over),
+                                maxc or pr.MAXC_DEFAULT)
+    return color, depth

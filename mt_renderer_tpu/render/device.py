@@ -764,17 +764,30 @@ def _tap_albedo_channels(pool, idx, fx, fy):
     return [alb[c] for c in range(4)]
 
 
-def _blend_pack_u32(src_channels, covered, clear_color):
-    """Src-alpha blend over the clear color + RGBA→u32 pack, channel
-    lists of any (matching) shape. The ONE definition of the composite
-    math shared by every packed path (raster-order and tile-major)."""
+def _blend_channels(src_channels, covered, clear_color):
+    """Src-alpha blend over the clear color, channel lists of any
+    (matching) shape → float channel list. The ONE definition of the
+    composite math shared by every path (raster-order, tile-major,
+    geometry-split)."""
     clear = np.asarray(clear_color, np.float32)
     a = src_channels[3] / 255.0
     out = [jnp.where(covered, src_channels[c] * a + clear[c] * (1.0 - a),
                      clear[c]) for c in range(3)]
     out.append(jnp.where(covered, src_channels[3], clear[3]))
-    q = [jnp.clip(o + 0.5, 0.0, 255.0).astype(jnp.uint32) for o in out]
+    return out
+
+
+def pack_u32_channels(channels):
+    """Quantize float 0-255 channel list → (…, ) uint32 RGBA packed."""
+    q = [jnp.clip(o + 0.5, 0.0, 255.0).astype(jnp.uint32)
+         for o in channels]
     return q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
+
+
+def _blend_pack_u32(src_channels, covered, clear_color):
+    """Blend + RGBA→u32 pack (see _blend_channels)."""
+    return pack_u32_channels(
+        _blend_channels(src_channels, covered, clear_color))
 
 
 def shade_tap(scene: DeviceScene, tattrs, tapidx, ib):
@@ -825,6 +838,39 @@ def shade_tap_flat_channels(scene: DeviceScene, tattrs, tapidx, ib):
     src = [jnp.where(textured, alb[c] * tattrs[:, 2 + c, :],
                      tattrs[:, 2 + c, :]) for c in range(4)]
     return src, covered
+
+
+def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
+                              layers: int, clear_color):
+    """Tile-major multi-layer composite over the single-pass ML kernel's
+    tap outputs (``raster_pallas_fwd_ml`` with ``tap=True, flat=True``):
+    tattrs (n_tiles, L*6, P), tapidx/il (n_tiles, L, P), layers nearest
+    first. ONE pool gather serves every layer's bilinear tap (the
+    gather is row-count bound, so batching L layers into one op saves
+    the per-op overhead), then the layers blend back-to-front over the
+    clear color with the reference blend state (model.rs:242-247).
+
+    Returns the channel list [r, g, b, a] each (n_tiles, P) f32 0-255,
+    still tile-major — callers pack/quantize + unflatten."""
+    nt, _, p = tapidx.shape
+    a4 = tattrs.reshape(nt, layers, 6, p)
+    alb = _tap_albedo_channels(scene.mip_pool, tapidx,
+                               a4[:, :, 0], a4[:, :, 1])  # 4 x (nt, L, P)
+    textured = tapidx >= 0
+    covered = il >= 0
+    clear = np.asarray(clear_color, np.float32)
+    dst = [jnp.full((nt, p), clear[c], jnp.float32) for c in range(4)]
+    for l in reversed(range(layers)):
+        src = [jnp.where(textured[:, l], alb[c][:, l] * a4[:, l, 2 + c],
+                         a4[:, l, 2 + c]) for c in range(4)]
+        a = src[3] / 255.0
+        cov = covered[:, l]
+        dst = (
+            [jnp.where(cov, src[c] * a + dst[c] * (1.0 - a), dst[c])
+             for c in range(3)]
+            + [jnp.where(cov, src[3], dst[3])]
+        )
+    return dst
 
 
 def shade_mip_tap(scene: DeviceScene, mattrs, ib):
@@ -1314,7 +1360,8 @@ def render_frame(scene: DeviceScene, view_proj: jax.Array,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "chunk", "clear_color", "backend",
-                     "maxc", "layers", "mipmap", "lighting"),
+                     "maxc", "layers", "mipmap", "lighting", "peel_mode",
+                     "packed"),
 )
 def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
                               bone_mats: jax.Array | None = None, *,
@@ -1324,7 +1371,9 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
                               clear_color: tuple = (255, 255, 255, 255),
                               backend: str = "scan",
                               maxc: int | None = None,
-                              mipmap: bool = False, lighting: bool = False):
+                              mipmap: bool = False, lighting: bool = False,
+                              peel_mode: str = "ml",
+                              packed: bool = False):
     """Order-independent transparency via depth peeling.
 
     Rasterises the ``layers`` nearest fragments per pixel (each pass
@@ -1336,7 +1385,24 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
     back-to-front stack regardless of draw order — where the reference's
     single-pass pipeline (model.rs:242-261) is draw-order-dependent.
 
-    Returns ((H, W, 4) uint8, (H, W) f32 nearest depth)."""
+    ``peel_mode`` (pallas only): "ml" (default) rasterises all layers in
+    ONE single-pass kernel carrying an L-deep per-pixel (z, id)
+    insertion list (``pallas_raster.raster_pallas_fwd_ml`` — replaces L
+    full raster passes, the r2 formulation kept as "multipass" for
+    differential testing). Layer semantics of "ml" match the scan
+    oracle (L nearest, later-triangle tie wins); "multipass" peels with
+    the PEEL_EPS exclusion chain — identical on scenes whose surfaces
+    are separated by more than PEEL_EPS.
+
+    Returns ((H, W, 4) uint8, (H, W) f32 nearest depth); with
+    ``packed=True`` (pallas "ml", non-mipmap only) color is (H, W)
+    uint32 RGBA-packed like ``render_frame``."""
+    if peel_mode not in ("ml", "multipass"):
+        raise ValueError(f"unknown peel_mode {peel_mode!r}")
+    if packed and not (backend == "pallas" and peel_mode == "ml"
+                       and layers >= 2 and not mipmap):
+        raise ValueError("packed peeled output requires the pallas "
+                         "backend's single-pass (ml) non-mipmap path")
     clip = vertex_stage(scene, view_proj, bone_mats)
 
     if backend == "pallas":
@@ -1346,6 +1412,66 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
         ph = -(-height // pr.TILE_H) * pr.TILE_H
         interp = jax.default_backend() != "tpu"
         band = (pw, ph)
+
+        if peel_mode == "ml" and layers >= 2:
+            cols, bbox, n_attr = setup_packed_cols(
+                scene, clip, width, height, bone_mats=bone_mats,
+                lighting=lighting,
+            )
+            if not mipmap:
+                # single-pass ML kernel + tile-major tap composite: one
+                # raster pass, one pool gather for all layers, one
+                # final relayout per output plane
+                zb, ib, tattrs, tapidx, n_over = pr.raster_pallas_fwd_ml(
+                    (cols, bbox), None, 0, 0, width=pw, height=ph,
+                    layers=layers, maxc=maxc or pr.MAXC_DEFAULT,
+                    interpret=interp, n_attr=n_attr, tap=True,
+                    w_eps=W_EPS,
+                    light=_light_unit() if lighting else None, flat=True,
+                )
+                dst = composite_peeled_tap_flat(scene, tattrs, tapidx,
+                                                ib, layers, clear_color)
+                zb0 = pr.unflatten_tiles(zb[:, 0, :], ph, pw)
+                if packed:
+                    q = [jnp.clip(d + 0.5, 0.0, 255.0).astype(jnp.uint32)
+                         for d in dst]
+                    pk = q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
+                    color = pr.unflatten_tiles(pk, ph, pw)
+                    return (color[:height, :width],
+                            zb0[:height, :width], n_over)
+                out8 = [
+                    pr.unflatten_tiles(
+                        jnp.clip(d + 0.5, 0.0, 255.0).astype(jnp.uint8),
+                        ph, pw,
+                    ) for d in dst
+                ]
+                color = jnp.stack(out8, axis=-1)[:height, :width]
+                return color, zb0[:height, :width], n_over
+            # mipmap: mip-tap epilogue per layer from the same
+            # single-pass kernel, plane-major composite
+            zb, ib, mattrs, n_over = pr.raster_pallas_fwd_ml(
+                (cols, bbox), None, 0, 0, width=pw, height=ph,
+                layers=layers, maxc=maxc or pr.MAXC_DEFAULT,
+                interpret=interp, n_attr=n_attr, mtap=True, w_eps=W_EPS,
+                light=_light_unit() if lighting else None,
+            )
+            nm = pr.ATTRS_MTAP
+            passes = []
+            for l in range(layers):
+                src, covered = shade_mip_tap(
+                    scene, mattrs[l * nm:(l + 1) * nm], ib[l])
+                passes.append((src, covered, zb[l]))
+            clear = jnp.asarray(
+                np.asarray(clear_color, np.float32)
+            )[:, None, None]
+            dstp = jnp.broadcast_to(clear, (4, ph, pw))
+            for src, covered, _ in reversed(passes):
+                dstp = blend_over_planes(src, covered, dstp)
+            out = jnp.moveaxis(
+                jnp.clip(dstp + 0.5, 0.0, 255.0).astype(jnp.uint8), 0, -1
+            )
+            return (out[:height, :width], passes[0][2][:height, :width],
+                    n_over)
     else:
         setup = setup_stage(scene, clip, width, height,
                             bone_mats=bone_mats, need_normals=lighting)
@@ -1446,13 +1572,15 @@ def render_frame_peeled(scene: DeviceScene, view_proj: jax.Array,
                         clear_color: tuple = (255, 255, 255, 255),
                         backend: str = "scan", maxc: int | None = None,
                         mipmap: bool = False, lighting: bool = False,
-                        check_overflow: bool = True):
+                        check_overflow: bool = True,
+                        peel_mode: str = "ml", packed: bool = False):
     """Public peeled frontend; see ``_render_frame_peeled_core`` for the
     rendering contract and ``render_frame`` for the overflow check."""
     color, depth, n_over = _render_frame_peeled_core(
         scene, view_proj, bone_mats, width=width, height=height,
         layers=layers, chunk=chunk, clear_color=clear_color,
         backend=backend, maxc=maxc, mipmap=mipmap, lighting=lighting,
+        peel_mode=peel_mode, packed=packed,
     )
     if check_overflow and n_over is not None:
         from . import pallas_raster as pr

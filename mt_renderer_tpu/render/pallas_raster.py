@@ -755,6 +755,367 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
     return zb, ib, attrs, n_over
 
 
+def _raster_fwd_ml_kernel(layers, n_attr, tap, mtap, w_eps, light,
+                          variant,
+                          counts_ref, lists_ref, glists_ref, origin_ref,
+                          setup_hbm, zl_ref, il_ref, attr_ref, *rest):
+    """Single-pass multi-layer (OIT) raster kernel.
+
+    Replaces L full depth-peel passes (the r2 formulation —
+    ``device._render_frame_peeled_core`` re-rastered the same geometry
+    per layer) with ONE pass over the chunk list:
+
+    * pass 1 maintains a per-pixel depth-sorted (z, id) list of the L
+      nearest fragments in VMEM (ascending z; exact-z ties order by
+      global triangle id DESCENDING, the later-wins oracle rule — the
+      same semantic as ``device.raster_multilayer``). Each live group
+      iteratively extracts its per-pixel nearest remaining fragment and
+      inserts by position cascade — pure f32 VPU work, NO attribute
+      matmuls in the hot loop;
+    * pass 2 sweeps the chunk list again (blocks re-DMA'd, double
+      buffered) and recovers each layer's packed coefficient columns by
+      GLOBAL-ID match: per sub-block one batched
+      (n_coef, K) x (K, L*P) one-hot select on the MXU (K=128 full
+      contraction depth — better utilization than per-group KG=32
+      selects), exact via the one-sided bf16x3 split, ACCUMULATED into
+      the (n_coef, L*P) scratch. Every final layer id matches exactly
+      one (chunk, sub-block) row, so accumulation replaces the
+      coefficient shift cascade entirely — coefficients for slots that
+      were evicted by later chunks simply never match.
+
+    The coefficient recovery cannot ride pass 1: a fragment selected in
+    chunk c and later pushed down a slot by a nearer fragment from
+    chunk c' > c would leave its coefficients in the wrong slot — the
+    (z, id) list reorders after the block's columns have left VMEM.
+    """
+    if tap:
+        tapidx_ref, scratch, sems, coef_ref = rest
+    else:
+        scratch, sems, coef_ref = rest
+    n_coef = _N_COEF[n_attr]
+    lyr = layers
+    t = pl.program_id(0)
+    count = counts_ref[t]
+
+    zl_ref[0] = jnp.full((lyr, P), jnp.inf, jnp.float32)
+    il_ref[0] = jnp.full((lyr, P), -1, jnp.int32)
+    coef_ref[...] = jnp.zeros((n_coef, lyr * P), jnp.float32)
+
+    n_tx = origin_ref[2]
+    ty = t // n_tx
+    tx = t % n_tx
+    px0 = (tx * TILE_W + origin_ref[0]).astype(jnp.float32)
+    py0 = (ty * TILE_H + origin_ref[1]).astype(jnp.float32)
+    flat = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (flat % TILE_W).astype(jnp.float32) + (px0 + 0.5)   # (1, P)
+    py = (flat // TILE_W).astype(jnp.float32) + (py0 + 0.5)  # (1, P)
+
+    maxc = lists_ref.shape[0] // counts_ref.shape[0]
+    inf = jnp.float32(jnp.inf)
+
+    def dma(slot, s):
+        return pltpu.make_async_copy(
+            setup_hbm.at[lists_ref[t * maxc + s]], scratch.at[slot],
+            sems.at[slot]
+        )
+
+    @pl.when(count > 0)
+    def _():
+        dma(0, 0).start()
+
+        def body(s, _):
+            slot = jax.lax.rem(s, 2)
+
+            @pl.when(s + 1 < count)
+            def _():
+                dma(1 - slot, s + 1).start()
+
+            dma(slot, s).wait()
+            blk = scratch[slot]                          # (K, NF)
+            cid = lists_ref[t * maxc + s]
+            gmask = glists_ref[t * maxc + s]
+
+            for g in range(G):
+                live = (gmask >> g) & 1 != 0
+
+                @pl.when(live)
+                def _(g=g):
+                    sub = g // (K // KG)
+                    r0 = (g % (K // KG)) * KG
+                    c0 = sub * CS
+
+                    def col(i):
+                        return blk[r0:r0 + KG, c0 + i][:, None]  # (KG, 1)
+
+                    def edge_ok(i):
+                        e = col(i) * px + col(3 + i) * py + col(6 + i)
+                        return e > col(9 + i)
+
+                    inside = edge_ok(0) & edge_ok(1) & edge_ok(2)
+                    z = col(12) * px + col(13) * py + col(14)    # (KG, P)
+                    zcur = zl_ref[0]                             # (L, P)
+                    icur = il_ref[0]
+                    # cull against the CURRENT deepest kept layer: a
+                    # fragment beyond it can never enter (the list's
+                    # last depth only decreases) — with nearest-first
+                    # chunk ordering this kills most far-chunk work,
+                    # exactly like the single-layer z <= zbuf test
+                    zok = inside & (z >= 0.0) & (z <= zcur[lyr - 1:lyr])
+                    zm = jnp.where(zok, z, inf)
+                    kids = jax.lax.broadcasted_iota(
+                        jnp.int32, (KG, P), 0
+                    ) + r0
+                    li = jax.lax.broadcasted_iota(jnp.int32, (lyr, P), 0)
+                    # iterative extraction: per pixel, pull the group's
+                    # nearest remaining fragment and insert; candidates
+                    # arrive (z asc, id desc on ties) so each pixel
+
+                    # extracts its own L nearest from this group
+                    n_extract = 1 if "extract1" in variant else lyr
+                    for _l in range(n_extract):
+                        zmin = jnp.min(zm, axis=0, keepdims=True)
+                        winner_k = jnp.max(
+                            jnp.where((zm == zmin) & (zmin != inf),
+                                      kids, -1),
+                            axis=0, keepdims=True,
+                        )
+                        new_id = jnp.where(
+                            winner_k >= 0, cid * CT + sub * K + winner_k,
+                            jnp.int32(-1),
+                        )
+                        # insertion position: number of kept entries
+                        # strictly preceding the candidate under the
+                        # (z asc, id desc) order; pos >= L -> rejected
+                        prec = (zcur < zmin) | (
+                            (zcur == zmin) & (icur > new_id)
+                        )
+                        pos = jnp.sum(prec.astype(jnp.int32), axis=0,
+                                      keepdims=True)       # (1, P)
+                        zprev = jnp.concatenate(
+                            [zcur[:1], zcur[:-1]], axis=0)
+                        iprev = jnp.concatenate(
+                            [icur[:1], icur[:-1]], axis=0)
+                        take = li == pos
+                        shift = li > pos
+                        zcur = jnp.where(take, zmin,
+                                         jnp.where(shift, zprev, zcur))
+                        icur = jnp.where(take, new_id,
+                                         jnp.where(shift, iprev, icur))
+                        zm = jnp.where(kids == winner_k, inf, zm)
+                    zl_ref[0] = zcur
+                    il_ref[0] = icur
+            return 0
+
+        jax.lax.fori_loop(0, count, body, 0)
+
+        # ---- pass 2: coefficient recovery by global-id match ----
+        sub_bits = (1 << (K // KG)) - 1
+
+        def body2(s, _):
+            slot = jax.lax.rem(s, 2)
+
+            @pl.when(s + 1 < count)
+            def _():
+                dma(1 - slot, s + 1).start()
+
+            dma(slot, s).wait()
+            blk = scratch[slot]
+            cid = lists_ref[t * maxc + s]
+            gmask = glists_ref[t * maxc + s]
+            il_all = il_ref[0]                           # (L, P)
+
+            def bf3(cols, oh):
+                b1 = cols.astype(jnp.bfloat16)
+                r1 = cols - b1.astype(jnp.float32)
+                b2 = r1.astype(jnp.bfloat16)
+                b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+                sel = jnp.float32(0.0)
+                for part in (b1, b2, b3):
+                    sel += jax.lax.dot_general(
+                        part, oh, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                return sel
+
+            if "groupsel" in variant:
+                riota = jax.lax.broadcasted_iota(jnp.int32, (KG, P), 0)
+                for g in range(G):
+                    live = (gmask >> g) & 1 != 0
+
+                    @pl.when(live)
+                    def _(g=g):
+                        sub = g // (K // KG)
+                        r0 = (g % (K // KG)) * KG
+                        c0 = sub * CS
+                        base = cid * CT + sub * K + r0
+                        oh = jnp.concatenate(
+                            [(riota == (il_all[l:l + 1] - base)).astype(
+                                jnp.bfloat16) for l in range(lyr)],
+                            axis=1,
+                        )                                # (KG, L*P)
+                        cols = blk[r0:r0 + KG,
+                                   c0 + 15:c0 + 15 + n_coef]
+                        coef_ref[...] += bf3(cols, oh)
+            else:
+                riota = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
+                for sub in range(S):
+                    # a sub-block none of whose groups overlapped the
+                    # tile cannot own any winner id — scalar SMEM gate,
+                    # no vector->scalar reduce
+                    sub_live = (gmask >> (sub * (K // KG))) & sub_bits != 0
+
+                    @pl.when(sub_live)
+                    def _(sub=sub):
+                        base = cid * CT + sub * K
+                        c0 = sub * CS
+                        oh = jnp.concatenate(
+                            [(riota == (il_all[l:l + 1] - base)).astype(
+                                jnp.bfloat16) for l in range(lyr)],
+                            axis=1,
+                        )                                # (K, L*P)
+                        cols = blk[:, c0 + 15:c0 + 15 + n_coef]
+                        # each final layer id matches exactly one row of
+                        # one (chunk, sub) — non-matching columns give
+                        # 0, so accumulation IS the select (no masks,
+                        # no shift cascade)
+                        coef_ref[...] += bf3(cols, oh)
+            return 0
+
+        if "nopass2" not in variant:
+            dma(0, 0).start()
+            jax.lax.fori_loop(0, count, body2, 0)
+
+    coefs = coef_ref[...]
+    attr_rows, tis = [], []
+    for l in range(lyr):
+        rows, ti = _epilogue_rows(coefs[:, l * P:(l + 1) * P], px, py,
+                                  n_attr, tap, mtap, w_eps, light)
+        attr_rows.append(rows)
+        if tap:
+            tis.append(ti)
+    attr_ref[0] = jnp.concatenate(attr_rows, axis=0)
+    if tap:
+        tapidx_ref[0] = jnp.concatenate(tis, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "maxc", "interpret", "n_attr",
+                     "tap", "mtap", "w_eps", "light", "flat", "layers",
+                     "variant"),
+)
+def raster_pallas_fwd_ml(setup, extras, x0, y0, *, width: int,
+                         height: int, layers: int,
+                         maxc: int = MAXC_DEFAULT,
+                         interpret: bool = False,
+                         n_attr: int = ATTRS_BASE,
+                         tap: bool = False, mtap: bool = False,
+                         w_eps: float = 1e-6,
+                         light: tuple | None = None, pre=None,
+                         flat: bool = False, variant: str = "full"):
+    """Single-pass multi-layer forward raster over a band — the
+    order-independent-transparency engine (see _raster_fwd_ml_kernel).
+
+    Same argument contract as ``raster_pallas_fwd`` plus ``layers``
+    (2..8). Returns per-layer outputs, nearest first:
+    (zl (L, bh, bw) f32 — 1.0 beyond the last fragment,
+    il (L, bh, bw) i32 — -1,
+    attrs (L*n_out, bh, bw) f32 [+ tapidx (L, bh, bw) i32 when tap],
+    n_over); with ``flat=True`` everything stays tile-major:
+    (n_tiles, L, P) / (n_tiles, L*n_out, P).
+
+    Layer semantics match ``device.raster_multilayer`` (the scan
+    oracle): the L nearest fragments per pixel sorted by
+    (z, tie: larger triangle id first) — NOT the multipass PEEL_EPS
+    chain; in one kernel z is computed once per fragment, so the
+    epsilon that absorbed cross-pass float reassociation is
+    unnecessary. Layer 0 is bit-identical to the single-layer kernel's
+    winner."""
+    if not 2 <= layers <= 8:
+        raise ValueError(f"layers={layers} out of range [2, 8]")
+    if width % TILE_W or height % TILE_H:
+        raise ValueError(f"band {width}x{height} not tile-aligned "
+                         f"({TILE_W}x{TILE_H})")
+    n_ty = height // TILE_H
+    n_tx = width // TILE_W
+    n_tiles = n_ty * n_tx
+
+    if pre is None:
+        pre = prebin(setup, extras, x0, y0, width=width, height=height,
+                     maxc=maxc)
+    packed, lists, glists, counts, n_over = pre
+
+    origin = jnp.stack(
+        [jnp.int32(x0), jnp.int32(y0), jnp.int32(n_tx)]
+    ).astype(jnp.int32)
+
+    def imap(t, counts_ref, lists_ref, glists_ref, origin_ref):
+        return (t, 0, 0)
+
+    if tap and mtap:
+        raise ValueError("tap and mtap are mutually exclusive")
+    if (tap or mtap) and n_attr == ATTRS_LIT and light is None:
+        raise ValueError("lit tap epilogue needs the light direction")
+    n_out_attr = ATTRS_TAP if tap else (ATTRS_MTAP if mtap else n_attr)
+
+    out_specs = [
+        pl.BlockSpec((1, layers, P), index_map=imap),
+        pl.BlockSpec((1, layers, P), index_map=imap),
+        pl.BlockSpec((1, layers * n_out_attr, P), index_map=imap),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles, layers, P), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, layers, P), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles, layers * n_out_attr, P),
+                             jnp.float32),
+    ]
+    if tap:
+        out_specs.append(pl.BlockSpec((1, layers, P), index_map=imap))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_tiles, layers, P), jnp.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, K, NF), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_N_COEF[n_attr], layers * P), jnp.float32),
+        ],
+    )
+
+    outs = pl.pallas_call(
+        functools.partial(_raster_fwd_ml_kernel, layers, n_attr,
+                          tap, mtap, w_eps, light, variant),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(counts, lists.reshape(-1), glists.reshape(-1), origin, packed)
+    zb, ib, attrs = outs[:3]
+    zb = jnp.where(ib >= 0, zb, 1.0)
+
+    if flat:
+        if tap:
+            return zb, ib, attrs, outs[3], n_over
+        return zb, ib, attrs, n_over
+
+    def unflat_l(x, rows):
+        return (
+            x.reshape(n_ty, n_tx, rows, TILE_H, TILE_W)
+            .transpose(2, 0, 3, 1, 4)
+            .reshape(rows, height, width)
+        )
+
+    zb = unflat_l(zb, layers)
+    ib = unflat_l(ib, layers)
+    attrs = unflat_l(attrs, layers * n_out_attr)
+    if tap:
+        return zb, ib, attrs, unflat_l(outs[3], layers), n_over
+    return zb, ib, attrs, n_over
+
+
 def unflatten_tiles(x, height: int, width: int):
     """(n_tiles, 1, P) or (n_tiles, P) tile-major → (height, width)."""
     n_ty = height // TILE_H

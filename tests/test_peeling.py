@@ -73,6 +73,46 @@ class TestDepthPeeling:
         )
         np.testing.assert_array_equal(np.asarray(peeled), np.asarray(single))
 
+    def test_five_layers_deep_keeps_nearest(self):
+        # more surfaces than layers: the 3 nearest translucent quads
+        # composite, deeper ones are dropped — scan and pallas-ml agree
+        stack = [(z, (40 * i, 255 - 40 * i, 30 * i, 90))
+                 for i, z in enumerate((-1.0, -0.5, 0.0, 0.5, 1.0))]
+        batch = _quad_batch(stack)
+        scene = device.upload(batch)
+        outs = {}
+        for backend in ("scan", "pallas"):
+            c, _ = device.render_frame_peeled(
+                scene, _vp(), None, width=48, height=48, layers=3,
+                backend=backend,
+            )
+            outs[backend] = np.asarray(c)
+        diff = np.abs(outs["scan"].astype(int)
+                      - outs["pallas"].astype(int)).max(-1)
+        assert (diff > 1).mean() < 0.003
+
+    def test_coplanar_tie_orders_by_triangle_id(self):
+        # two coplanar translucent quads: the later-drawn (larger id)
+        # quad is the NEARER layer on both backends (the oracle tie
+        # rule); the earlier one composites beneath it
+        batch = _quad_batch([
+            (0.0, (255, 0, 0, 128)),      # drawn first -> deeper layer
+            (0.0, (0, 0, 255, 128)),      # drawn last  -> nearest layer
+        ])
+        scene = device.upload(batch)
+        for backend in ("scan", "pallas"):
+            c, _ = device.render_frame_peeled(
+                scene, _vp(), None, width=48, height=48, layers=3,
+                backend=backend,
+            )
+            px = np.asarray(c)[24, 24]
+            a = 128 / 255.0
+            red = (np.array([255, 0, 0]) * a
+                   + np.array([255, 255, 255]) * (1 - a))
+            want = np.array([0, 0, 255]) * a + red * (1 - a)
+            np.testing.assert_allclose(px[:3], np.round(want), atol=1,
+                                       err_msg=backend)
+
     def test_matches_cpu_when_drawn_back_to_front(self):
         # drawn far-to-near (most negative z is farthest from the +z
         # camera), the ordered CPU pipeline equals the peel
@@ -89,3 +129,69 @@ class TestDepthPeeling:
         )
         diff = np.abs(np.asarray(got).astype(int) - want.astype(int)).max(-1)
         assert (diff > 1).mean() < 0.003
+
+
+class TestSinglePassML:
+    """The single-pass multi-layer kernel vs the multipass formulation
+    (pixel-exact on scenes with surface separation > PEEL_EPS) and its
+    packed output contract."""
+
+    def _demo(self):
+        from mt_renderer_tpu.scene import demo
+
+        batch = demo.build_demo_batch(instances=4, skinned=True, subdiv=1)
+        cam = demo.demo_camera(4, 96, 96)
+        return (device.upload(batch), np.asarray(cam.view_proj()),
+                demo.demo_bone_mats(0.4))
+
+    @pytest.mark.parametrize("mipmap", [False, True])
+    @pytest.mark.parametrize("lighting", [False, True])
+    def test_ml_exactly_matches_multipass(self, mipmap, lighting):
+        scene, vp, bones = self._demo()
+        kw = dict(width=96, height=96, layers=3, backend="pallas",
+                  mipmap=mipmap, lighting=lighting)
+        a, da, _ = device._render_frame_peeled_core(
+            scene, vp, bones, peel_mode="multipass", **kw)
+        b, db, _ = device._render_frame_peeled_core(
+            scene, vp, bones, peel_mode="ml", **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+
+    def test_packed_peel_round_trips(self):
+        scene, vp, bones = self._demo()
+        kw = dict(width=96, height=96, layers=3, backend="pallas")
+        pk, _ = device.render_frame_peeled(
+            scene, vp, bones, packed=True, **kw)
+        u8, _ = device.render_frame_peeled(scene, vp, bones, **kw)
+        np.testing.assert_array_equal(
+            device.unpack_rgba(np.asarray(pk)), np.asarray(u8))
+
+    def test_packed_requires_ml_pallas(self):
+        scene, vp, bones = self._demo()
+        with pytest.raises(ValueError):
+            device.render_frame_peeled(
+                scene, vp, bones, width=96, height=96, layers=3,
+                backend="scan", packed=True)
+
+    def test_ml_layer0_matches_single_layer_kernel(self):
+        # the ML kernel's nearest layer is the single-layer winner:
+        # same z formula, same tie rule, one program
+        from mt_renderer_tpu.render import pallas_raster as pr
+
+        scene, vp, bones = self._demo()
+        clip = device.vertex_stage(scene, vp, bones)
+        cols, bbox, n_attr = device.setup_packed_cols(
+            scene, clip, 128, 128)
+        kw = dict(width=128, height=128, maxc=32, interpret=True,
+                  n_attr=n_attr, tap=True, w_eps=device.W_EPS)
+        zs, isingle, tat, tid, _ = pr.raster_pallas_fwd(
+            (cols, bbox), None, 0, 0, **kw)
+        zm, iml, tatm, tidm, _ = pr.raster_pallas_fwd_ml(
+            (cols, bbox), None, 0, 0, layers=3, **kw)
+        np.testing.assert_array_equal(np.asarray(isingle),
+                                      np.asarray(iml[0]))
+        np.testing.assert_array_equal(np.asarray(zs), np.asarray(zm[0]))
+        np.testing.assert_array_equal(np.asarray(tat),
+                                      np.asarray(tatm[:6]))
+        np.testing.assert_array_equal(np.asarray(tid),
+                                      np.asarray(tidm[0]))
