@@ -1183,17 +1183,19 @@ def shade_stage(scene: DeviceScene, setup, zb, ib, width: int, height: int,
 # ------------------------------------------------------------- frontends
 
 
-def auto_maxc(batch, view_proj, bone_mats=None, *,
-              width: int, height: int, margin: float = 1.5) -> int:
-    """Size the pallas binning cap for a scene: the densest tile's true
-    candidate-chunk count for this view, with ``margin`` headroom for
-    animation, rounded up to a multiple of 8 and clamped to the SMEM
-    limit. Call once at load / scene change.
+def predict_bin_counts(batch, view_proj, bone_mats=None, *,
+                       width: int, height: int) -> np.ndarray:
+    """NumPy mirror of the kernel's binning: per-tile candidate-chunk
+    counts (n_ty, n_tx) for this view, duplicating ``upload``'s
+    triangle padding, ``pack_setup``'s chunk aggregation and
+    ``bin_chunks``'s tile-overlap rule. ``tests/test_pallas_raster.py``
+    pins this mirror to the kernel's ``counts_true`` on randomized
+    scenes — change either side and that test fails loudly.
 
-    Takes the HOST DrawBatch and runs entirely in NumPy: a device→host
+    Runs entirely in NumPy from the HOST DrawBatch: a device→host
     transfer this early would permanently degrade every later dispatch
-    in the process to ~250 ms through the axon TPU tunnel (measured r2),
-    so the sizing decision must never touch the device."""
+    in the process to ~250 ms through the axon TPU tunnel (measured
+    r2), so the sizing decision must never touch the device."""
     from . import cpu_reference as cr
     from . import pallas_raster as pr
 
@@ -1238,8 +1240,21 @@ def auto_maxc(batch, view_proj, bone_mats=None, *,
     tx0 = np.arange(n_tx, dtype=np.float32) * pr.TILE_W
     ovy = (ymax[:, None] >= ty0) & (ymin[:, None] <= ty0 + pr.TILE_H)
     ovx = (xmax[:, None] >= tx0) & (xmin[:, None] <= tx0 + pr.TILE_W)
-    counts = (ovy[:, :, None] & ovx[:, None, :]).sum(axis=0)
-    need = int(counts.max())
+    return (ovy[:, :, None] & ovx[:, None, :]).sum(axis=0)
+
+
+def auto_maxc(batch, view_proj, bone_mats=None, *,
+              width: int, height: int, margin: float = 1.5) -> int:
+    """Size the pallas binning cap for a scene: the densest tile's true
+    candidate-chunk count for this view (``predict_bin_counts``), with
+    ``margin`` headroom for animation, rounded up to a multiple of 8
+    and clamped to the SMEM limit. Call once at load / scene change."""
+    from . import pallas_raster as pr
+
+    pw = -(-width // pr.TILE_W) * pr.TILE_W
+    ph = -(-height // pr.TILE_H) * pr.TILE_H
+    need = int(predict_bin_counts(batch, view_proj, bone_mats,
+                                  width=width, height=height).max())
 
     want = max(8, -(-int(np.ceil(need * margin)) // 8) * 8)
     limit = pr.smem_maxc_limit(pw, ph)

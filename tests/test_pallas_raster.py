@@ -224,6 +224,13 @@ class TestBinStats:
         assert amc >= req
         assert amc == max(8, -(-req // 8) * 8)
 
+        # elementwise: the NumPy mirror reproduces the kernel's per-tile
+        # candidate counts exactly, not just the max
+        pred = device.predict_bin_counts(batch, vp, None,
+                                         width=width, height=height)
+        counts, _ = pr.bin_stats(setup, width=width, height=height)
+        np.testing.assert_array_equal(pred.reshape(-1), np.asarray(counts))
+
     def test_auto_maxc_renders_exact(self, scene_batch):
         """auto_maxc sizes the cap so pallas matches the scan backend
         with zero overflow events."""
