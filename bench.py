@@ -23,10 +23,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# the container's TPU plugin force-sets jax.config.jax_platforms at
+# interpreter start; honor an explicit JAX_PLATFORMS=cpu request (used
+# with xla_force_host_platform_device_count for mesh tests off-chip)
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def parse_args(argv):
@@ -128,11 +137,13 @@ def verify(width=256, height=256, instances=9, subdiv=2) -> dict:
 
     # peeled/multilayer equivalence: on an opaque scene the nearest layer
     # must reproduce the single-layer frame (same backend, same rules)
+    peels = {}
     for backend in ("scan", "pallas"):
         pc, pd = device.render_frame_peeled(
             scene, vp, bones, width=width, height=height, layers=3,
             backend=backend,
         )
+        peels[backend] = (np.asarray(pc), np.asarray(pd))
         sc, sd = singles[backend]
         cov_mis = (np.asarray(pd) < 1.0) != (sd < 1.0)
         cdiff = np.abs(
@@ -145,6 +156,49 @@ def verify(width=256, height=256, instances=9, subdiv=2) -> dict:
             "pass": bool(ok),
         }
         out["pass"] &= bool(ok)
+
+    # verify the paths the bench actually times, on THIS backend
+    # (r2 verdict #4): the packed tile-major epilogue, the single-pass
+    # ML peel's flat compositor, and the multichip band wrapper are
+    # structurally different pipelines from the unpacked renders above
+    # and must reproduce them bit-exactly (packed) / within the oracle
+    # bounds (multichip, whose setup fuses differently under shard_map)
+    sc, sd = singles["pallas"]
+    pk, pkd = device.render_frame(
+        scene, vp, bones, width=width, height=height, backend="pallas",
+        packed=True,
+    )
+    out["packed"] = {"pass": bool(
+        (device.unpack_rgba(np.asarray(pk)) == sc).all()
+        and (np.asarray(pkd) == sd).all()
+    )}
+    out["pass"] &= out["packed"]["pass"]
+
+    ppk, _ = device.render_frame_peeled(
+        scene, vp, bones, width=width, height=height, layers=3,
+        backend="pallas", packed=True,
+    )
+    out["peel_packed"] = {"pass": bool(
+        (device.unpack_rgba(np.asarray(ppk)) == peels["pallas"][0]).all()
+    )}
+    out["pass"] &= out["peel_packed"]["pass"]
+
+    from mt_renderer_tpu.parallel import tiles
+
+    mc, mcd = tiles.render_frame_multichip(
+        scene, vp, bones, mesh=tiles.make_row_mesh(1), width=width,
+        height=height, backend="pallas", packed=True,
+    )
+    mc = device.unpack_rgba(np.asarray(mc))
+    cov_mis = (np.asarray(mcd) < 1.0) != (sd < 1.0)
+    cdiff = np.abs(mc.astype(np.int32) - sc.astype(np.int32)).max(-1)
+    ok = (cov_mis & ~edge).sum() == 0 and (cdiff > 1).mean() <= 0.003
+    out["multichip_1dev"] = {
+        "coverage_mismatch_px": int(cov_mis.sum()),
+        "color_mismatch_pct": round(float((cdiff > 1).mean() * 100), 4),
+        "pass": bool(ok),
+    }
+    out["pass"] &= bool(ok)
     out["pass"] = bool(out["pass"])
     return out
 
@@ -197,6 +251,7 @@ def run_once(args, width, height, instances, frames, png=None):
                 scene, vp, bones, width=width, height=height,
                 layers=args.peel, chunk=chunk, backend=args.backend,
                 maxc=maxc, mipmap=args.mipmap, lighting=args.lighting,
+                packed=args.backend == "pallas" and not args.mipmap,
             )
         return device.render_frame(
             scene, vp, bones, width=width, height=height, chunk=chunk,
@@ -279,59 +334,68 @@ def run_once(args, width, height, instances, frames, png=None):
     frame_ms_blocked = max(diffs[len(diffs) // 2] * 1e3, 1e-3)
 
     frame_ms, method = frame_ms_blocked, "blocked"
-    if mesh is None:
-        scan_n = min(max(frames, 2), 12)
-        vps_l, bones_l = [], []
-        for i in range(1, scan_n + 1):
-            cam.yaw = 15.0 + 8.0 * np.sin(0.25 * i)
-            vps_l.append(np.asarray(cam.view_proj()))
-            bones_l.append(demo.demo_bone_mats(0.3 * i))
-        vps_s = jnp.asarray(np.stack(vps_l))
-        bones_s = jnp.asarray(np.stack(bones_l))
+    scan_n = min(max(frames, 2), 12)
+    vps_l, bones_l = [], []
+    for i in range(1, scan_n + 1):
+        cam.yaw = 15.0 + 8.0 * np.sin(0.25 * i)
+        vps_l.append(np.asarray(cam.view_proj()))
+        bones_l.append(demo.demo_bone_mats(0.3 * i))
+    vps_s = jnp.asarray(np.stack(vps_l))
+    bones_s = jnp.asarray(np.stack(bones_l))
 
-        def _one(scene, vp, bones):
-            if args.peel:
-                c, d, _ = device._render_frame_peeled_core(
-                    scene, vp, bones, width=width, height=height,
-                    layers=args.peel, chunk=chunk, backend=args.backend,
-                    maxc=maxc, mipmap=args.mipmap, lighting=args.lighting)
-            else:
-                c, d, _ = device._render_frame_core(
-                    scene, vp, bones, width=width, height=height,
-                    chunk=chunk, backend=args.backend, maxc=maxc,
-                    mipmap=args.mipmap, lighting=args.lighting,
-                    packed=args.backend == "pallas")
-            f = c.reshape(-1)
-            s = f[:: max(f.size // 512, 1)]
-            return (jnp.sum(s.astype(jnp.float32))
-                    + jnp.sum(d[:: 97, :: 97]))
+    def _one(scene, vp, bones):
+        if mesh is not None:
+            from mt_renderer_tpu.parallel import tiles
 
-        @jax.jit
-        def scan_run(scene, vps, bs):
-            def step(carry, xs):
-                return carry + _one(scene, *xs), None
-            return jax.lax.scan(step, jnp.float32(0), (vps, bs))[0]
+            c, d, _ = tiles._render_frame_multichip_core(
+                scene, vp, bones, mesh=mesh, width=width,
+                height=height, chunk=chunk, backend=args.backend,
+                maxc=maxc, mipmap=args.mipmap,
+                lighting=args.lighting,
+                packed=args.backend == "pallas")
+        elif args.peel:
+            c, d, _ = device._render_frame_peeled_core(
+                scene, vp, bones, width=width, height=height,
+                layers=args.peel, chunk=chunk, backend=args.backend,
+                maxc=maxc, mipmap=args.mipmap, lighting=args.lighting,
+                packed=args.backend == "pallas" and not args.mipmap)
+        else:
+            c, d, _ = device._render_frame_core(
+                scene, vp, bones, width=width, height=height,
+                chunk=chunk, backend=args.backend, maxc=maxc,
+                mipmap=args.mipmap, lighting=args.lighting,
+                packed=args.backend == "pallas")
+        f = c.reshape(-1)
+        s = f[:: max(f.size // 512, 1)]
+        return (jnp.sum(s.astype(jnp.float32))
+                + jnp.sum(d[:: 97, :: 97]))
 
-        @jax.jit
-        def single_run(scene, vp, bn):
-            return _one(scene, vp, bn)
+    @jax.jit
+    def scan_run(scene, vps, bs):
+        def step(carry, xs):
+            return carry + _one(scene, *xs), None
+        return jax.lax.scan(step, jnp.float32(0), (vps, bs))[0]
 
-        jax.block_until_ready(scan_run(scene, vps_s, bones_s))
-        jax.block_until_ready(single_run(scene, vps_s[0], bones_s[0]))
-        ests = []
-        for _ in range(6):
-            tn = timed(scan_run, scene, vps_s, bones_s)
-            t1 = timed(single_run, scene, vps_s[0], bones_s[0])
-            ests.append((tn - t1) / (scan_n - 1) * 1e3)
-        ests.sort()
-        est = ests[len(ests) // 2]
-        # the scan estimator needs N·frame to dominate the RTT jitter
-        # (~±5 ms): with tiny frames (smoke preset) the difference of
-        # two RTT-loaded timings is noise — fall back to the blocked
-        # estimator rather than report a degenerate number
-        if est > 0.2 and est > 0.1 * frame_ms_blocked:
-            frame_ms = est
-            method = "scan"
+    @jax.jit
+    def single_run(scene, vp, bn):
+        return _one(scene, vp, bn)
+
+    jax.block_until_ready(scan_run(scene, vps_s, bones_s))
+    jax.block_until_ready(single_run(scene, vps_s[0], bones_s[0]))
+    ests = []
+    for _ in range(6):
+        tn = timed(scan_run, scene, vps_s, bones_s)
+        t1 = timed(single_run, scene, vps_s[0], bones_s[0])
+        ests.append((tn - t1) / (scan_n - 1) * 1e3)
+    ests.sort()
+    est = ests[len(ests) // 2]
+    # the scan estimator needs N·frame to dominate the RTT jitter
+    # (~±5 ms): with tiny frames (smoke preset) the difference of
+    # two RTT-loaded timings is noise — fall back to the blocked
+    # estimator rather than report a degenerate number
+    if est > 0.2 and est > 0.1 * frame_ms_blocked:
+        frame_ms = est
+        method = "scan"
     fps_device = 1e3 / frame_ms
 
     tris = batch.num_triangles
@@ -481,6 +545,7 @@ def main(argv=None):
         "unit": "fps",
         "vs_baseline": round(r["fps"] / 60.0, 4),
         "frame_ms": round(r["frame_ms"], 4),
+        "timing_method": r["timing_method"],
         "rtt_ms": round(r["rtt_ms"], 4),
         "fps_dispatch": round(r["fps_dispatch"], 3),
         "mtri_s": round(r["mtri_s"], 2),

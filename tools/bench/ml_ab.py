@@ -69,12 +69,41 @@ def pipe(scene, vp, mode):
             + jnp.sum(d[::97, ::97]))
 
 
+def epilogue(scene, vp, stage):
+    """Raster-ml + epilogue stages, cumulative: locate where the
+    pipeline time beyond the kernel goes (gather vs blend vs pack)."""
+    clip = device.vertex_stage(scene, vp, bones)
+    cols, bbox, n_attr = device.setup_packed_cols(scene, clip, W, H)
+    kw = dict(width=PW, height=PH, maxc=maxc, interpret=interp,
+              n_attr=n_attr, tap=True, w_eps=device.W_EPS, flat=True)
+    zb, ib, tattrs, tapidx, _ = pr.raster_pallas_fwd_ml(
+        (cols, bbox), None, 0, 0, layers=L, **kw)
+    nt, _, p = tapidx.shape
+    if stage == "gather":
+        a4 = tattrs.reshape(nt, L, 6, p)
+        alb = device._tap_albedo_channels(
+            scene.mip_pool, tapidx, a4[:, :, 0], a4[:, :, 1])
+        return sum(jnp.sum(a[::7, :, ::31]) for a in alb)
+    dst = device.composite_peeled_tap_flat(
+        scene, tattrs, tapidx, ib, L, (255, 255, 255, 255))
+    if stage == "blend":
+        return sum(jnp.sum(d[::7, ::31]) for d in dst)
+    pk = device.pack_u32_channels(dst)
+    color = pr.unflatten_tiles(pk, PH, PW)[:H, :W]
+    f = color.reshape(-1)
+    return (jnp.sum(f[:: max(f.size // 512, 1)].astype(jnp.float32))
+            + jnp.sum(pr.unflatten_tiles(zb[:, 0, :], PH, PW)[::97, ::97]))
+
+
 CFGS = {
     "sl": lambda s, v: raster_only(s, v, "sl"),
     "ml": lambda s, v: raster_only(s, v, "full"),
     "ml-np2": lambda s, v: raster_only(s, v, "nopass2"),
     "ml-x1np2": lambda s, v: raster_only(s, v, "extract1+nopass2"),
     "ml-group": lambda s, v: raster_only(s, v, "groupsel"),
+    "ml+g4": lambda s, v: epilogue(s, v, "gather"),
+    "ml+blend": lambda s, v: epilogue(s, v, "blend"),
+    "ml+pack": lambda s, v: epilogue(s, v, "pack"),
     "pipe-ml": lambda s, v: pipe(s, v, "ml"),
     "pipe-mp": lambda s, v: pipe(s, v, "multipass"),
 }
