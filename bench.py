@@ -423,6 +423,7 @@ def run_once(args, width, height, instances, frames, png=None):
         "timing_method": method,
         "fps_dispatch": fps_dispatch,
         "mtri_s": mtri_s, "mtexel_s": mtexel_s, "coverage": coverage,
+        "texpool_bytes": device.pool_stats(scene)["bytes"],
         "maxc": maxc, "chunk": chunk,
         "overflow_events": pr.OVERFLOW_EVENTS - overflow_before,
     }
@@ -551,6 +552,7 @@ def main(argv=None):
         "mtri_s": round(r["mtri_s"], 2),
         "mtexel_s": round(r["mtexel_s"], 2),
         "coverage": round(r["coverage"], 4),
+        "texpool_bytes": r["texpool_bytes"],
         "maxc": r["maxc"],
         "overflow_events": r["overflow_events"],
         **extras,

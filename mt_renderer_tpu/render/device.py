@@ -34,6 +34,7 @@ backend) composite back-to-front with the reference blend state.
 from __future__ import annotations
 
 import functools
+import logging
 from dataclasses import dataclass
 
 import jax
@@ -41,6 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..scene.model import DEBUG_PALETTE, DrawBatch
+
+logger = logging.getLogger("mt_renderer_tpu.device")
 
 W_EPS = 1e-6
 PEEL_EPS = 1e-6        # depth-peel layer separation (NDC depth units)
@@ -94,6 +97,10 @@ class DeviceScene:
     num_joints: int           # static
     skinned: bool             # static
     num_mips: int = 1         # static
+    # "quad" (16 B/texel, one gather per bilinear tap) or "narrow"
+    # (4 B/texel, FOUR gathers per tap — gathers are row-count priced,
+    # so taps cost ~4x; the memory-constrained trade, r2 verdict #5)
+    pool_mode: str = "quad"   # static
 
     def tree_flatten(self):
         children = (
@@ -106,15 +113,28 @@ class DeviceScene:
             self.mip_pool, self.mip_table,
             self.cols_const, self.tri_vis,
         )
-        return children, (self.num_joints, self.skinned, self.num_mips)
+        return children, (self.num_joints, self.skinned, self.num_mips,
+                          self.pool_mode)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
 
-def upload(batch: DrawBatch) -> DeviceScene:
-    """Pad + device_put a host DrawBatch. Called once at load time."""
+def upload(batch: DrawBatch, pool_mode: str = "quad") -> DeviceScene:
+    """Pad + device_put a host DrawBatch. Called once at load time.
+
+    ``pool_mode``: "quad" (default) stores each texel's full 2x2
+    bilinear footprint per pool row (16 B/texel + mips ≈ 21.3 B per
+    source texel; one gather per tap). "narrow" stores bare RGBA rows
+    (4 B/texel ≈ 5.3 B per source texel) and samples with four gathers
+    per tap — ~4x the tap cost (gathers are row-count priced), for
+    memory-constrained scenes. The reference keeps BCn compressed in
+    VRAM (1 B/texel, texture.rs:12-30) and lets GPU hardware decode;
+    TPU has no BCn sampler, so the pool IS the decoded working set and
+    its footprint is reported by ``pool_stats`` / logged here."""
+    if pool_mode not in ("quad", "narrow"):
+        raise ValueError(f"unknown pool_mode {pool_mode!r}")
     t = len(batch.tris)
     tp = max(TRI_PAD, -(-t // TRI_PAD) * TRI_PAD)
     tris = np.zeros((tp, 3), np.int64)
@@ -189,18 +209,29 @@ def upload(batch: DrawBatch) -> DeviceScene:
             [img, img[:, xr], img[yd], img[yd][:, xr]], axis=-1
         ).reshape(-1, 16)
 
+    row_bytes = 16 if pool_mode == "quad" else 4
     table = np.zeros((len(src_texs), n_mips, 3), np.int32)
     for li, chain in enumerate(tables):
         for mi in range(n_mips):
             img = chain[min(mi, len(chain) - 1)]
             if mi < len(chain):
-                pool_parts.append(quad_rows(img))
+                pool_parts.append(quad_rows(img) if pool_mode == "quad"
+                                  else img.reshape(-1, 4))
                 table[li, mi] = (offset, img.shape[0], img.shape[1])
                 offset += img.shape[0] * img.shape[1]
             else:
                 table[li, mi] = table[li, len(chain) - 1]
     mip_pool = (np.concatenate(pool_parts) if pool_parts
-                else np.zeros((1, 16), np.uint8))
+                else np.zeros((1, row_bytes), np.uint8))
+    src_texels = int(sum(t.shape[0] * t.shape[1] for t in texs)) if texs \
+        else 0
+    logger.info(
+        "texel pool (%s): %d rows, %.2f MiB (%d source texels, "
+        "%.2f B/src texel incl. mips)",
+        pool_mode, mip_pool.shape[0],
+        mip_pool.nbytes / 2**20, src_texels,
+        mip_pool.nbytes / max(src_texels, 1),
+    )
 
     nj = len(batch.inverse_bind_mats) if batch.inverse_bind_mats is not None else 1
 
@@ -254,7 +285,23 @@ def upload(batch: DrawBatch) -> DeviceScene:
         cols_const=dp(cols_const),
         tri_vis=dp(valid & parts_mask[tri_parts]),
         num_joints=nj, skinned=bool(batch.skinned), num_mips=n_mips,
+        pool_mode=pool_mode,
     )
+
+
+def pool_stats(scene: DeviceScene) -> dict:
+    """Texel-pool memory accounting (r2 verdict #5): the decoded
+    working set that replaces the reference's compressed-in-VRAM BCn
+    textures (texture.rs:12-30)."""
+    rows, row_bytes = scene.mip_pool.shape
+    src = int(np.sum(np.asarray(scene.tex_size).prod(axis=1)))
+    return {
+        "pool_mode": scene.pool_mode,
+        "rows": int(rows),
+        "bytes": int(rows * row_bytes),
+        "src_texels": src,
+        "bytes_per_src_texel": round(rows * row_bytes / max(src, 1), 2),
+    }
 
 
 def set_parts_mask(scene: DeviceScene, parts_disp) -> DeviceScene:
@@ -756,6 +803,11 @@ def _tap_albedo_channels(pool, idx, fx, fy):
     without it XLA input-fuses the gather into the contraction and
     re-issues it per consumer — the frame's most expensive op silently
     duplicated (measured 1.9 ms/frame at 1080p, 12-rep scan A/B, r2)."""
+    if pool.shape[-1] != 16:
+        raise ValueError(
+            "the in-kernel tap epilogue requires the quad (16 B/texel) "
+            "pool; narrow pools render via the scan backend or the "
+            "mipmap path (upload(..., pool_mode='quad') for this one)")
     quad = jax.lax.optimization_barrier(pool[jnp.maximum(idx, 0)])
     quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)
     wq = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
@@ -966,7 +1018,8 @@ def _sample_mip_bilinear(pool, table, layer, mip, u, v,
 def _quad_bilinear(pool, off, hh, ww, u, v, planes: bool = False):
     """Bilinear tap given the pool offset and texture extent per pixel
     (each (H, W)): ONE gather from the quad-footprint pool + the 2x2
-    contraction."""
+    contraction (narrow (P, 4) pools: FOUR gathers, same contraction —
+    bit-identical values, ~4x the gather cost)."""
     th = hh.astype(jnp.float32)
     tw = ww.astype(jnp.float32)
     x = u * tw - 0.5
@@ -980,10 +1033,22 @@ def _quad_bilinear(pool, off, hh, ww, u, v, planes: bool = False):
     x0c = jnp.clip(x0.astype(jnp.int32), 0, jnp.maximum(ww - 1, 0))
     y0c = jnp.clip(y0.astype(jnp.int32), 0, jnp.maximum(hh - 1, 0))
     stride = ww
-    # barrier: pin the gather as ONE materialized op (XLA otherwise
-    # re-issues it inside the fused contraction — 1.9 ms/frame, r2)
-    quad = jax.lax.optimization_barrier(pool[off + y0c * stride + x0c])
-    quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)
+    if pool.shape[-1] == 4:
+        # narrow pool: clamp-to-edge neighbors addressed at sample time
+        # (the quad row bakes them at upload time)
+        x1c = jnp.minimum(x0c + 1, jnp.maximum(ww - 1, 0))
+        y1c = jnp.minimum(y0c + 1, jnp.maximum(hh - 1, 0))
+        taps = [
+            jax.lax.optimization_barrier(pool[off + yy * stride + xx])
+            for yy, xx in ((y0c, x0c), (y0c, x1c), (y1c, x0c), (y1c, x1c))
+        ]
+        quad = jnp.stack(taps, axis=-2).astype(jnp.float32)
+    else:
+        # barrier: pin the gather as ONE materialized op (XLA otherwise
+        # re-issues it inside the fused contraction — 1.9 ms/frame, r2)
+        quad = jax.lax.optimization_barrier(
+            pool[off + y0c * stride + x0c])
+        quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)
     # single contraction over the 2x2 footprint — the sliced two-step
     # lerp materializes lane-padded (…, 16) f32 temporaries and runs 2x
     # slower (measured r2)

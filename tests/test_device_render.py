@@ -390,3 +390,61 @@ class TestRichLayoutAndLighting:
         want, _ = cpu_reference.render(b, vp, 96, 96)
         got, _ = device.render_frame(scene, vp, None, width=96, height=96)
         assert_frames_match(np.asarray(got), want)
+
+
+class TestPoolModes:
+    """Narrow (4 B/texel) vs quad (16 B/texel) texel pools — the
+    bytes-vs-gathers trade (r2 verdict #5; reference keeps BCn
+    compressed in VRAM, texture.rs:12-30)."""
+
+    def _batch(self):
+        from mt_renderer_tpu.scene import demo
+
+        return demo.build_demo_batch(instances=4, skinned=False)
+
+    def test_pool_stats_regression(self):
+        batch = self._batch()
+        quad = device.upload(batch)
+        narrow = device.upload(batch, pool_mode="narrow")
+        sq = device.pool_stats(quad)
+        sn = device.pool_stats(narrow)
+        # demo texture is 64x64: full pyramid = 5461 rows
+        pyramid = sum((64 >> i) ** 2 for i in range(7))
+        assert sq["rows"] == sn["rows"] == pyramid
+        assert sq["bytes"] == pyramid * 16
+        assert sn["bytes"] == pyramid * 4
+        # mips cost exactly 1/3 extra: 16 * 5461/4096 = 21.33 B/texel
+        assert 21.0 < sq["bytes_per_src_texel"] < 21.7
+        assert 5.2 < sn["bytes_per_src_texel"] < 5.5
+
+    def test_narrow_matches_quad_bit_exact_scan(self):
+        batch = self._batch()
+        vp = _vp()
+        want, wd = device.render_frame(
+            device.upload(batch), vp, width=96, height=96,
+            backend="scan")
+        got, gd = device.render_frame(
+            device.upload(batch, pool_mode="narrow"), vp, width=96,
+            height=96, backend="scan")
+        # the four sample-time clamped gathers fetch the same texels the
+        # quad row baked at upload; the contraction is the same op
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
+
+    def test_narrow_matches_quad_mipmap_pallas(self):
+        batch = self._batch()
+        vp = _vp()
+        want, _ = device.render_frame(
+            device.upload(batch), vp, width=96, height=96,
+            backend="pallas", mipmap=True)
+        got, _ = device.render_frame(
+            device.upload(batch, pool_mode="narrow"), vp, width=96,
+            height=96, backend="pallas", mipmap=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_narrow_rejects_tap_path(self):
+        batch = self._batch()
+        scene = device.upload(batch, pool_mode="narrow")
+        with pytest.raises(ValueError, match="quad"):
+            device.render_frame(scene, _vp(), width=96, height=96,
+                                backend="pallas")
