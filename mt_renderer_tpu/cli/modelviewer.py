@@ -169,6 +169,14 @@ def main(argv=None):
                    help="JSON event script for the fly camera: a list of "
                         "per-frame event lists, e.g. "
                         '[[["mouse",10,0]],[["key_down","W"]],[]]')
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="serve a live fly-camera viewer over HTTP "
+                        "(open http://HOST:PORT/ and click the frame; "
+                        "the headless analog of the reference's window, "
+                        "renderer_app_manager.rs:202-272)")
+    p.add_argument("--serve-host", default="127.0.0.1")
+    p.add_argument("--serve-frames", type=int, default=None,
+                   help="stop the server after N frames (smoke tests)")
     args = p.parse_args(argv)
 
     app = ModelViewerApp(args.data_root, args.prp_path,
@@ -177,6 +185,16 @@ def main(argv=None):
     app.mipmap = args.mipmap
     app.lighting = args.lighting
     mgr = RendererAppManager(app, width=args.width, height=args.height)
+    if args.serve is not None:
+        from ..app.serve import FrameStreamServer
+
+        app.interactive = True
+        srv = FrameStreamServer(mgr, host=args.serve_host, port=args.serve)
+        print(f"serving live viewer on http://{args.serve_host}:{srv.port}/")
+        srv.serve(max_frames=args.serve_frames)
+        print(f"served {mgr.frame_index} frame(s), last frame_time="
+              f"{mgr.frame_time * 1000:.1f}ms")
+        return
     if args.events:
         import json
 

@@ -8,8 +8,10 @@ import zlib
 import numpy as np
 
 
-def write_png(path, img: np.ndarray) -> None:
-    """Write (H, W, 4) or (H, W, 3) uint8 (or (H, W) grayscale) to PNG."""
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """Encode (H, W, 4) / (H, W, 3) uint8 (or (H, W) grayscale) to PNG
+    bytes. ``level``: zlib effort — streaming frontends use 1 (the frame
+    is transient; encode speed beats size)."""
     img = np.ascontiguousarray(img)
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=-1)
@@ -25,10 +27,15 @@ def write_png(path, img: np.ndarray) -> None:
         )
 
     hdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", hdr)
+        + chunk(b"IDAT", zlib.compress(raw, level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def write_png(path, img: np.ndarray) -> None:
+    """Write (H, W, 4) or (H, W, 3) uint8 (or (H, W) grayscale) to PNG."""
     with open(path, "wb") as f:
-        f.write(
-            b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", hdr)
-            + chunk(b"IDAT", zlib.compress(raw, 6))
-            + chunk(b"IEND", b"")
-        )
+        f.write(encode_png(img))

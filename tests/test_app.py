@@ -303,3 +303,82 @@ class TestSceneViewer:
             "--backend", "scan",
         ])
         assert out.exists()
+
+
+class TestFrameStreamServer:
+    """HTTP frontend (app/serve.py) — the live-window analog
+    (reference: winit loop + swapchain present,
+    renderer_app_manager.rs:202-272)."""
+
+    def test_serve_stream_and_events(self):
+        import json
+        import threading
+        import time
+        import urllib.request
+
+        from mt_renderer_tpu.app.input_state import Key
+        from mt_renderer_tpu.app.serve import FrameStreamServer
+
+        class App(RendererApp):
+            def setup(self, mgr):
+                pass
+
+            def render(self, mgr):
+                # frame encodes the live input state: W held -> white
+                v = 255 if mgr.input.has_key(Key.W) else 0
+                f = np.full((8, 8, 4), v, np.uint8)
+                f[..., 3] = 255
+                return f
+
+        mgr = RendererAppManager(App(), width=8, height=8)
+        srv = FrameStreamServer(mgr, port=0)
+        t = threading.Thread(target=srv.serve,
+                             kwargs={"fps_cap": 200.0}, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{srv.port}"
+        try:
+            page = urllib.request.urlopen(f"{base}/", timeout=10).read()
+            assert b"/stream" in page
+            png = urllib.request.urlopen(f"{base}/frame.png",
+                                         timeout=10).read()
+            assert png.startswith(b"\x89PNG")
+            # key_down W routes through dispatch_event into InputState
+            req = urllib.request.Request(
+                f"{base}/event", data=b'[["key_down","W"]]', method="POST")
+            assert json.loads(urllib.request.urlopen(
+                req, timeout=10).read())["queued"] == 1
+            deadline = time.time() + 10
+            while time.time() < deadline:
+                png = urllib.request.urlopen(f"{base}/frame.png",
+                                             timeout=10).read()
+                from mt_renderer_tpu.utils.png import encode_png
+
+                white = encode_png(
+                    np.dstack([np.full((8, 8, 3), 255, np.uint8),
+                               np.full((8, 8, 1), 255, np.uint8)]),
+                    level=1)
+                if png == white:
+                    break
+                time.sleep(0.02)
+            else:
+                raise AssertionError("W keypress never reached the frame")
+            stats = json.loads(urllib.request.urlopen(
+                f"{base}/stats", timeout=10).read())
+            assert stats["frames"] > 0 and stats["width"] == 8
+        finally:
+            srv.stop()
+            t.join(timeout=10)
+        assert not t.is_alive()
+
+    def test_modelviewer_serve_smoke(self, fixture_root, capsys):
+        from mt_renderer_tpu.cli import modelviewer
+
+        modelviewer.main([
+            str(fixture_root),
+            str(fixture_root / "chara/fixture_character.chr"),
+            "--width", "64", "--height", "64",
+            "--serve", "0", "--serve-frames", "3",
+        ])
+        out = capsys.readouterr().out
+        assert "serving live viewer on http://127.0.0.1:" in out
+        assert "served 3 frame(s)" in out
