@@ -13,6 +13,9 @@ Presets:
   --preset smoke   256x256, few instances, writes /tmp/mtr_frame.png
   --preset full    1920x1080, default (driver-run)
   --preset dense   1080p, high coverage / depth complexity
+  --preset world   1080p archive-world: heterogeneous parsed models,
+                   mixed texture sizes, >128 materials, .sdl-animated
+                   skinned characters (instances = buildings)
 Modes:
   --verify         correctness only: oracle differential + peel
                    equivalence on the live backend; one JSON line
@@ -40,7 +43,7 @@ if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
 
 def parse_args(argv):
     p = argparse.ArgumentParser()
-    p.add_argument("--preset", choices=["smoke", "full", "dense"],
+    p.add_argument("--preset", choices=["smoke", "full", "dense", "world"],
                    default="full")
     p.add_argument("--instances", type=int, default=None)
     p.add_argument("--subdiv", type=int, default=None,
@@ -174,11 +177,13 @@ def verify(width=256, height=256, instances=9, subdiv=2) -> dict:
     )}
     out["pass"] &= out["packed"]["pass"]
 
+    tt = device.measure_live_tap_tiles(
+        scene, vp, bones, width=width, height=height, layers=3)
     ppk, _ = device.render_frame_peeled(
         scene, vp, bones, width=width, height=height, layers=3,
-        backend="pallas", packed=True,
+        backend="pallas", packed=True, tap_tiles=tt,
     )
-    out["peel_packed"] = {"pass": bool(
+    out["peel_packed"] = {"tap_tiles": tt, "pass": bool(
         (device.unpack_rgba(np.asarray(ppk)) == peels["pallas"][0]).all()
     )}
     out["pass"] &= out["peel_packed"]["pass"]
@@ -214,20 +219,59 @@ def run_once(args, width, height, instances, frames, png=None):
     from mt_renderer_tpu.scene import demo
 
     platform = jax.devices()[0].platform
-    batch = demo.build_demo_batch(instances=instances, skinned=True,
-                                  subdiv=args.subdiv or 0)
-    scene = device.upload(batch)
-    cam = demo.demo_camera(instances, width, height)
-    cam.position = cam.position * getattr(args, "cam_scale", 1.0)
+    if args.preset == "world":
+        # the archive-world scene: heterogeneous parsed assets, mixed
+        # texture sizes, >128 material slots, per-instance skinned
+        # characters animated from the .sdl scheduler (scene/world.py)
+        from mt_renderer_tpu.scene import world as world_mod
+
+        ws = world_mod.build_world(
+            buildings=instances, building_subdivs=(4, 6, 8, 10, 12))
+        print(f"# world: {ws.info}", file=sys.stderr)
+        batch = ws.batch
+        scene = device.upload(batch)
+        cam = world_mod.world_camera(width, height, buildings=instances)
+        anim = ws.animator()
+        dur = max(ws.timeline.duration, 1)
+        # precompute per-frame bone palettes (BoneAnimator evaluates on
+        # device; doing it here keeps transfers out of the timed loops)
+        bones_table = np.stack([
+            ws.bone_palette(anim.bone_mats(np.float32((2.0 * t) % dur)))
+            for t in range(max(frames, 12) + 1)])
+    else:
+        batch = demo.build_demo_batch(instances=instances, skinned=True,
+                                      subdiv=args.subdiv or 0)
+        scene = device.upload(batch)
+        cam = demo.demo_camera(instances, width, height)
+        cam.position = cam.position * getattr(args, "cam_scale", 1.0)
+        bones_table = None
+    base_yaw = cam.yaw
+
+    def bones_at(t):
+        if bones_table is not None:
+            return bones_table[int(t) % len(bones_table)]
+        return demo.demo_bone_mats(0.3 * t)
 
     chunk = args.chunk or device.DEFAULT_CHUNK
     maxc = args.maxc
     if maxc is None and args.backend == "pallas":
-        cam.yaw = 15.0
+        cam.yaw = base_yaw
         maxc = device.auto_maxc(batch, np.asarray(cam.view_proj()),
-                                demo.demo_bone_mats(0.0),
+                                bones_at(0),
                                 width=width, height=height)
         print(f"# auto maxc={maxc}", file=sys.stderr)
+
+    tap_tiles = None
+    if args.peel and args.backend == "pallas" and not args.mipmap:
+        # size the compacted texture-tap cap once at setup, like maxc
+        # (one device sync — BEFORE any timing; overflow stays checked)
+        cam.yaw = base_yaw
+        tap_tiles = device.measure_live_tap_tiles(
+            scene, np.asarray(cam.view_proj()),
+            bones_at(0) if batch.skinned else None,
+            width=width, height=height, layers=args.peel,
+            maxc=maxc, lighting=args.lighting)
+        print(f"# auto tap_tiles={tap_tiles}", file=sys.stderr)
 
     mesh = None
     if args.multichip:
@@ -236,9 +280,9 @@ def run_once(args, width, height, instances, frames, png=None):
         mesh = tiles.make_row_mesh(args.multichip)
 
     def frame(t):
-        cam.yaw = 15.0 + 8.0 * np.sin(0.25 * t)
+        cam.yaw = base_yaw + 8.0 * np.sin(0.25 * t)
         vp = np.asarray(cam.view_proj())
-        bones = demo.demo_bone_mats(0.3 * t)
+        bones = bones_at(t)
         if mesh is not None:
             from mt_renderer_tpu.parallel import tiles
 
@@ -252,6 +296,7 @@ def run_once(args, width, height, instances, frames, png=None):
                 layers=args.peel, chunk=chunk, backend=args.backend,
                 maxc=maxc, mipmap=args.mipmap, lighting=args.lighting,
                 packed=args.backend == "pallas" and not args.mipmap,
+                tap_tiles=tap_tiles,
             )
         return device.render_frame(
             scene, vp, bones, width=width, height=height, chunk=chunk,
@@ -285,7 +330,10 @@ def run_once(args, width, height, instances, frames, png=None):
     # axon tunnel neither pipelined wall time nor block_until_ready
     # reflects device execution (measured r2: 786k tris timed "faster"
     # than 3k), so this number is the host dispatch rate — an upper
-    # bound, reported as fps_dispatch, NOT the headline.
+    # bound, reported as fps_dispatch, NOT the headline. NOTE: peel runs
+    # size tap_tiles at setup (one transfer), which flips the tunnel to
+    # synchronous dispatch FIRST — their fps_dispatch is RTT-bound, not
+    # a dispatch rate (the scan headline is unaffected).
     ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
     with ctx:
         t0 = time.perf_counter()
@@ -337,9 +385,9 @@ def run_once(args, width, height, instances, frames, png=None):
     scan_n = min(max(frames, 2), 12)
     vps_l, bones_l = [], []
     for i in range(1, scan_n + 1):
-        cam.yaw = 15.0 + 8.0 * np.sin(0.25 * i)
+        cam.yaw = base_yaw + 8.0 * np.sin(0.25 * i)
         vps_l.append(np.asarray(cam.view_proj()))
-        bones_l.append(demo.demo_bone_mats(0.3 * i))
+        bones_l.append(bones_at(i))
     vps_s = jnp.asarray(np.stack(vps_l))
     bones_s = jnp.asarray(np.stack(bones_l))
 
@@ -358,7 +406,8 @@ def run_once(args, width, height, instances, frames, png=None):
                 scene, vp, bones, width=width, height=height,
                 layers=args.peel, chunk=chunk, backend=args.backend,
                 maxc=maxc, mipmap=args.mipmap, lighting=args.lighting,
-                packed=args.backend == "pallas" and not args.mipmap)
+                packed=args.backend == "pallas" and not args.mipmap,
+                tap_tiles=tap_tiles)
         else:
             c, d, _ = device._render_frame_core(
                 scene, vp, bones, width=width, height=height,
@@ -463,6 +512,12 @@ def main(argv=None):
         png = args.png
         if args.subdiv is None:
             args.subdiv = 4
+    elif args.preset == "world":
+        width = args.width or 1920
+        height = args.height or 1080
+        instances = args.instances or 280     # buildings (~250k tris)
+        frames = args.frames
+        png = args.png
     else:
         width = args.width or 1920
         height = args.height or 1080
@@ -488,6 +543,7 @@ def main(argv=None):
             ("pallas+mip+light", ["--mipmap", "--lighting"]),
             ("pallas peel4", ["--peel", "4"]),
             ("pallas dense", ["--preset", "dense"]),
+            ("pallas world", ["--preset", "world", "--mipmap"]),
             # no scan row: the all-triangles scan backend is O(T·pixels)
             # with no binning — a correctness/differential path (verify
             # mode + tests), not a production configuration
@@ -497,7 +553,7 @@ def main(argv=None):
         rows = []
         for name, extra in configs:
             cmd = [sys.executable, __file__] + common + extra
-            if extra[:2] == ["--preset", "dense"]:
+            if "--preset" in extra:     # row overrides the table preset
                 cmd = [sys.executable, __file__, "--no-verify",
                        "--frames", str(frames)] + extra
             p = subprocess.run(cmd, capture_output=True, text=True)

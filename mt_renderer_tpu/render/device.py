@@ -90,7 +90,7 @@ class DeviceScene:
     # (palette/flat/mip-table gathers were ~1.5 ms/frame, r2); the
     # animatable mat_color folds in per frame as C = mat × cbase via a
     # one-hot MXU select.
-    cols_const: jax.Array     # (9, Tp) f32
+    cols_const: jax.Array     # (10, Tp) f32
     # tri_valid & parts_mask[tri_parts], refreshed by set_parts_mask —
     # keeps the per-frame parts gather out of the setup stage
     tri_vis: jax.Array        # (Tp,) bool
@@ -152,7 +152,14 @@ def upload(batch: DrawBatch, pool_mode: str = "quad") -> DeviceScene:
         tri_flat[:t] = batch.tri_flat
     tri_mat = np.zeros(tp, np.int32)
     tri_mat[:t] = batch.material_ids()
-    mat_color = np.ones((batch.num_materials, 4), np.float32)
+    # per-slot tints travel on the batch (same attribute the CPU oracle
+    # reads — cpu_reference.render); animate post-upload via
+    # dataclasses.replace(scene, mat_color=...)
+    mat_color = getattr(batch, "mat_color_host", None)
+    if mat_color is None:
+        mat_color = np.ones((batch.num_materials, 4), np.float32)
+    else:
+        mat_color = np.asarray(mat_color, np.float32)
     valid = np.zeros(tp, bool)
     valid[:t] = True
     tri_parts = np.zeros(tp, np.int32)
@@ -258,7 +265,14 @@ def upload(batch: DrawBatch, pool_mode: str = "quad") -> DeviceScene:
         [DEBUG_PALETTE.astype(np.float32),
          np.full((20, 1), 255.0, np.float32)], axis=1)
     dbg_rgba = pal[tri_dbg % 20]                          # (Tp, 4)
-    cols_const = np.empty((9, tp), np.float32)
+    # per-texture full opacity (alpha 255 at every texel of every mip):
+    # lets the raster kernel cull fragments behind opaque ones exactly
+    # (see setup_packed_cols' tex encoding / pallas ocull)
+    tex_opaque = np.array(
+        [all((img[..., 3] == 255).all() for img in chain)
+         for chain in tables], bool,
+    ) if tables else np.ones(1, bool)
+    cols_const = np.empty((10, tp), np.float32)
     cols_const[0] = tri_tex.astype(np.float32)
     for ch in range(4):
         base = np.where(use_flat, tri_flat[:, ch], dbg_rgba[:, ch])
@@ -267,6 +281,8 @@ def upload(batch: DrawBatch, pool_mode: str = "quad") -> DeviceScene:
     cols_const[6] = (off0 % 4096).astype(np.float32)
     cols_const[7] = table[lsafe, 0, 1].astype(np.float32)
     cols_const[8] = table[lsafe, 0, 2].astype(np.float32)
+    cols_const[9] = np.where(textured_h, tex_opaque[lsafe], True
+                             ).astype(np.float32)
 
     dp = jax.device_put
     return DeviceScene(
@@ -681,8 +697,22 @@ def setup_packed_cols(scene: DeviceScene, clip, width: int, height: int,
     mat = _mat_select(scene.mat_color, scene.tri_material)   # (4, Tp)
     c_cols = [mat[ch] * cc[1 + ch] for ch in range(4)]
 
+    # per-triangle OPACITY, encoded in the tex column's fraction
+    # (integer = opaque): source alpha is C_a x texture alpha, where
+    # textured C is a 0-1 multiplier and untextured C a 0-255 color.
+    # The raster kernel culls fragments strictly behind the nearest
+    # opaque one (pallas_raster ocull) — exact under src-alpha
+    # compositing. Every downstream consumer reads tex only as >= 0 or
+    # via int32 truncation, both of which the half-offset preserves
+    # (3.5 -> 3, -1.5 -> -1).
+    textured = cc[0] >= 0.0
+    opq = ((c_cols[3] >= jnp.where(textured, 1.0, 255.0))
+           & (cc[9] > 0.0))
+    tex_enc = cc[0] + jnp.where(textured, 0.5, -0.5) * (
+        1.0 - opq.astype(jnp.float32))
+
     cols = (ea + eb + ec + bias + zp + up + vp_ + wp
-            + [cc[0]] + c_cols + [cc[5], cc[6], cc[7], cc[8]])
+            + [tex_enc] + c_cols + [cc[5], cc[6], cc[7], cc[8]])
     n_attr = pr.ATTRS_BASE
     if lighting:
         nc = world_normals(scene, bone_mats).reshape(3, tp, 3)
@@ -893,7 +923,8 @@ def shade_tap_flat_channels(scene: DeviceScene, tattrs, tapidx, ib):
 
 
 def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
-                              layers: int, clear_color):
+                              layers: int, clear_color,
+                              tap_tiles: int | None = None):
     """Tile-major multi-layer composite over the single-pass ML kernel's
     tap outputs (``raster_pallas_fwd_ml`` with ``tap=True, flat=True``):
     tattrs (n_tiles, L*6, P), tapidx/il (n_tiles, L, P), layers nearest
@@ -902,14 +933,50 @@ def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
     the per-op overhead), then the layers blend back-to-front over the
     clear color with the reference blend state (model.rs:242-247).
 
-    Returns the channel list [r, g, b, a] each (n_tiles, P) f32 0-255,
-    still tile-major — callers pack/quantize + unflatten."""
+    The gather + contraction run COMPACTED: only (tile, layer) pairs
+    with any covered pixel tap the pool. The kernel's opaque-z cull
+    empties deeper layers of opaque content, so the live count hovers
+    near the single-layer tile count instead of nt x L — the r2 peel
+    cost was exactly these dense per-layer taps (~20 ms of the 40 at
+    1080p/4 layers). ``tap_tiles`` caps the compacted row count
+    (static, like the binning ``maxc``; size it with
+    ``measure_live_tap_tiles``): live rows beyond it lose their
+    texture (albedo 0) and the overflow count is returned for the
+    caller to report loudly (render_frame_peeled queues it like bin
+    overflow). None/0 = dense — exact for any content, the default.
+
+    Returns (channel list [r, g, b, a] each (n_tiles, P) f32 0-255,
+    still tile-major — callers pack/quantize + unflatten,
+    n_over_tap)."""
     nt, _, p = tapidx.shape
     a4 = tattrs.reshape(nt, layers, 6, p)
-    alb = _tap_albedo_channels(scene.mip_pool, tapidx,
-                               a4[:, :, 0], a4[:, :, 1])  # 4 x (nt, L, P)
     textured = tapidx >= 0
     covered = il >= 0
+    n = nt * layers
+    cap = 0 if tap_tiles is None else min(tap_tiles, n)
+    if cap and cap < n:
+        live = jnp.any(covered, axis=2).reshape(n)        # (nt*L,)
+        rank = jnp.cumsum(live.astype(jnp.int32)) - 1
+        n_live = rank[n - 1] + 1
+        slot = jnp.where(live & (rank < cap), rank, cap)  # dead -> pad
+        src_rows = jnp.zeros((cap + 1,), jnp.int32).at[slot].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        sr = src_rows[:cap]
+        tic = tapidx.reshape(n, p)[sr]                    # (cap, p)
+        fxc = a4[:, :, 0].reshape(n, p)[sr]
+        fyc = a4[:, :, 1].reshape(n, p)[sr]
+        albc = _tap_albedo_channels(scene.mip_pool, tic, fxc, fyc)
+        # expand back: per-(tile, layer) row gather from the compact
+        # buffer; the pad row (slot == cap) is zero albedo
+        slot2 = slot.reshape(nt, layers)
+        alb = [jnp.concatenate(
+            [a, jnp.zeros((1, p), jnp.float32)])[slot2]
+            for a in albc]                                # 4 x (nt, L, P)
+        n_over_tap = jnp.maximum(n_live - cap, 0)
+    else:
+        alb = _tap_albedo_channels(scene.mip_pool, tapidx,
+                                   a4[:, :, 0], a4[:, :, 1])
+        n_over_tap = jnp.int32(0)
     clear = np.asarray(clear_color, np.float32)
     dst = [jnp.full((nt, p), clear[c], jnp.float32) for c in range(4)]
     for l in reversed(range(layers)):
@@ -922,7 +989,7 @@ def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
              for c in range(3)]
             + [jnp.where(cov, src[3], dst[3])]
         )
-    return dst
+    return dst, n_over_tap
 
 
 def shade_mip_tap(scene: DeviceScene, mattrs, ib):
@@ -1332,6 +1399,39 @@ def auto_maxc(batch, view_proj, bone_mats=None, *,
     return min(want, limit)
 
 
+def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
+                           *, width: int, height: int, layers: int,
+                           maxc: int | None = None,
+                           lighting: bool = False,
+                           margin: float = 1.5) -> int:
+    """Size ``tap_tiles`` (the peeled composite's compacted texture-tap
+    cap — see composite_peeled_tap_flat) for a scene: run the ML kernel
+    once for this view, count live (tile, layer) pairs on device, and
+    return count x ``margin`` rounded up (one device→host transfer —
+    call once at load / scene change, exactly like ``auto_maxc``).
+    Opaque content keeps deeper layers empty (kernel opaque-z cull), so
+    this typically lands near ONE frame's covered tiles instead of
+    n_tiles x layers."""
+    from . import pallas_raster as pr
+
+    pw = -(-width // pr.TILE_W) * pr.TILE_W
+    ph = -(-height // pr.TILE_H) * pr.TILE_H
+    clip = vertex_stage(scene, view_proj, bone_mats)
+    cols, bbox, n_attr = setup_packed_cols(
+        scene, clip, width, height, bone_mats=bone_mats,
+        lighting=lighting)
+    _, ib, _, _, _ = pr.raster_pallas_fwd_ml(
+        (cols, bbox), None, 0, 0, width=pw, height=ph, layers=layers,
+        maxc=maxc or pr.MAXC_DEFAULT,
+        interpret=jax.default_backend() != "tpu",
+        n_attr=n_attr, tap=True, w_eps=W_EPS,
+        light=_light_unit() if lighting else None, flat=True)
+    live = int(jnp.sum(jnp.any(ib >= 0, axis=2)))
+    nt = (pw // pr.TILE_W) * (ph // pr.TILE_H)
+    return min(max(8, -(-int(np.ceil(live * margin)) // 8) * 8),
+               nt * layers)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "chunk", "clear_color", "backend",
@@ -1441,7 +1541,7 @@ def render_frame(scene: DeviceScene, view_proj: jax.Array,
     jax.jit,
     static_argnames=("width", "height", "chunk", "clear_color", "backend",
                      "maxc", "layers", "mipmap", "lighting", "peel_mode",
-                     "packed"),
+                     "packed", "tap_tiles"),
 )
 def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
                               bone_mats: jax.Array | None = None, *,
@@ -1453,7 +1553,8 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
                               maxc: int | None = None,
                               mipmap: bool = False, lighting: bool = False,
                               peel_mode: str = "ml",
-                              packed: bool = False):
+                              packed: bool = False,
+                              tap_tiles: int | None = None):
     """Order-independent transparency via depth peeling.
 
     Rasterises the ``layers`` nearest fragments per pixel (each pass
@@ -1509,8 +1610,10 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
                     w_eps=W_EPS,
                     light=_light_unit() if lighting else None, flat=True,
                 )
-                dst = composite_peeled_tap_flat(scene, tattrs, tapidx,
-                                                ib, layers, clear_color)
+                dst, n_over_tap = composite_peeled_tap_flat(
+                    scene, tattrs, tapidx, ib, layers, clear_color,
+                    tap_tiles=tap_tiles)
+                n_over = (n_over, n_over_tap)
                 zb0 = pr.unflatten_tiles(zb[:, 0, :], ph, pw)
                 if packed:
                     q = [jnp.clip(d + 0.5, 0.0, 255.0).astype(jnp.uint32)
@@ -1653,17 +1756,30 @@ def render_frame_peeled(scene: DeviceScene, view_proj: jax.Array,
                         backend: str = "scan", maxc: int | None = None,
                         mipmap: bool = False, lighting: bool = False,
                         check_overflow: bool = True,
-                        peel_mode: str = "ml", packed: bool = False):
+                        peel_mode: str = "ml", packed: bool = False,
+                        tap_tiles: int | None = None):
     """Public peeled frontend; see ``_render_frame_peeled_core`` for the
-    rendering contract and ``render_frame`` for the overflow check."""
+    rendering contract and ``render_frame`` for the overflow check.
+    ``tap_tiles`` (ML tap path) compacts the per-layer texture taps to
+    that many live (tile, layer) rows — size with
+    ``measure_live_tap_tiles``; None = dense/exact; overflow is
+    queue-checked like bin overflow."""
     color, depth, n_over = _render_frame_peeled_core(
         scene, view_proj, bone_mats, width=width, height=height,
         layers=layers, chunk=chunk, clear_color=clear_color,
         backend=backend, maxc=maxc, mipmap=mipmap, lighting=lighting,
-        peel_mode=peel_mode, packed=packed,
+        peel_mode=peel_mode, packed=packed, tap_tiles=tap_tiles,
     )
     if check_overflow and n_over is not None:
         from . import pallas_raster as pr
 
+        if isinstance(n_over, tuple):
+            n_over, n_tap = n_over
+            from .pallas_raster import TILE_W, TILE_H
+            nt = (-(-width // TILE_W)) * (-(-height // TILE_H))
+            pr.queue_overflow_check(
+                n_tap, tap_tiles if tap_tiles else nt,
+                what="tap overflow: live (tile, layer) pairs lost their "
+                     "texture; raise tap_tiles")
         pr.queue_overflow_check(n_over, maxc or pr.MAXC_DEFAULT)
     return color, depth

@@ -261,51 +261,54 @@ def smem_maxc_limit(width: int, height: int) -> int:
 # the app manager and bench do). Any overflow bumps OVERFLOW_EVENTS and
 # warns; MTR_STRICT_OVERFLOW=1 makes it fatal.
 OVERFLOW_EVENTS = 0
-_PENDING_CHECKS: list = []
-_PENDING_MAXC: int = 0
+_WHAT_BINS = "bin overflow: candidate chunks dropped triangles; raise " \
+             "maxc (see device.auto_maxc)"
+_PENDING: dict = {}       # what -> [counts]; cap kept alongside
+_PENDING_CAP: dict = {}
 _COMPRESS = 512
 
 
-def _overflow_report(n: int, maxc: int):
+def _overflow_report(n: int, cap: int, what: str = _WHAT_BINS):
     global OVERFLOW_EVENTS
     if n > 0:
         OVERFLOW_EVENTS += 1
-        msg = (f"pallas raster bin overflow: {n} tile-frame(s) exceeded "
-               f"maxc={maxc} candidate chunks — triangles were "
-               f"dropped; raise maxc (see device.auto_maxc)")
+        msg = (f"pallas raster: {n} tile-frame(s) exceeded cap={cap} — "
+               f"{what}")
         logger.error(msg)
         if os.environ.get("MTR_STRICT_OVERFLOW"):
             raise RuntimeError(msg)
         warnings.warn(msg, RuntimeWarning)
 
 
-def queue_overflow_check(n_over, maxc: int):
-    """Queue a device scalar (tiles-over-cap count) for host checking.
+def queue_overflow_check(n_over, maxc: int, what: str = _WHAT_BINS):
+    """Queue a device scalar (count over a static cap) for host checking.
     Free in the frame loop: no sync, no transfer — device-side compress
     only (one tiny fused sum) when the queue grows past _COMPRESS.
     No-op under tracing (jax.export / nested jit): a tracer can't be
     checked host-side and must not leak into the queue."""
-    global _PENDING_MAXC
     if isinstance(n_over, jax.core.Tracer):
         return
-    _PENDING_CHECKS.append(n_over)
-    _PENDING_MAXC = max(_PENDING_MAXC, int(maxc))
-    if len(_PENDING_CHECKS) >= _COMPRESS:
-        total = jnp.sum(jnp.stack(_PENDING_CHECKS))
-        _PENDING_CHECKS.clear()
-        _PENDING_CHECKS.append(total)
+    q = _PENDING.setdefault(what, [])
+    q.append(n_over)
+    _PENDING_CAP[what] = max(_PENDING_CAP.get(what, 0), int(maxc))
+    if len(q) >= _COMPRESS:
+        total = jnp.sum(jnp.stack(q))
+        q.clear()
+        q.append(total)
 
 
 def flush_overflow_checks():
-    """Check all queued overflow counts (ONE device→host transfer).
-    Call at the end of a frame loop or periodically."""
-    global _PENDING_MAXC
-    if not _PENDING_CHECKS:
+    """Check all queued overflow counts (ONE device→host transfer per
+    overflow kind). Call at the end of a frame loop or periodically."""
+    if not _PENDING:
         return
-    total = int(jnp.sum(jnp.stack(_PENDING_CHECKS)))
-    _PENDING_CHECKS.clear()
-    maxc, _PENDING_MAXC = _PENDING_MAXC, 0
-    _overflow_report(total, maxc)
+    pending = {w: q for w, q in _PENDING.items() if q}
+    _PENDING.clear()
+    caps, = (_PENDING_CAP.copy(),)
+    _PENDING_CAP.clear()
+    for what, q in pending.items():
+        total = int(jnp.sum(jnp.stack(q)))
+        _overflow_report(total, caps.get(what, 0), what)
 
 
 # --------------------------------------------------------------------------
@@ -787,11 +790,23 @@ def _raster_fwd_ml_kernel(layers, n_attr, tap, mtap, w_eps, light,
     chunk c and later pushed down a slot by a nearer fragment from
     chunk c' > c would leave its coefficients in the wrong slot — the
     (z, id) list reorders after the block's columns have left VMEM.
+
+    Opaque-z culling (``"nocull"`` not in variant): pass 1 additionally
+    tracks the nearest OPAQUE fragment's depth per pixel and culls
+    fragments strictly behind it; surviving list entries behind it are
+    invalidated after the chunk loop. Per-fragment opacity is encoded
+    in the tex column's fraction (integer = opaque — see
+    device.setup_packed_cols): an opaque fragment composites to exactly
+    the same pixel whether or not invisible fragments behind it are in
+    the list (src-alpha blend, model.rs:242-247), so this is exact for
+    the composite while turning deeper layers of opaque content into
+    dead tiles that pass 2 (per-layer gating below) and the compacted
+    tap epilogue (device.composite_peeled_tap_flat) skip entirely.
     """
     if tap:
-        tapidx_ref, scratch, sems, coef_ref = rest
+        tapidx_ref, scratch, sems, coef_ref, zop_ref = rest
     else:
-        scratch, sems, coef_ref = rest
+        scratch, sems, coef_ref, zop_ref = rest
     n_coef = _N_COEF[n_attr]
     lyr = layers
     t = pl.program_id(0)
@@ -800,6 +815,7 @@ def _raster_fwd_ml_kernel(layers, n_attr, tap, mtap, w_eps, light,
     zl_ref[0] = jnp.full((lyr, P), jnp.inf, jnp.float32)
     il_ref[0] = jnp.full((lyr, P), -1, jnp.int32)
     coef_ref[...] = jnp.zeros((n_coef, lyr * P), jnp.float32)
+    zop_ref[...] = jnp.full((1, P), jnp.inf, jnp.float32)
 
     n_tx = origin_ref[2]
     ty = t // n_tx
@@ -812,6 +828,7 @@ def _raster_fwd_ml_kernel(layers, n_attr, tap, mtap, w_eps, light,
 
     maxc = lists_ref.shape[0] // counts_ref.shape[0]
     inf = jnp.float32(jnp.inf)
+    ocull = "nocull" not in variant
 
     def dma(slot, s):
         return pltpu.make_async_copy(
@@ -853,63 +870,132 @@ def _raster_fwd_ml_kernel(layers, n_attr, tap, mtap, w_eps, light,
 
                     inside = edge_ok(0) & edge_ok(1) & edge_ok(2)
                     z = col(12) * px + col(13) * py + col(14)    # (KG, P)
-                    zcur = zl_ref[0]                             # (L, P)
-                    icur = il_ref[0]
-                    # cull against the CURRENT deepest kept layer: a
-                    # fragment beyond it can never enter (the list's
-                    # last depth only decreases) — with nearest-first
-                    # chunk ordering this kills most far-chunk work,
-                    # exactly like the single-layer z <= zbuf test
-                    zok = inside & (z >= 0.0) & (z <= zcur[lyr - 1:lyr])
+                    # cull against the CURRENT deepest kept layer (the
+                    # list's last depth only decreases — with nearest-
+                    # first chunk ordering this kills most far-chunk
+                    # work, like the single-layer z <= zbuf test) ...
+                    zlim = zl_ref[0][lyr - 1:lyr]
+                    if ocull:
+                        # ... and against the nearest opaque CANDIDATE
+                        # seen so far: a fragment strictly behind it
+                        # either hides behind alpha=1 in the list or
+                        # was already beaten by >= L nearer fragments —
+                        # exact for the composite either way. <= keeps
+                        # coincident surfaces (id tie rule orders them).
+                        zlim = jnp.minimum(zlim, zop_ref[...])
+                    zok = inside & (z >= 0.0) & (z <= zlim)
                     zm = jnp.where(zok, z, inf)
+                    if ocull:
+                        # per-row opacity: integer tex column = opaque
+                        # (device.setup_packed_cols encodes translucency
+                        # as a half-integer tex layer). ONE reduce per
+                        # group updates the opaque horizon and tightens
+                        # this group's own candidate set.
+                        texc = col(24)
+                        op_row = texc == jnp.floor(texc)     # (KG, 1)
+                        opz = jnp.minimum(
+                            jnp.min(jnp.where(zok & op_row, z, inf),
+                                    axis=0, keepdims=True),
+                            zop_ref[...])
+                        zop_ref[...] = opz
+                        zm = jnp.where(zm <= opz, zm, inf)
                     kids = jax.lax.broadcasted_iota(
                         jnp.int32, (KG, P), 0
                     ) + r0
-                    li = jax.lax.broadcasted_iota(jnp.int32, (lyr, P), 0)
+
                     # iterative extraction: per pixel, pull the group's
                     # nearest remaining fragment and insert; candidates
                     # arrive (z asc, id desc on ties) so each pixel
-
-                    # extracts its own L nearest from this group
+                    # extracts its own L nearest from this group. The
+                    # whole block gates on the group having ANY
+                    # candidate: under the opaque horizon most far
+                    # groups are fully culled, so the one vector->scalar
+                    # reduce pays for itself L times over (unlike the
+                    # single-layer kernel, where the gated work was one
+                    # select and the gate lost 3 ms — r2).
                     n_extract = 1 if "extract1" in variant else lyr
-                    for _l in range(n_extract):
-                        zmin = jnp.min(zm, axis=0, keepdims=True)
-                        winner_k = jnp.max(
-                            jnp.where((zm == zmin) & (zmin != inf),
-                                      kids, -1),
-                            axis=0, keepdims=True,
-                        )
-                        new_id = jnp.where(
-                            winner_k >= 0, cid * CT + sub * K + winner_k,
-                            jnp.int32(-1),
-                        )
-                        # insertion position: number of kept entries
-                        # strictly preceding the candidate under the
-                        # (z asc, id desc) order; pos >= L -> rejected
-                        prec = (zcur < zmin) | (
-                            (zcur == zmin) & (icur > new_id)
-                        )
-                        pos = jnp.sum(prec.astype(jnp.int32), axis=0,
-                                      keepdims=True)       # (1, P)
-                        zprev = jnp.concatenate(
-                            [zcur[:1], zcur[:-1]], axis=0)
-                        iprev = jnp.concatenate(
-                            [icur[:1], icur[:-1]], axis=0)
-                        take = li == pos
-                        shift = li > pos
-                        zcur = jnp.where(take, zmin,
-                                         jnp.where(shift, zprev, zcur))
-                        icur = jnp.where(take, new_id,
-                                         jnp.where(shift, iprev, icur))
-                        zm = jnp.where(kids == winner_k, inf, zm)
-                    zl_ref[0] = zcur
-                    il_ref[0] = icur
+                    gate = "noxgate" not in variant
+
+                    def extract():
+                        zcur = zl_ref[0]                         # (L, P)
+                        icur = il_ref[0]
+                        zmg = zm
+                        li = jax.lax.broadcasted_iota(
+                            jnp.int32, (lyr, P), 0)
+                        for _l in range(n_extract):
+                            zmin = jnp.min(zmg, axis=0, keepdims=True)
+                            winner_k = jnp.max(
+                                jnp.where((zmg == zmin) & (zmin != inf),
+                                          kids, -1),
+                                axis=0, keepdims=True,
+                            )
+                            new_id = jnp.where(
+                                winner_k >= 0,
+                                cid * CT + sub * K + winner_k,
+                                jnp.int32(-1),
+                            )
+                            # insertion position: number of kept entries
+                            # strictly preceding the candidate under the
+                            # (z asc, id desc) order; pos >= L: rejected
+                            prec = (zcur < zmin) | (
+                                (zcur == zmin) & (icur > new_id)
+                            )
+                            pos = jnp.sum(prec.astype(jnp.int32), axis=0,
+                                          keepdims=True)       # (1, P)
+                            zprev = jnp.concatenate(
+                                [zcur[:1], zcur[:-1]], axis=0)
+                            iprev = jnp.concatenate(
+                                [icur[:1], icur[:-1]], axis=0)
+                            take = li == pos
+                            shift = li > pos
+                            zcur = jnp.where(
+                                take, zmin,
+                                jnp.where(shift, zprev, zcur))
+                            icur = jnp.where(
+                                take, new_id,
+                                jnp.where(shift, iprev, icur))
+                            zmg = jnp.where(kids == winner_k, inf, zmg)
+                        zl_ref[0] = zcur
+                        il_ref[0] = icur
+
+                    if gate:
+                        pl.when(jnp.any(zm != inf))(extract)
+                    else:
+                        extract()
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
+        if ocull:
+            # invalidate kept entries strictly behind the nearest
+            # opaque fragment — invisible under src-alpha compositing
+            il_ref[0] = jnp.where(zl_ref[0] > zop_ref[...], -1,
+                                  il_ref[0])
 
         # ---- pass 2: coefficient recovery by global-id match ----
         sub_bits = (1 << (K // KG)) - 1
+        # per-(tile, layer) liveness, ONE vector->scalar reduce per
+        # layer per tile (amortized over the whole chunk loop — unlike
+        # the per-group gates that lost 3 ms in r2): opaque-culled
+        # deeper layers skip their matmuls entirely. The insertion list
+        # packs front-to-back, so liveness is monotone in l.
+        layer_live = [jnp.any(il_ref[0][l:l + 1, :] >= 0)
+                      for l in range(lyr)]
+
+        def split3(cols):
+            b1 = cols.astype(jnp.bfloat16)
+            r1 = cols - b1.astype(jnp.float32)
+            b2 = r1.astype(jnp.bfloat16)
+            b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+            return b1, b2, b3
+
+        def matsel(parts, oh):
+            sel = jnp.float32(0.0)
+            for part in parts:
+                sel += jax.lax.dot_general(
+                    part, oh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return sel
 
         def body2(s, _):
             slot = jax.lax.rem(s, 2)
@@ -923,19 +1009,6 @@ def _raster_fwd_ml_kernel(layers, n_attr, tap, mtap, w_eps, light,
             cid = lists_ref[t * maxc + s]
             gmask = glists_ref[t * maxc + s]
             il_all = il_ref[0]                           # (L, P)
-
-            def bf3(cols, oh):
-                b1 = cols.astype(jnp.bfloat16)
-                r1 = cols - b1.astype(jnp.float32)
-                b2 = r1.astype(jnp.bfloat16)
-                b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
-                sel = jnp.float32(0.0)
-                for part in (b1, b2, b3):
-                    sel += jax.lax.dot_general(
-                        part, oh, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                return sel
 
             if "groupsel" in variant:
                 riota = jax.lax.broadcasted_iota(jnp.int32, (KG, P), 0)
@@ -955,7 +1028,7 @@ def _raster_fwd_ml_kernel(layers, n_attr, tap, mtap, w_eps, light,
                         )                                # (KG, L*P)
                         cols = blk[r0:r0 + KG,
                                    c0 + 15:c0 + 15 + n_coef]
-                        coef_ref[...] += bf3(cols, oh)
+                        coef_ref[...] += matsel(split3(cols), oh)
             else:
                 riota = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
                 for sub in range(S):
@@ -968,22 +1041,27 @@ def _raster_fwd_ml_kernel(layers, n_attr, tap, mtap, w_eps, light,
                     def _(sub=sub):
                         base = cid * CT + sub * K
                         c0 = sub * CS
+                        cols = blk[:, c0 + 15:c0 + 15 + n_coef]
+                        parts = split3(cols)
                         oh = jnp.concatenate(
                             [(riota == (il_all[l:l + 1] - base)).astype(
                                 jnp.bfloat16) for l in range(lyr)],
                             axis=1,
                         )                                # (K, L*P)
-                        cols = blk[:, c0 + 15:c0 + 15 + n_coef]
                         # each final layer id matches exactly one row of
                         # one (chunk, sub) — non-matching columns give
                         # 0, so accumulation IS the select (no masks,
                         # no shift cascade)
-                        coef_ref[...] += bf3(cols, oh)
+                        coef_ref[...] += matsel(parts, oh)
             return 0
 
         if "nopass2" not in variant:
-            dma(0, 0).start()
-            jax.lax.fori_loop(0, count, body2, 0)
+            # layer-0 dead => every layer dead (bbox overlap with no
+            # coverage): skip the whole re-sweep
+            @pl.when(layer_live[0])
+            def _():
+                dma(0, 0).start()
+                jax.lax.fori_loop(0, count, body2, 0)
 
     coefs = coef_ref[...]
     attr_rows, tis = [], []
@@ -1083,6 +1161,7 @@ def raster_pallas_fwd_ml(setup, extras, x0, y0, *, width: int,
             pltpu.VMEM((2, K, NF), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((_N_COEF[n_attr], layers * P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),   # nearest-opaque z
         ],
     )
 

@@ -195,3 +195,90 @@ class TestSinglePassML:
                                       np.asarray(tatm[:6]))
         np.testing.assert_array_equal(np.asarray(tid),
                                       np.asarray(tidm[0]))
+
+
+def _textured_quad_batch(z_textures):
+    """Stacked textured quads: each entry (z, (H, W, 4) u8 texture)."""
+    pos, uvs, tris, tex_ids = [], [], [], []
+    textures = list({id(t): t for _, t in z_textures}.values())
+    tex_index = {id(t): i for i, t in enumerate(textures)}
+    for i, (z, tex) in enumerate(z_textures):
+        b = i * 4
+        s = 1.5
+        pos += [[-s, -s, z], [s, -s, z], [-s, s, z], [s, s, z]]
+        uvs += [[0, 0], [1, 0], [0, 1], [1, 1]]
+        tris += [[b + 0, b + 1, b + 2], [b + 2, b + 1, b + 3]]
+        tex_ids += [tex_index[id(tex)]] * 2
+    n, t = len(pos), len(tris)
+    return DrawBatch(
+        positions=np.array(pos, np.float32),
+        uvs=np.array(uvs, np.float32),
+        joints=np.zeros((n, 4), np.int32),
+        weights=np.zeros((n, 4), np.float32),
+        tris=np.array(tris, np.int32),
+        tri_texture=np.array(tex_ids, np.int32),
+        tri_parts=np.zeros(t, np.int32),
+        tri_debug_id=np.zeros(t, np.int32),
+        textures=textures,
+    )
+
+
+class TestOpaqueCulling:
+    """The ML kernel culls fragments behind the nearest OPAQUE one
+    (pallas_raster ocull) — exact for the composite. These pin the two
+    sides: translucent TEXTURES must keep deeper layers contributing,
+    and culling must not change any pixel vs the scan oracle."""
+
+    def _stack(self, alpha_front):
+        front = np.full((8, 8, 4), 200, np.uint8)
+        front[..., 3] = alpha_front
+        back = np.zeros((8, 8, 4), np.uint8)
+        back[..., 0] = 255
+        back[..., 3] = 255
+        return _textured_quad_batch([(0.0, front), (-1.0, back)])
+
+    @pytest.mark.parametrize("alpha_front", [255, 128])
+    def test_textured_stack_matches_scan(self, alpha_front):
+        scene = device.upload(self._stack(alpha_front))
+        kw = dict(width=64, height=64, layers=3)
+        want, _ = device.render_frame_peeled(
+            scene, _vp(), None, backend="scan", **kw)
+        got, _ = device.render_frame_peeled(
+            scene, _vp(), None, backend="pallas", **kw)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # translucent front: the opaque red back quad must show through
+        c = np.asarray(got)[32, 32]
+        if alpha_front == 128:
+            assert c[0] > c[1] + 40   # red bleed-through
+        else:
+            np.testing.assert_array_equal(c[:3], [200, 200, 200])
+
+    def test_compacted_taps_match_dense(self):
+        """tap_tiles sized by measure_live_tap_tiles must be pixel-
+        identical to the dense composite, opaque and translucent."""
+        vp = _vp()
+        for alpha in (255, 128):
+            scene = device.upload(self._stack(alpha))
+            kw = dict(width=64, height=64, layers=3, backend="pallas")
+            cap = device.measure_live_tap_tiles(
+                scene, vp, None, width=64, height=64, layers=3)
+            dense, _ = device.render_frame_peeled(scene, vp, None, **kw)
+            compact, _ = device.render_frame_peeled(
+                scene, vp, None, tap_tiles=cap, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(compact), np.asarray(dense),
+                err_msg=f"alpha={alpha} cap={cap}")
+
+    def test_tap_overflow_detected_not_silent(self):
+        from mt_renderer_tpu.render import pallas_raster as pr
+
+        # translucent textures keep BOTH layers live in every covered
+        # tile; tap_tiles=1 forces compaction overflow
+        scene = device.upload(self._stack(128))
+        before = pr.OVERFLOW_EVENTS
+        with pytest.warns(RuntimeWarning, match="tap overflow"):
+            device.render_frame_peeled(
+                scene, _vp(), None, width=64, height=64, layers=2,
+                backend="pallas", tap_tiles=1)
+            pr.flush_overflow_checks()
+        assert pr.OVERFLOW_EVENTS == before + 1

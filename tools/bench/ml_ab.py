@@ -60,10 +60,17 @@ def raster_only(scene, vp, variant):
             + jnp.sum(tattrs[::7, :, ::31]))
 
 
-def pipe(scene, vp, mode):
+TAP_TILES = device.measure_live_tap_tiles(
+    scene, cams[0], bones, width=W, height=H, layers=L, maxc=maxc)
+print(f"tap_tiles={TAP_TILES} (dense would be "
+      f"{(PW // pr.TILE_W) * (PH // pr.TILE_H) * L})", flush=True)
+
+
+def pipe(scene, vp, mode, tap_tiles=None):
     c, d, _ = device._render_frame_peeled_core(
         scene, vp, bones, width=W, height=H, layers=L, backend="pallas",
-        maxc=maxc, peel_mode=mode, packed=mode == "ml")
+        maxc=maxc, peel_mode=mode, packed=mode == "ml",
+        tap_tiles=tap_tiles)
     f = c.reshape(-1)
     return (jnp.sum(f[:: max(f.size // 512, 1)].astype(jnp.float32))
             + jnp.sum(d[::97, ::97]))
@@ -84,7 +91,7 @@ def epilogue(scene, vp, stage):
         alb = device._tap_albedo_channels(
             scene.mip_pool, tapidx, a4[:, :, 0], a4[:, :, 1])
         return sum(jnp.sum(a[::7, :, ::31]) for a in alb)
-    dst = device.composite_peeled_tap_flat(
+    dst, _ = device.composite_peeled_tap_flat(
         scene, tattrs, tapidx, ib, L, (255, 255, 255, 255))
     if stage == "blend":
         return sum(jnp.sum(d[::7, ::31]) for d in dst)
@@ -104,7 +111,10 @@ CFGS = {
     "ml+g4": lambda s, v: epilogue(s, v, "gather"),
     "ml+blend": lambda s, v: epilogue(s, v, "blend"),
     "ml+pack": lambda s, v: epilogue(s, v, "pack"),
+    "ml-nocull": lambda s, v: raster_only(s, v, "nocull"),
+    "ml-noxg": lambda s, v: raster_only(s, v, "noxgate"),
     "pipe-ml": lambda s, v: pipe(s, v, "ml"),
+    "pipe-ml-ct": lambda s, v: pipe(s, v, "ml", TAP_TILES),
     "pipe-mp": lambda s, v: pipe(s, v, "multipass"),
 }
 
