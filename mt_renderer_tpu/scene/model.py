@@ -357,3 +357,97 @@ def merge_batches(a: DrawBatch, b: DrawBatch,
             if (a.normals is not None or b.normals is not None) else None
         ),
     )
+
+
+def merge_many(batches: list[DrawBatch],
+               skeleton_from: int | None = None) -> DrawBatch:
+    """N-way batch merge in one concatenation pass (linear, where a
+    ``merge_batches`` fold copies quadratically — archive-world scenes
+    merge hundreds of parsed models).
+
+    Offsets follow ``merge_batches``: texture ids remap into a shared
+    list (deduplicated by array identity, so V instances of one variant
+    share one texel-pool entry), material slots and parts ids shift by
+    each predecessor's count. Joint INDICES are kept verbatim — callers
+    instancing skinned models pre-shift them into the combined palette
+    (``world.py`` gives character i joints ``8i..8i+7``); unskinned
+    batches carry zero weights and pass through the vertex stage
+    untouched. Skeleton metadata comes from ``skeleton_from`` (default:
+    the first skinned batch)."""
+    if not batches:
+        raise ValueError("merge_many needs at least one batch")
+    wm = max((b.joints.shape[1] if b.num_vertices else 0)
+             for b in batches) or 4
+    tex_idx: dict[int, int] = {}
+    textures: list[np.ndarray] = []
+    tex_maps = []
+    for b in batches:
+        remap = np.empty(max(len(b.textures), 1), np.int32)
+        for i, t in enumerate(b.textures):
+            if id(t) not in tex_idx:
+                tex_idx[id(t)] = len(textures)
+                textures.append(t)
+            remap[i] = tex_idx[id(t)]
+        tex_maps.append(remap)
+
+    if skeleton_from is None:
+        skeleton_from = next(
+            (i for i, b in enumerate(batches) if b.skinned), 0)
+    sk = batches[skeleton_from]
+
+    def flat(b):
+        if b.tri_flat is not None:
+            return b.tri_flat
+        return np.full((b.num_triangles, 4), -1.0, np.float32)
+
+    def wide(arr, b, dtype):
+        w = b.joints.shape[1] if b.num_vertices else wm
+        if w == wm:
+            return arr.astype(dtype)
+        return np.pad(arr.astype(dtype), ((0, 0), (0, wm - w)))
+
+    pos, uv, jn, wt, nrm = [], [], [], [], []
+    tris, ttex, tmat, tparts, tdbg, tflat = [], [], [], [], [], []
+    names: list = []
+    v0 = 0
+    mat0 = 0
+    part0 = 0
+    any_normals = any(b.normals is not None for b in batches)
+    for bi, b in enumerate(batches):
+        pos.append(b.positions)
+        uv.append(b.uvs)
+        jn.append(wide(b.joints, b, np.int32))
+        wt.append(wide(b.weights, b, np.float32))
+        if any_normals:
+            nrm.append(b.normals_or_zero())
+        tris.append(b.tris + v0)
+        t = b.tri_texture
+        ttex.append(np.where(t >= 0, tex_maps[bi][np.maximum(t, 0)], -1))
+        tmat.append(b.material_ids() + mat0)
+        tparts.append(b.tri_parts + part0)
+        tdbg.append(b.tri_debug_id)
+        tflat.append(flat(b))
+        names += (list(b.material_names)
+                  + [""] * (b.num_materials - len(b.material_names)))
+        v0 += b.num_vertices
+        mat0 += b.num_materials
+        part0 += int(b.tri_parts.max()) + 1 if len(b.tri_parts) else 1
+
+    def cat(parts, dtype=None):
+        out = np.concatenate(parts) if parts else np.zeros(0)
+        return out.astype(dtype) if dtype is not None else out
+
+    return DrawBatch(
+        positions=cat(pos, np.float32), uvs=cat(uv, np.float32),
+        joints=cat(jn, np.int32), weights=cat(wt, np.float32),
+        tris=cat(tris, np.int32), tri_texture=cat(ttex, np.int32),
+        tri_material=cat(tmat, np.int32), tri_parts=cat(tparts, np.int32),
+        tri_debug_id=cat(tdbg, np.int32),
+        tri_flat=cat(tflat, np.float32),
+        textures=textures, material_names=names,
+        inverse_bind_mats=sk.inverse_bind_mats,
+        joint_parents=sk.joint_parents,
+        joint_offsets=sk.joint_offsets,
+        skinned=any(b.skinned for b in batches),
+        normals=cat(nrm, np.float32) if any_normals else None,
+    )
