@@ -997,18 +997,38 @@ def _raster_fwd_ml_kernel(layers, n_attr, tap, mtap, w_eps, light,
                 )
             return sel
 
+        il_all = il_ref[0]                               # (L, P)
+
+        def owns(s):
+            """Chunk s of this tile's list owns some kept id. Exact
+            (ids are chunk-contiguous: [cid*CT, (cid+1)*CT)), fixed
+            after pass 1 — so the DMA start for s+1 and the wait for s
+            evaluate the SAME predicate and stay paired. One (L, P)
+            range test per chunk skips the re-DMA and all matmuls for
+            chunks whose extractions were all evicted or culled — with
+            the opaque horizon, most of an opaque scene's list."""
+            # clamp: the s+1 probe evaluates both & operands even when
+            # s+1 == count (no short-circuit) — keep the read in range
+            lo = lists_ref[t * maxc + jnp.minimum(s, maxc - 1)] * CT
+            return jnp.any((il_all >= lo) & (il_all < lo + CT))
+
         def body2(s, _):
             slot = jax.lax.rem(s, 2)
 
-            @pl.when(s + 1 < count)
+            @pl.when((s + 1 < count) & owns(s + 1))
             def _():
                 dma(1 - slot, s + 1).start()
 
+            @pl.when(owns(s))
+            def _body(slot=slot, s=s):
+                _pass2_chunk(slot, s)
+            return 0
+
+        def _pass2_chunk(slot, s):
             dma(slot, s).wait()
             blk = scratch[slot]
             cid = lists_ref[t * maxc + s]
             gmask = glists_ref[t * maxc + s]
-            il_all = il_ref[0]                           # (L, P)
 
             if "groupsel" in variant:
                 riota = jax.lax.broadcasted_iota(jnp.int32, (KG, P), 0)
@@ -1057,10 +1077,16 @@ def _raster_fwd_ml_kernel(layers, n_attr, tap, mtap, w_eps, light,
 
         if "nopass2" not in variant:
             # layer-0 dead => every layer dead (bbox overlap with no
-            # coverage): skip the whole re-sweep
+            # coverage): skip the whole re-sweep. Starts and waits must
+            # pair exactly (the DMA semaphores persist across grid
+            # steps), so the first start carries the same owns() gate
+            # as its wait.
             @pl.when(layer_live[0])
             def _():
-                dma(0, 0).start()
+                @pl.when(owns(0))
+                def _():
+                    dma(0, 0).start()
+
                 jax.lax.fori_loop(0, count, body2, 0)
 
     coefs = coef_ref[...]
