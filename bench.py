@@ -167,11 +167,13 @@ def verify(width=256, height=256, instances=9, subdiv=2) -> dict:
     # and must reproduce them bit-exactly (packed) / within the oracle
     # bounds (multichip, whose setup fuses differently under shard_map)
     sc, sd = singles["pallas"]
+    stt = device.auto_tap_tiles(batch, vp, bones,
+                                width=width, height=height)
     pk, pkd = device.render_frame(
         scene, vp, bones, width=width, height=height, backend="pallas",
-        packed=True,
+        packed=True, tap_tiles=stt,
     )
-    out["packed"] = {"pass": bool(
+    out["packed"] = {"tap_tiles": stt, "pass": bool(
         (device.unpack_rgba(np.asarray(pk)) == sc).all()
         and (np.asarray(pkd) == sd).all()
     )}
@@ -262,15 +264,23 @@ def run_once(args, width, height, instances, frames, png=None):
         print(f"# auto maxc={maxc}", file=sys.stderr)
 
     tap_tiles = None
-    if args.peel and args.backend == "pallas" and not args.mipmap:
-        # size the compacted texture-tap cap once at setup, like maxc
-        # (one device sync — BEFORE any timing; overflow stays checked)
+    if args.backend == "pallas" and not args.mipmap and not args.multichip:
         cam.yaw = base_yaw
-        tap_tiles = device.measure_live_tap_tiles(
-            scene, np.asarray(cam.view_proj()),
-            bones_at(0) if batch.skinned else None,
-            width=width, height=height, layers=args.peel,
-            maxc=maxc, lighting=args.lighting)
+        if args.peel:
+            # size the peel composite's compacted tap cap once at
+            # setup, like maxc (one device sync — BEFORE any timing;
+            # overflow stays checked)
+            tap_tiles = device.measure_live_tap_tiles(
+                scene, np.asarray(cam.view_proj()),
+                bones_at(0) if batch.skinned else None,
+                width=width, height=height, layers=args.peel,
+                maxc=maxc, lighting=args.lighting)
+        else:
+            # single-layer compacted tap: HOST-side conservative cap
+            # (no device sync — dispatch-rate measurement unaffected)
+            tap_tiles = device.auto_tap_tiles(
+                batch, np.asarray(cam.view_proj()), bones_at(0),
+                width=width, height=height)
         print(f"# auto tap_tiles={tap_tiles}", file=sys.stderr)
 
     mesh = None
@@ -302,6 +312,7 @@ def run_once(args, width, height, instances, frames, png=None):
             scene, vp, bones, width=width, height=height, chunk=chunk,
             backend=args.backend, maxc=maxc, mipmap=args.mipmap,
             lighting=args.lighting, packed=args.backend == "pallas",
+            tap_tiles=tap_tiles,
         )
 
     import jax.numpy as jnp
@@ -413,7 +424,7 @@ def run_once(args, width, height, instances, frames, png=None):
                 scene, vp, bones, width=width, height=height,
                 chunk=chunk, backend=args.backend, maxc=maxc,
                 mipmap=args.mipmap, lighting=args.lighting,
-                packed=args.backend == "pallas")
+                packed=args.backend == "pallas", tap_tiles=tap_tiles)
         f = c.reshape(-1)
         s = f[:: max(f.size // 512, 1)]
         return (jnp.sum(s.astype(jnp.float32))

@@ -302,7 +302,7 @@ def _render_frame_geomsplit_core(
             # tile-major end to end; unflatten only the final planes
             zb, ib, tattrs, tapidx, n_over = pr.raster_pallas_fwd(
                 (cols_s, bbox_s), None, 0, 0, tap=True, flat=True, **kw)
-            src, _cov = dev.shade_tap_flat_channels(
+            src, _cov, _ = dev.shade_tap_flat_channels(
                 scene, tattrs, tapidx, ib)
             z2, ib2 = zb[:, 0, :], ib[:, 0, :]
             unflat = lambda x: pr.unflatten_tiles(x, ph, pw)  # noqa: E731

@@ -891,8 +891,22 @@ def shade_tap(scene: DeviceScene, tattrs, tapidx, ib):
     return src, covered
 
 
+def _compact_live_rows(live_flat, cap: int):
+    """Static-cap compaction bookkeeping for row-sparse work: (N,) bool
+    liveness → (src (cap,) i32 source rows for the compact buffer,
+    slot (N,) i32 compact slot per row — ``cap`` = dead/overflowed pad,
+    n_over). Shared by the peel composite and the single-layer tap."""
+    n = live_flat.shape[0]
+    rank = jnp.cumsum(live_flat.astype(jnp.int32)) - 1
+    n_live = rank[n - 1] + 1
+    slot = jnp.where(live_flat & (rank < cap), rank, cap)
+    src = jnp.zeros((cap + 1,), jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    return src[:cap], slot, jnp.maximum(n_live - cap, 0)
+
+
 def shade_finish_tap_flat(scene: DeviceScene, tattrs, tapidx, ib,
-                          clear_color):
+                          clear_color, tap_tiles: int | None = None):
     """TILE-MAJOR shade + composite: consumes ``raster_pallas_fwd``
     ``flat=True`` outputs (tattrs (n_tiles, 6, P), tapidx/ib
     (n_tiles, 1, P)) and emits the packed-u32 frame still in tile order
@@ -902,24 +916,46 @@ def shade_finish_tap_flat(scene: DeviceScene, tattrs, tapidx, ib,
     pipeline paid ~8 of them). Per-pixel math is the same helpers the
     raster-order path uses (_tap_albedo_channels + _blend_pack_u32).
 
-    Returns (packed (n_tiles, P) uint32, covered (n_tiles, P) bool)."""
-    src, covered = shade_tap_flat_channels(scene, tattrs, tapidx, ib)
-    return _blend_pack_u32(src, covered, clear_color), covered
+    Returns (packed (n_tiles, P) uint32, covered (n_tiles, P) bool,
+    n_over_tap — see shade_tap_flat_channels)."""
+    src, covered, n_over_tap = shade_tap_flat_channels(
+        scene, tattrs, tapidx, ib, tap_tiles=tap_tiles)
+    return _blend_pack_u32(src, covered, clear_color), covered, n_over_tap
 
 
-def shade_tap_flat_channels(scene: DeviceScene, tattrs, tapidx, ib):
+def shade_tap_flat_channels(scene: DeviceScene, tattrs, tapidx, ib,
+                            tap_tiles: int | None = None):
     """Tile-major tap shade → (src channel list [r, g, b, a] each
-    (n_tiles, P) f32 0-255, covered (n_tiles, P) bool). The layered
-    building block behind shade_finish_tap_flat and the flat peel
-    compositor."""
+    (n_tiles, P) f32 0-255, covered (n_tiles, P) bool, n_over_tap).
+    The layered building block behind shade_finish_tap_flat and the
+    flat peel compositor.
+
+    ``tap_tiles`` compacts the pool gather + contraction to that many
+    COVERED tiles (None/0 = dense). Size it host-side with
+    ``auto_tap_tiles`` — any tile whose pixels are covered has binning
+    candidates, so the predictor's non-empty-tile count is a true upper
+    bound (margin covers animation drift; overflow reports loudly)."""
     ti = tapidx[:, 0, :]
     covered = ib[:, 0, :] >= 0
-    alb = _tap_albedo_channels(scene.mip_pool, ti, tattrs[:, 0, :],
-                               tattrs[:, 1, :])
+    nt, p = ti.shape
+    cap = 0 if tap_tiles is None else min(tap_tiles, nt)
+    if cap and cap < nt:
+        live = jnp.any(covered, axis=1)                   # (nt,)
+        src_rows, slot, n_over_tap = _compact_live_rows(live, cap)
+        tic = ti[src_rows]
+        fxc = tattrs[:, 0, :][src_rows]
+        fyc = tattrs[:, 1, :][src_rows]
+        albc = _tap_albedo_channels(scene.mip_pool, tic, fxc, fyc)
+        alb = [jnp.concatenate(
+            [a, jnp.zeros((1, p), jnp.float32)])[slot] for a in albc]
+    else:
+        alb = _tap_albedo_channels(scene.mip_pool, ti, tattrs[:, 0, :],
+                                   tattrs[:, 1, :])
+        n_over_tap = jnp.int32(0)
     textured = ti >= 0
     src = [jnp.where(textured, alb[c] * tattrs[:, 2 + c, :],
                      tattrs[:, 2 + c, :]) for c in range(4)]
-    return src, covered
+    return src, covered, n_over_tap
 
 
 def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
@@ -956,12 +992,7 @@ def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
     cap = 0 if tap_tiles is None else min(tap_tiles, n)
     if cap and cap < n:
         live = jnp.any(covered, axis=2).reshape(n)        # (nt*L,)
-        rank = jnp.cumsum(live.astype(jnp.int32)) - 1
-        n_live = rank[n - 1] + 1
-        slot = jnp.where(live & (rank < cap), rank, cap)  # dead -> pad
-        src_rows = jnp.zeros((cap + 1,), jnp.int32).at[slot].set(
-            jnp.arange(n, dtype=jnp.int32), mode="drop")
-        sr = src_rows[:cap]
+        sr, slot, n_over_tap = _compact_live_rows(live, cap)
         tic = tapidx.reshape(n, p)[sr]                    # (cap, p)
         fxc = a4[:, :, 0].reshape(n, p)[sr]
         fyc = a4[:, :, 1].reshape(n, p)[sr]
@@ -972,7 +1003,6 @@ def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
         alb = [jnp.concatenate(
             [a, jnp.zeros((1, p), jnp.float32)])[slot2]
             for a in albc]                                # 4 x (nt, L, P)
-        n_over_tap = jnp.maximum(n_live - cap, 0)
     else:
         alb = _tap_albedo_channels(scene.mip_pool, tapidx,
                                    a4[:, :, 0], a4[:, :, 1])
@@ -1399,6 +1429,23 @@ def auto_maxc(batch, view_proj, bone_mats=None, *,
     return min(want, limit)
 
 
+def auto_tap_tiles(batch, view_proj, bone_mats=None, *,
+                   width: int, height: int, margin: float = 1.25) -> int:
+    """Host-side (NO device sync) cap for the single-layer compacted
+    texture tap (shade_tap_flat_channels): a covered tile necessarily
+    has binning candidates, so the predictor's non-empty-tile count
+    bounds live tiles from above; ``margin`` covers animation drift.
+    Rounded up to a multiple of 8, clamped to the tile count."""
+    from . import pallas_raster as pr
+
+    pw = -(-width // pr.TILE_W) * pr.TILE_W
+    ph = -(-height // pr.TILE_H) * pr.TILE_H
+    nt = (pw // pr.TILE_W) * (ph // pr.TILE_H)
+    live = int((predict_bin_counts(batch, view_proj, bone_mats,
+                                   width=width, height=height) > 0).sum())
+    return min(max(8, -(-int(np.ceil(live * margin)) // 8) * 8), nt)
+
+
 def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
                            *, width: int, height: int, layers: int,
                            maxc: int | None = None,
@@ -1435,7 +1482,7 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "chunk", "clear_color", "backend",
-                     "maxc", "mipmap", "lighting", "packed"),
+                     "maxc", "mipmap", "lighting", "packed", "tap_tiles"),
 )
 def _render_frame_core(scene: DeviceScene, view_proj: jax.Array,
                        bone_mats: jax.Array | None = None, *,
@@ -1444,8 +1491,12 @@ def _render_frame_core(scene: DeviceScene, view_proj: jax.Array,
                        clear_color: tuple = (255, 255, 255, 255),
                        backend: str = "scan", maxc: int | None = None,
                        mipmap: bool = False, lighting: bool = False,
-                       packed: bool = False):
-    """Jitted frame body → (color, depth, n_over|None)."""
+                       packed: bool = False,
+                       tap_tiles: int | None = None):
+    """Jitted frame body → (color, depth, n_over|None). On the packed
+    tap path ``tap_tiles`` compacts the texture tap to that many
+    covered tiles (host-sized via ``auto_tap_tiles``; None = dense) and
+    n_over becomes the (bins, taps) pair."""
     clip = vertex_stage(scene, view_proj, bone_mats)
     if backend == "pallas":
         from . import pallas_raster as pr
@@ -1467,11 +1518,13 @@ def _render_frame_core(scene: DeviceScene, view_proj: jax.Array,
                 n_attr=n_attr, tap=True, w_eps=W_EPS,
                 light=_light_unit() if lighting else None, flat=True,
             )
-            colort, _ = shade_finish_tap_flat(scene, tattrs, tapidx, ib,
-                                              clear_color)
+            colort, _, n_over_tap = shade_finish_tap_flat(
+                scene, tattrs, tapidx, ib, clear_color,
+                tap_tiles=tap_tiles)
             color = pr.unflatten_tiles(colort, ph, pw)
             zbf = pr.unflatten_tiles(zb[:, 0, :], ph, pw)
-            return color[:height, :width], zbf[:height, :width], n_over
+            return (color[:height, :width], zbf[:height, :width],
+                    (n_over, n_over_tap))
         if not mipmap:
             # fast path: tap addresses (and the lambert factor when
             # lighting) computed in the kernel epilogue
@@ -1512,7 +1565,8 @@ def render_frame(scene: DeviceScene, view_proj: jax.Array,
                  clear_color: tuple = (255, 255, 255, 255),
                  backend: str = "scan", maxc: int | None = None,
                  mipmap: bool = False, lighting: bool = False,
-                 check_overflow: bool = True, packed: bool = False):
+                 check_overflow: bool = True, packed: bool = False,
+                 tap_tiles: int | None = None):
     """Render one frame → ((H, W, 4) uint8, (H, W) f32 depth).
 
     ``backend``: "scan" (all-triangles lax.scan — exact, good for small
@@ -1529,12 +1583,26 @@ def render_frame(scene: DeviceScene, view_proj: jax.Array,
         scene, view_proj, bone_mats, width=width, height=height,
         chunk=chunk, clear_color=clear_color, backend=backend, maxc=maxc,
         mipmap=mipmap, lighting=lighting, packed=packed,
+        tap_tiles=tap_tiles,
     )
     if check_overflow and n_over is not None:
-        from . import pallas_raster as pr
-
-        pr.queue_overflow_check(n_over, maxc or pr.MAXC_DEFAULT)
+        _queue_frame_overflow(n_over, maxc, tap_tiles, width, height)
     return color, depth
+
+
+def _queue_frame_overflow(n_over, maxc, tap_tiles, width, height):
+    """Queue the frame's overflow counts — plain bin count, or the
+    (bins, compacted-tap rows) pair the tap-compacting paths return."""
+    from . import pallas_raster as pr
+
+    if isinstance(n_over, tuple):
+        n_over, n_tap = n_over
+        nt = ((-(-width // pr.TILE_W)) * (-(-height // pr.TILE_H)))
+        pr.queue_overflow_check(
+            n_tap, tap_tiles if tap_tiles else nt,
+            what="tap overflow: live (tile, layer) rows lost their "
+                 "texture; raise tap_tiles")
+    pr.queue_overflow_check(n_over, maxc or pr.MAXC_DEFAULT)
 
 
 @functools.partial(
@@ -1685,7 +1753,7 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
                     light=_light_unit() if lighting else None, pre=pre,
                     flat=True,
                 )
-                src, covered = shade_tap_flat_channels(
+                src, covered, _ = shade_tap_flat_channels(
                     scene, tattrs, tapidx, ib
                 )
                 passes.append((src, covered, zb))
@@ -1771,15 +1839,5 @@ def render_frame_peeled(scene: DeviceScene, view_proj: jax.Array,
         peel_mode=peel_mode, packed=packed, tap_tiles=tap_tiles,
     )
     if check_overflow and n_over is not None:
-        from . import pallas_raster as pr
-
-        if isinstance(n_over, tuple):
-            n_over, n_tap = n_over
-            from .pallas_raster import TILE_W, TILE_H
-            nt = (-(-width // TILE_W)) * (-(-height // TILE_H))
-            pr.queue_overflow_check(
-                n_tap, tap_tiles if tap_tiles else nt,
-                what="tap overflow: live (tile, layer) pairs lost their "
-                     "texture; raise tap_tiles")
-        pr.queue_overflow_check(n_over, maxc or pr.MAXC_DEFAULT)
+        _queue_frame_overflow(n_over, maxc, tap_tiles, width, height)
     return color, depth

@@ -448,3 +448,70 @@ class TestPoolModes:
         with pytest.raises(ValueError, match="quad"):
             device.render_frame(scene, _vp(), width=96, height=96,
                                 backend="pallas")
+
+
+class TestSingleLayerTapCompaction:
+    """shade_tap_flat_channels tap_tiles (covered-tile compaction on the
+    packed production path): host-sized cap must bound live tiles and
+    the compacted frame must be bit-identical to dense."""
+
+    def test_compacted_matches_dense_bit_exact(self):
+        from mt_renderer_tpu.scene import demo
+
+        batch = demo.build_demo_batch(instances=9, skinned=True)
+        scene = device.upload(batch)
+        cam = demo.demo_camera(9, 256, 192)
+        vp = np.asarray(cam.view_proj())
+        bones = demo.demo_bone_mats(0.5)
+        tt = device.auto_tap_tiles(batch, vp, bones,
+                                   width=256, height=192)
+        kw = dict(width=256, height=192, backend="pallas", packed=True)
+        dense, dd = device.render_frame(scene, vp, bones, **kw)
+        compact, cd = device.render_frame(scene, vp, bones,
+                                          tap_tiles=tt, **kw)
+        np.testing.assert_array_equal(np.asarray(compact),
+                                      np.asarray(dense))
+        np.testing.assert_array_equal(np.asarray(cd), np.asarray(dd))
+
+    def test_auto_cap_bounds_live_tiles(self):
+        from mt_renderer_tpu.render import pallas_raster as pr
+        from mt_renderer_tpu.scene import demo
+
+        rng = np.random.default_rng(3)
+        for trial in range(4):
+            inst = int(rng.integers(4, 32))
+            batch = demo.build_demo_batch(instances=inst, skinned=True)
+            cam = demo.demo_camera(inst, 256, 192)
+            cam.yaw = float(rng.uniform(-25, 25))
+            vp = np.asarray(cam.view_proj())
+            bones = demo.demo_bone_mats(float(rng.uniform(0, 2)))
+            tt = device.auto_tap_tiles(batch, vp, bones,
+                                       width=256, height=192,
+                                       margin=1.0)
+            scene = device.upload(batch)
+            _, d = device.render_frame(scene, vp, bones, width=256,
+                                       height=192, backend="pallas")
+            cov = np.asarray(d) < 1.0
+            pad = np.zeros((192, 256), bool)
+            pad[:cov.shape[0], :cov.shape[1]] = cov
+            tiles_live = int(
+                pad.reshape(192 // pr.TILE_H, pr.TILE_H,
+                            256 // pr.TILE_W, pr.TILE_W)
+                .any(axis=(1, 3)).sum())
+            assert tt >= tiles_live, (trial, tt, tiles_live)
+
+    def test_overflow_detected_not_silent(self):
+        from mt_renderer_tpu.render import pallas_raster as pr
+        from mt_renderer_tpu.scene import demo
+
+        batch = demo.build_demo_batch(instances=9, skinned=False)
+        scene = device.upload(batch)
+        cam = demo.demo_camera(9, 256, 192)
+        before = pr.OVERFLOW_EVENTS
+        with pytest.warns(RuntimeWarning, match="tap overflow"):
+            device.render_frame(scene, np.asarray(cam.view_proj()),
+                                None, width=256, height=192,
+                                backend="pallas", packed=True,
+                                tap_tiles=1)
+            pr.flush_overflow_checks()
+        assert pr.OVERFLOW_EVENTS == before + 1
