@@ -194,7 +194,7 @@ def verify(width=256, height=256, instances=9, subdiv=2) -> dict:
 
     mc, mcd = tiles.render_frame_multichip(
         scene, vp, bones, mesh=tiles.make_row_mesh(1), width=width,
-        height=height, backend="pallas", packed=True,
+        height=height, backend="pallas", packed=True, tap_tiles=stt,
     )
     mc = device.unpack_rgba(np.asarray(mc))
     cov_mis = (np.asarray(mcd) < 1.0) != (sd < 1.0)
@@ -264,9 +264,14 @@ def run_once(args, width, height, instances, frames, png=None):
         print(f"# auto maxc={maxc}", file=sys.stderr)
 
     tap_tiles = None
-    if args.backend == "pallas" and not args.mipmap and not args.multichip:
+    if args.backend == "pallas" and not args.mipmap:
         cam.yaw = base_yaw
-        if args.peel:
+        if args.multichip:
+            # per-band compacted-tap cap: worst band's host-side bound
+            tap_tiles = device.auto_tap_tiles(
+                batch, np.asarray(cam.view_proj()), bones_at(0),
+                width=width, height=height, bands=args.multichip)
+        elif args.peel:
             # size the peel composite's compacted tap cap once at
             # setup, like maxc (one device sync — BEFORE any timing;
             # overflow stays checked)
@@ -299,6 +304,7 @@ def run_once(args, width, height, instances, frames, png=None):
             return tiles.render_frame_multichip(
                 scene, vp, bones, mesh=mesh, width=width, height=height,
                 backend=args.backend, maxc=maxc,
+                packed=args.backend == "pallas", tap_tiles=tap_tiles,
             )
         if args.peel:
             return device.render_frame_peeled(
@@ -411,7 +417,7 @@ def run_once(args, width, height, instances, frames, png=None):
                 height=height, chunk=chunk, backend=args.backend,
                 maxc=maxc, mipmap=args.mipmap,
                 lighting=args.lighting,
-                packed=args.backend == "pallas")
+                packed=args.backend == "pallas", tap_tiles=tap_tiles)
         elif args.peel:
             c, d, _ = device._render_frame_peeled_core(
                 scene, vp, bones, width=width, height=height,

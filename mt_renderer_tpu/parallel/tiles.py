@@ -45,7 +45,8 @@ def make_row_mesh(n_devices: int | None = None) -> Mesh:
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "chunk", "clear_color",
-                     "backend", "maxc", "mipmap", "lighting", "packed"),
+                     "backend", "maxc", "mipmap", "lighting", "packed",
+                     "tap_tiles"),
 )
 def _render_frame_multichip_core(
     scene: dev.DeviceScene,
@@ -62,6 +63,7 @@ def _render_frame_multichip_core(
     mipmap: bool = False,
     lighting: bool = False,
     packed: bool = False,
+    tap_tiles: int | None = None,
 ):
     """Jitted band-sharded frame body → (color, depth, n_over (n,) i32).
 
@@ -88,6 +90,25 @@ def _render_frame_multichip_core(
                 scene, clip, width, height, bone_mats=bone_mats,
                 lighting=lighting,
             )
+            if not mipmap and packed:
+                # the single-chip production path, per band: tile-major
+                # flat epilogue with the covered-tile compacted tap
+                # (tap_tiles sized host-side over the worst band —
+                # auto_tap_tiles(bands=n))
+                zb, ib, tattrs, tapidx, n_over = pr.raster_pallas_fwd(
+                    (cols, bbox), None, 0, y0, width=pw, height=pb,
+                    maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
+                    n_attr=n_attr, tap=True, w_eps=dev.W_EPS,
+                    light=dev._light_unit() if lighting else None,
+                    flat=True,
+                )
+                colort, _, n_over_tap = dev.shade_finish_tap_flat(
+                    scene, tattrs, tapidx, ib, clear_color,
+                    tap_tiles=tap_tiles)
+                color = pr.unflatten_tiles(colort, pb, pw)
+                zbf = pr.unflatten_tiles(zb[:, 0, :], pb, pw)
+                return (color[:band_h, :width], zbf[:band_h, :width],
+                        jnp.stack([n_over, n_over_tap])[None])
             if not mipmap:
                 # same fast path as single-chip: tap addresses (and the
                 # lambert factor when lighting) in-kernel
@@ -158,22 +179,33 @@ def render_frame_multichip(scene, view_proj, bone_mats=None, *,
                            backend: str = "pallas", maxc: int | None = None,
                            mipmap: bool = False, lighting: bool = False,
                            check_overflow: bool = True,
-                           packed: bool = False):
+                           packed: bool = False,
+                           tap_tiles: int | None = None):
     """Render one frame with the raster+shade stages sharded over screen
     bands. Returns ((H, W, 4) uint8, (H, W) f32), row-sharded over the
     mesh (``packed``: (H, W) uint32 RGBA — see ``device.render_frame``).
     ``backend`` as in ``device.render_frame``; the pallas path pads
     each band up to tile alignment and crops. Per-band bin-overflow
-    counts are summed and checked host-side (see
-    ``pallas_raster.queue_overflow_check``)."""
+    (and, on the packed path, compacted-tap-overflow — ``tap_tiles``,
+    sized via ``device.auto_tap_tiles(bands=n)``) counts are summed and
+    checked host-side (``pallas_raster.queue_overflow_check``)."""
     color, depth, n_over = _render_frame_multichip_core(
         scene, view_proj, bone_mats, mesh=mesh, width=width, height=height,
         chunk=chunk, clear_color=clear_color, backend=backend, maxc=maxc,
         mipmap=mipmap, lighting=lighting, packed=packed,
+        tap_tiles=tap_tiles,
     )
     if check_overflow and backend == "pallas":
         from ..render import pallas_raster as pr
 
+        if n_over.ndim == 2:              # packed path: (n, [bins, taps])
+            band_h = -(-height // mesh.devices.size)
+            nt_band = (-(-width // pr.TILE_W)) * (-(-band_h // pr.TILE_H))
+            pr.queue_overflow_check(
+                jnp.sum(n_over[:, 1]), tap_tiles if tap_tiles else nt_band,
+                what="tap overflow: live (tile, layer) rows lost their "
+                     "texture; raise tap_tiles")
+            n_over = n_over[:, 0]
         pr.queue_overflow_check(jnp.sum(n_over),
                                 maxc or pr.MAXC_DEFAULT)
     return color, depth

@@ -1346,11 +1346,17 @@ def shade_stage(scene: DeviceScene, setup, zb, ib, width: int, height: int,
 
 
 def predict_bin_counts(batch, view_proj, bone_mats=None, *,
-                       width: int, height: int) -> np.ndarray:
+                       width: int, height: int,
+                       y0: int = 0, grid_rows: int | None = None
+                       ) -> np.ndarray:
     """NumPy mirror of the kernel's binning: per-tile candidate-chunk
     counts (n_ty, n_tx) for this view, duplicating ``upload``'s
     triangle padding, ``pack_setup``'s chunk aggregation and
-    ``bin_chunks``'s tile-overlap rule. ``tests/test_pallas_raster.py``
+    ``bin_chunks``'s tile-overlap rule. ``y0``/``grid_rows``: bin
+    against a band's own tile grid (origin + padded band rows, the
+    kernel's origin_ref) while the screen transform keeps the FULL
+    frame height — exactly the multichip band contract.
+    ``tests/test_pallas_raster.py``
     pins this mirror to the kernel's ``counts_true`` on randomized
     scenes — change either side and that test fails loudly.
 
@@ -1397,8 +1403,8 @@ def predict_bin_counts(batch, view_proj, bone_mats=None, *,
     ymin = ymin.reshape(cc, pr.CT).min(1)
     ymax = ymax.reshape(cc, pr.CT).max(1)
 
-    n_ty, n_tx = ph // pr.TILE_H, pw // pr.TILE_W
-    ty0 = np.arange(n_ty, dtype=np.float32) * pr.TILE_H
+    n_ty, n_tx = (grid_rows or ph) // pr.TILE_H, pw // pr.TILE_W
+    ty0 = np.arange(n_ty, dtype=np.float32) * pr.TILE_H + y0
     tx0 = np.arange(n_tx, dtype=np.float32) * pr.TILE_W
     ovy = (ymax[:, None] >= ty0) & (ymin[:, None] <= ty0 + pr.TILE_H)
     ovx = (xmax[:, None] >= tx0) & (xmin[:, None] <= tx0 + pr.TILE_W)
@@ -1430,19 +1436,27 @@ def auto_maxc(batch, view_proj, bone_mats=None, *,
 
 
 def auto_tap_tiles(batch, view_proj, bone_mats=None, *,
-                   width: int, height: int, margin: float = 1.25) -> int:
+                   width: int, height: int, margin: float = 1.25,
+                   bands: int = 1) -> int:
     """Host-side (NO device sync) cap for the single-layer compacted
     texture tap (shade_tap_flat_channels): a covered tile necessarily
     has binning candidates, so the predictor's non-empty-tile count
     bounds live tiles from above; ``margin`` covers animation drift.
-    Rounded up to a multiple of 8, clamped to the tile count."""
+    Rounded up to a multiple of 8, clamped to the tile count.
+    ``bands`` > 1 sizes a multichip band split: the max over each
+    band's own tile grid (one static cap serves every shard)."""
     from . import pallas_raster as pr
 
     pw = -(-width // pr.TILE_W) * pr.TILE_W
-    ph = -(-height // pr.TILE_H) * pr.TILE_H
-    nt = (pw // pr.TILE_W) * (ph // pr.TILE_H)
-    live = int((predict_bin_counts(batch, view_proj, bone_mats,
-                                   width=width, height=height) > 0).sum())
+    band_h = -(-height // bands)
+    pb = -(-band_h // pr.TILE_H) * pr.TILE_H
+    nt = (pw // pr.TILE_W) * (pb // pr.TILE_H)
+    live = max(
+        int((predict_bin_counts(batch, view_proj, bone_mats,
+                                width=width, height=height,
+                                y0=i * band_h, grid_rows=pb) > 0).sum())
+        for i in range(bands)
+    )
     return min(max(8, -(-int(np.ceil(live * margin)) // 8) * 8), nt)
 
 

@@ -179,3 +179,56 @@ class TestMultichipQualityFlags:
             lighting=True, mipmap=True,
         )
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestMultichipTapCompaction:
+    """Per-band compacted texture taps on the packed sharded path
+    (auto_tap_tiles(bands=n)): bit-identical to dense, cap bounds the
+    worst band."""
+
+    def test_compacted_matches_dense(self):
+        batch = demo.build_demo_batch(instances=4, skinned=True)
+        scene = device.upload(batch)
+        cam = demo.demo_camera(4, 64, 64)
+        vp = np.asarray(cam.view_proj())
+        bones = demo.demo_bone_mats(0.7)
+        mesh = make_row_mesh(4)
+        tt = device.auto_tap_tiles(batch, vp, bones, width=64,
+                                   height=64, bands=4)
+        kw = dict(mesh=mesh, width=64, height=64, backend="pallas",
+                  packed=True)
+        dense, dd = render_frame_multichip(scene, vp, bones, **kw)
+        compact, cd = render_frame_multichip(scene, vp, bones,
+                                             tap_tiles=tt, **kw)
+        np.testing.assert_array_equal(np.asarray(compact),
+                                      np.asarray(dense))
+        np.testing.assert_array_equal(np.asarray(cd), np.asarray(dd))
+
+    def test_band_grid_prediction_matches_kernel(self):
+        """predict_bin_counts(y0, grid_rows) mirrors the band kernels'
+        own binning: the band cap must bound every band's live tiles."""
+        from mt_renderer_tpu.render import pallas_raster as pr
+
+        batch = demo.build_demo_batch(instances=9, skinned=False)
+        scene = device.upload(batch)
+        cam = demo.demo_camera(9, 128, 96)
+        vp = np.asarray(cam.view_proj())
+        n = 3
+        tt = device.auto_tap_tiles(batch, vp, None, width=128,
+                                   height=96, bands=n, margin=1.0)
+        mesh = make_row_mesh(n)
+        _, d = render_frame_multichip(
+            scene, vp, None, mesh=mesh, width=128, height=96,
+            backend="pallas", packed=True, tap_tiles=tt)
+        cov = np.asarray(d) < 1.0
+        band_h = -(-96 // n)
+        worst = 0
+        for i in range(n):
+            band = np.zeros((-(-band_h // pr.TILE_H) * pr.TILE_H, 128),
+                            bool)
+            rows = cov[i * band_h:(i + 1) * band_h]
+            band[:rows.shape[0]] = rows
+            worst = max(worst, int(
+                band.reshape(-1, pr.TILE_H, 1, 128)
+                .any(axis=(1, 3)).sum()))
+        assert tt >= worst
