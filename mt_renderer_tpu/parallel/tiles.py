@@ -214,7 +214,8 @@ def render_frame_multichip(scene, view_proj, bone_mats=None, *,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "chunk", "clear_color",
-                     "backend", "maxc", "mipmap", "lighting", "packed"),
+                     "backend", "maxc", "mipmap", "lighting", "packed",
+                     "tap_tiles"),
 )
 def _render_frame_geomsplit_core(
     scene: dev.DeviceScene,
@@ -231,6 +232,7 @@ def _render_frame_geomsplit_core(
     mipmap: bool = False,
     lighting: bool = False,
     packed: bool = False,
+    tap_tiles: int | None = None,
 ):
     """Geometry-split multi-chip rendering: each chip rasterises a
     contiguous shard of the triangles over the FULL frame, then the
@@ -331,11 +333,13 @@ def _render_frame_geomsplit_core(
                   interpret=interp, n_attr=n_attr, w_eps=dev.W_EPS,
                   light=dev._light_unit() if lighting else None)
         if not mipmap:
-            # tile-major end to end; unflatten only the final planes
+            # tile-major end to end; unflatten only the final planes.
+            # tap_tiles: each shard's coverage is a subset of the full
+            # frame's, so the single-frame host bound caps every shard
             zb, ib, tattrs, tapidx, n_over = pr.raster_pallas_fwd(
                 (cols_s, bbox_s), None, 0, 0, tap=True, flat=True, **kw)
-            src, _cov, _ = dev.shade_tap_flat_channels(
-                scene, tattrs, tapidx, ib)
+            src, _cov, n_tap = dev.shade_tap_flat_channels(
+                scene, tattrs, tapidx, ib, tap_tiles=tap_tiles)
             z2, ib2 = zb[:, 0, :], ib[:, 0, :]
             unflat = lambda x: pr.unflatten_tiles(x, ph, pw)  # noqa: E731
         else:
@@ -356,6 +360,8 @@ def _render_frame_geomsplit_core(
         src_all = [jax.lax.psum(jnp.where(mine, c, 0.0), "rows")
                    for c in src]
         covered = jax.lax.psum(mine.astype(jnp.int32), "rows") > 0
+        if not mipmap:
+            n_over = jnp.stack([n_over, n_tap])
         n_over_all = jax.lax.psum(n_over, "rows")
 
         out = dev._blend_channels(src_all, covered, clear_color)
@@ -398,19 +404,32 @@ def render_frame_geomsplit(scene, view_proj, bone_mats=None, *,
                            maxc: int | None = None,
                            mipmap: bool = False, lighting: bool = False,
                            check_overflow: bool = True,
-                           packed: bool = False):
+                           packed: bool = False,
+                           tap_tiles: int | None = None):
     """Public geometry-split frontend — see
     ``_render_frame_geomsplit_core`` for the strategy and
-    ``device.render_frame`` for the overflow-check contract."""
+    ``device.render_frame`` for the overflow-check contract
+    (``tap_tiles``: per-shard compacted texture taps; any shard's
+    coverage is a subset of the full frame's, so
+    ``device.auto_tap_tiles`` bounds every shard)."""
     color, depth, n_over = _render_frame_geomsplit_core(
         scene, view_proj, bone_mats, mesh=mesh, width=width,
         height=height, chunk=chunk, clear_color=clear_color,
         backend=backend, maxc=maxc, mipmap=mipmap, lighting=lighting,
-        packed=packed,
+        packed=packed, tap_tiles=tap_tiles,
     )
     if check_overflow and backend == "pallas":
         from ..render import pallas_raster as pr
 
+        if n_over.ndim == 2:              # tap path: (n, [bins, taps])
+            pw_t = -(-width // pr.TILE_W)
+            ph_t = -(-height // pr.TILE_H)
+            pr.queue_overflow_check(
+                jnp.sum(n_over[:, 1]),
+                tap_tiles if tap_tiles else pw_t * ph_t,
+                what="tap overflow: live (tile, layer) rows lost their "
+                     "texture; raise tap_tiles")
+            n_over = n_over[:, 0]
         pr.queue_overflow_check(jnp.sum(n_over),
                                 maxc or pr.MAXC_DEFAULT)
     return color, depth

@@ -232,3 +232,24 @@ class TestMultichipTapCompaction:
                 band.reshape(-1, pr.TILE_H, 1, 128)
                 .any(axis=(1, 3)).sum()))
         assert tt >= worst
+
+
+class TestGeomsplitTapCompaction:
+    def test_compacted_matches_dense(self):
+        from mt_renderer_tpu.parallel.tiles import render_frame_geomsplit
+
+        batch = demo.build_demo_batch(instances=4, skinned=True)
+        scene = device.upload(batch)
+        cam = demo.demo_camera(4, 64, 64)
+        vp = np.asarray(cam.view_proj())
+        bones = demo.demo_bone_mats(0.7)
+        mesh = make_row_mesh(4)
+        tt = device.auto_tap_tiles(batch, vp, bones, width=64, height=64)
+        kw = dict(mesh=mesh, width=64, height=64, backend="pallas",
+                  packed=True)
+        dense, dd = render_frame_geomsplit(scene, vp, bones, **kw)
+        compact, cd = render_frame_geomsplit(scene, vp, bones,
+                                             tap_tiles=tt, **kw)
+        np.testing.assert_array_equal(np.asarray(compact),
+                                      np.asarray(dense))
+        np.testing.assert_array_equal(np.asarray(cd), np.asarray(dd))
