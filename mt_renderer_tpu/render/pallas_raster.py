@@ -280,34 +280,51 @@ def _overflow_report(n: int, cap: int, what: str = _WHAT_BINS):
         warnings.warn(msg, RuntimeWarning)
 
 
+def _sum_grouped(q) -> list:
+    """Device-side partial sums of queued scalars, grouped by device
+    commitment: counts from different meshes (an 8-band frame next to a
+    4-shard one) are committed to different device sets and cannot feed
+    one stack/concatenate — stacking across groups raised
+    'incompatible devices' (found by the full-suite mixed-mesh order)."""
+    groups: dict = {}
+    for x in q:
+        try:
+            key = tuple(sorted(d.id for d in x.devices()))
+        except Exception:
+            key = None
+        groups.setdefault(key, []).append(x)
+    return [g[0] if len(g) == 1 else jnp.sum(jnp.stack(g))
+            for g in groups.values()]
+
+
 def queue_overflow_check(n_over, maxc: int, what: str = _WHAT_BINS):
     """Queue a device scalar (count over a static cap) for host checking.
     Free in the frame loop: no sync, no transfer — device-side compress
-    only (one tiny fused sum) when the queue grows past _COMPRESS.
-    No-op under tracing (jax.export / nested jit): a tracer can't be
-    checked host-side and must not leak into the queue."""
+    only (one tiny fused sum per device group) when the queue grows
+    past _COMPRESS. No-op under tracing (jax.export / nested jit): a
+    tracer can't be checked host-side and must not leak into the
+    queue."""
     if isinstance(n_over, jax.core.Tracer):
         return
     q = _PENDING.setdefault(what, [])
     q.append(n_over)
     _PENDING_CAP[what] = max(_PENDING_CAP.get(what, 0), int(maxc))
     if len(q) >= _COMPRESS:
-        total = jnp.sum(jnp.stack(q))
-        q.clear()
-        q.append(total)
+        _PENDING[what] = _sum_grouped(q)
 
 
 def flush_overflow_checks():
-    """Check all queued overflow counts (ONE device→host transfer per
-    overflow kind). Call at the end of a frame loop or periodically."""
+    """Check all queued overflow counts (one device→host transfer per
+    overflow kind and device group). Call at the end of a frame loop or
+    periodically."""
     if not _PENDING:
         return
     pending = {w: q for w, q in _PENDING.items() if q}
     _PENDING.clear()
-    caps, = (_PENDING_CAP.copy(),)
+    caps = _PENDING_CAP.copy()
     _PENDING_CAP.clear()
     for what, q in pending.items():
-        total = int(jnp.sum(jnp.stack(q)))
+        total = sum(int(part) for part in _sum_grouped(q))
         _overflow_report(total, caps.get(what, 0), what)
 
 
