@@ -147,10 +147,60 @@ class ModelViewerApp(RendererApp):
         return color
 
 
+class DemoWorldApp(RendererApp):
+    """Asset-free stand-in for a loaded archive: the synthetic
+    archive-world scene (scene/world.py) — lets ``--serve`` demo the
+    live viewer (and the orbit render) without any game data."""
+
+    interactive = False
+    mipmap = True
+    lighting = False
+    backend = "pallas"
+
+    def __init__(self, buildings: int = 40):
+        self.buildings = buildings
+
+    def setup(self, mgr: RendererAppManager) -> None:
+        from ..scene import world
+
+        self.world = world.build_world(buildings=self.buildings)
+        print(f"world: {self.world.info}")
+        self.scene = device.upload(self.world.batch)
+        self.anim = self.world.animator()
+        self._dur = max(self.world.timeline.duration, 1)
+        mgr.camera = world.world_camera(mgr.width, mgr.height,
+                                        buildings=self.buildings)
+        self._base = np.asarray(mgr.camera.position, np.float32).copy()
+        self._radius = float(np.linalg.norm(self._base))
+
+    def render(self, mgr: RendererAppManager):
+        if self.interactive:
+            mgr.camera.update(mgr.input, mgr.aspect)
+            mgr.camera.fly(mgr.input, dt=max(mgr.frame_time, 1 / 60),
+                           speed=self._radius * 0.2)
+        else:
+            mgr.camera.yaw = 8.0 + 10.0 * np.sin(mgr.frame_index * 0.1)
+        bones = self.world.bone_palette(
+            self.anim.bone_mats(np.float32((2.0 * mgr.frame_index)
+                                           % self._dur)))
+        color, _ = device.render_frame(
+            self.scene, mgr.camera.view_proj(), bones,
+            width=mgr.width, height=mgr.height, backend=self.backend,
+            mipmap=self.mipmap, lighting=self.lighting,
+            packed=self.backend == "pallas" and not self.mipmap,
+        )
+        return color
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="modelviewer", description=__doc__)
-    p.add_argument("data_root", help="game data root directory")
-    p.add_argument("prp_path", help="character .prp file path")
+    p.add_argument("data_root", nargs="?", default=None,
+                   help="game data root directory")
+    p.add_argument("prp_path", nargs="?", default=None,
+                   help="character .prp file path")
+    p.add_argument("--demo", type=int, default=None, metavar="BUILDINGS",
+                   help="view the synthetic archive world instead of "
+                        "loading assets (scene/world.py)")
     p.add_argument("--out", default="frame_{i}.png",
                    help="output PNG path ({i} = frame index)")
     p.add_argument("--frames", type=int, default=1)
@@ -179,11 +229,17 @@ def main(argv=None):
                    help="stop the server after N frames (smoke tests)")
     args = p.parse_args(argv)
 
-    app = ModelViewerApp(args.data_root, args.prp_path,
-                         overlay=args.overlay, backend=args.backend,
-                         sdl_path=args.sdl)
-    app.mipmap = args.mipmap
-    app.lighting = args.lighting
+    if args.demo is not None:
+        app = DemoWorldApp(buildings=args.demo)
+        app.backend = args.backend
+    elif args.data_root is None or args.prp_path is None:
+        p.error("data_root and prp_path are required (or use --demo)")
+    else:
+        app = ModelViewerApp(args.data_root, args.prp_path,
+                             overlay=args.overlay, backend=args.backend,
+                             sdl_path=args.sdl)
+        app.mipmap = args.mipmap
+        app.lighting = args.lighting
     mgr = RendererAppManager(app, width=args.width, height=args.height)
     if args.serve is not None:
         from ..app.serve import FrameStreamServer

@@ -382,3 +382,13 @@ class TestFrameStreamServer:
         out = capsys.readouterr().out
         assert "serving live viewer on http://127.0.0.1:" in out
         assert "served 3 frame(s)" in out
+
+    def test_modelviewer_demo_world_serve(self, capsys):
+        from mt_renderer_tpu.cli import modelviewer
+
+        modelviewer.main([
+            "--demo", "6", "--width", "96", "--height", "96",
+            "--serve", "0", "--serve-frames", "2",
+        ])
+        out = capsys.readouterr().out
+        assert "world:" in out and "served 2 frame(s)" in out
