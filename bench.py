@@ -43,7 +43,8 @@ if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
 
 def parse_args(argv):
     p = argparse.ArgumentParser()
-    p.add_argument("--preset", choices=["smoke", "full", "dense", "world"],
+    p.add_argument("--preset",
+                   choices=["smoke", "full", "dense", "world", "glass"],
                    default="full")
     p.add_argument("--instances", type=int, default=None)
     p.add_argument("--subdiv", type=int, default=None,
@@ -60,6 +61,11 @@ def parse_args(argv):
                    help="write a JAX profiler trace to this directory")
     p.add_argument("--peel", type=int, default=0,
                    help="depth-peel layer count (0 = single-layer)")
+    p.add_argument("--peel-mode", choices=["split", "ml", "multipass"],
+                   default="split",
+                   help="OIT engine: 'split' (production: opaque tris "
+                        "single-layer + ML kernel for translucent only),"
+                        " 'ml' (L-nearest single-pass), 'multipass'")
     p.add_argument("--mipmap", action="store_true",
                    help="trilinear mipmapped minification")
     p.add_argument("--lighting", action="store_true",
@@ -190,6 +196,22 @@ def verify(width=256, height=256, instances=9, subdiv=2) -> dict:
     )}
     out["pass"] &= out["peel_packed"]["pass"]
 
+    # the production OIT engine (opaque/translucent split): must equal
+    # the single-pass ml peel exactly on this (opaque) scene, packed +
+    # compacted, on the live backend
+    sps = device.measure_live_tap_tiles(
+        scene, vp, bones, width=width, height=height, layers=3,
+        mode="split")
+    spk, spd = device.render_frame_peeled(
+        scene, vp, bones, width=width, height=height, layers=3,
+        backend="pallas", peel_mode="split", packed=True, tap_tiles=sps,
+    )
+    out["peel_split"] = {"tap_tiles": sps, "pass": bool(
+        (device.unpack_rgba(np.asarray(spk)) == peels["pallas"][0]).all()
+        and (np.asarray(spd) == peels["pallas"][1]).all()
+    )}
+    out["pass"] &= out["peel_split"]["pass"]
+
     from mt_renderer_tpu.parallel import tiles
 
     mc, mcd = tiles.render_frame_multichip(
@@ -243,6 +265,11 @@ def run_once(args, width, height, instances, frames, png=None):
     else:
         batch = demo.build_demo_batch(instances=instances, skinned=True,
                                       subdiv=args.subdiv or 0)
+        if args.preset == "glass":
+            # mixed content: 1/4 of the instances translucent (alpha
+            # 0.5 via the animatable material color) — the OIT stress
+            # workload the all-opaque presets can't exercise
+            batch = demo.make_translucent(batch, instances)
         scene = device.upload(batch)
         cam = demo.demo_camera(instances, width, height)
         cam.position = cam.position * getattr(args, "cam_scale", 1.0)
@@ -271,7 +298,7 @@ def run_once(args, width, height, instances, frames, png=None):
             tap_tiles = device.auto_tap_tiles(
                 batch, np.asarray(cam.view_proj()), bones_at(0),
                 width=width, height=height, bands=args.multichip)
-        elif args.peel:
+        elif args.peel and args.peel_mode != "multipass":
             # size the peel composite's compacted tap cap once at
             # setup, like maxc (one device sync — BEFORE any timing;
             # overflow stays checked)
@@ -279,7 +306,9 @@ def run_once(args, width, height, instances, frames, png=None):
                 scene, np.asarray(cam.view_proj()),
                 bones_at(0) if batch.skinned else None,
                 width=width, height=height, layers=args.peel,
-                maxc=maxc, lighting=args.lighting)
+                maxc=maxc, lighting=args.lighting, mode=args.peel_mode)
+        elif args.peel:
+            tap_tiles = None
         else:
             # single-layer compacted tap: HOST-side conservative cap
             # (no device sync — dispatch-rate measurement unaffected)
@@ -311,7 +340,9 @@ def run_once(args, width, height, instances, frames, png=None):
                 scene, vp, bones, width=width, height=height,
                 layers=args.peel, chunk=chunk, backend=args.backend,
                 maxc=maxc, mipmap=args.mipmap, lighting=args.lighting,
-                packed=args.backend == "pallas" and not args.mipmap,
+                peel_mode=args.peel_mode,
+                packed=(args.backend == "pallas" and not args.mipmap
+                        and args.peel_mode != "multipass"),
                 tap_tiles=tap_tiles,
             )
         return device.render_frame(
@@ -423,7 +454,9 @@ def run_once(args, width, height, instances, frames, png=None):
                 scene, vp, bones, width=width, height=height,
                 layers=args.peel, chunk=chunk, backend=args.backend,
                 maxc=maxc, mipmap=args.mipmap, lighting=args.lighting,
-                packed=args.backend == "pallas" and not args.mipmap,
+                peel_mode=args.peel_mode,
+                packed=(args.backend == "pallas" and not args.mipmap
+                        and args.peel_mode != "multipass"),
                 tap_tiles=tap_tiles)
         else:
             c, d, _ = device._render_frame_core(
@@ -529,6 +562,16 @@ def main(argv=None):
         png = args.png
         if args.subdiv is None:
             args.subdiv = 4
+    elif args.preset == "glass":
+        # dense-style camera-in-field scene with 1/4 of the instances
+        # translucent — the honest OIT workload (--peel recommended)
+        width = args.width or 1920
+        height = args.height or 1080
+        instances = args.instances or 1024
+        frames = args.frames
+        png = args.png
+        if args.subdiv is None:
+            args.subdiv = 4
     elif args.preset == "world":
         width = args.width or 1920
         height = args.height or 1080
@@ -546,7 +589,7 @@ def main(argv=None):
 
     # dense: pull the camera into the cube field — most pixels covered,
     # several depth layers per pixel
-    args.cam_scale = 0.3 if args.preset == "dense" else 1.0
+    args.cam_scale = 0.3 if args.preset in ("dense", "glass") else 1.0
 
     if args.table:
         # one SUBPROCESS per config: any device→host transfer (end-of-run
@@ -558,7 +601,9 @@ def main(argv=None):
         configs = [
             ("pallas", []),
             ("pallas+mip+light", ["--mipmap", "--lighting"]),
-            ("pallas peel4", ["--peel", "4"]),
+            ("pallas peel4", ["--peel", "4"]),   # split OIT engine
+            ("pallas peel4 ml", ["--peel", "4", "--peel-mode", "ml"]),
+            ("pallas peel4 glass", ["--preset", "glass", "--peel", "4"]),
             ("pallas dense", ["--preset", "dense"]),
             ("pallas world", ["--preset", "world", "--mipmap"]),
             # no scan row: the all-triangles scan backend is O(T·pixels)

@@ -622,7 +622,8 @@ def raster_multilayer(setup, width: int, height: int, chunk: int,
 
 
 def setup_packed_cols(scene: DeviceScene, clip, width: int, height: int,
-                      bone_mats=None, lighting: bool = False):
+                      bone_mats=None, lighting: bool = False,
+                      opacity_split: bool = False):
     """Per-triangle setup + forward-attribute planes computed as 1-D
     columns and packed straight into the raster kernel's column matrix.
 
@@ -632,7 +633,16 @@ def setup_packed_cols(scene: DeviceScene, clip, width: int, height: int,
     3 → 128 (42× traffic — measured ~4.5 ms of the 22 ms r2 frame).
 
     Returns (cols (Tp, 15+E) f32, bbox 5-tuple of (C,) chunk stats,
-    n_attr)."""
+    n_attr).
+
+    ``opacity_split=True`` instead partitions the triangles by the
+    per-triangle opacity (the same predicate the ML kernel's opaque-z
+    cull reads from the tex column) and returns
+    ((cols_opaque, bbox_opaque), (cols_translucent, bbox_translucent),
+    n_attr): identical column math, but each subset's complement has
+    its first edge bias set to REJECT (never inside) and its group
+    bboxes exclude it (never binned) — the geometry feed for the
+    split peel (``_render_frame_peeled_core`` peel_mode="split")."""
     from . import pallas_raster as pr
 
     tp = scene.tri_valid.shape[0]
@@ -711,28 +721,40 @@ def setup_packed_cols(scene: DeviceScene, clip, width: int, height: int,
     tex_enc = cc[0] + jnp.where(textured, 0.5, -0.5) * (
         1.0 - opq.astype(jnp.float32))
 
-    cols = (ea + eb + ec + bias + zp + up + vp_ + wp
+    tail = (zp + up + vp_ + wp
             + [tex_enc] + c_cols + [cc[5], cc[6], cc[7], cc[8]])
     n_attr = pr.ATTRS_BASE
     if lighting:
         nc = world_normals(scene, bone_mats).reshape(3, tp, 3)
         for ch in range(3):
-            cols += plane3(*[nc[i, :, ch] * inv_w[i] for i in range(3)])
+            tail += plane3(*[nc[i, :, ch] * inv_w[i] for i in range(3)])
         n_attr = pr.ATTRS_LIT
-    packed_cols = jnp.stack(cols, axis=1)                 # (Tp, 15+E)
 
     big = jnp.float32(1e30)
     cg = tp // pr.KG
 
-    def cmin(vals):
+    def cmin(vals, v):
         m = jnp.minimum(jnp.minimum(vals[0], vals[1]), vals[2])
-        return jnp.where(valid, m, big).reshape(cg, pr.KG).min(1)
+        return jnp.where(v, m, big).reshape(cg, pr.KG).min(1)
 
-    def cmax(vals):
+    def cmax(vals, v):
         m = jnp.maximum(jnp.maximum(vals[0], vals[1]), vals[2])
-        return jnp.where(valid, m, -big).reshape(cg, pr.KG).max(1)
+        return jnp.where(v, m, -big).reshape(cg, pr.KG).max(1)
 
-    bbox = (cmin(sx), cmax(sx), cmin(sy), cmax(sy), cmin(sz))
+    def finish(bias0, v):
+        packed_cols = jnp.stack(
+            ea + eb + ec + [bias0] + bias[1:] + tail, axis=1
+        )                                                 # (Tp, 15+E)
+        bb = (cmin(sx, v), cmax(sx, v), cmin(sy, v), cmax(sy, v),
+              cmin(sz, v))
+        return packed_cols, bb
+
+    if opacity_split:
+        rej = jnp.float32(pr.REJECT)
+        return (finish(jnp.where(opq, bias[0], rej), valid & opq),
+                finish(jnp.where(opq, rej, bias[0]), valid & ~opq),
+                n_attr)
+    packed_cols, bbox = finish(bias[0], valid)
     return packed_cols, bbox, n_attr
 
 
@@ -960,7 +982,8 @@ def shade_tap_flat_channels(scene: DeviceScene, tattrs, tapidx, ib,
 
 def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
                               layers: int, clear_color,
-                              tap_tiles: int | None = None):
+                              tap_tiles: int | None = None,
+                              covered=None, dst0=None):
     """Tile-major multi-layer composite over the single-pass ML kernel's
     tap outputs (``raster_pallas_fwd_ml`` with ``tap=True, flat=True``):
     tattrs (n_tiles, L*6, P), tapidx/il (n_tiles, L, P), layers nearest
@@ -981,13 +1004,22 @@ def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
     caller to report loudly (render_frame_peeled queues it like bin
     overflow). None/0 = dense — exact for any content, the default.
 
+    ``covered`` overrides the per-(tile, layer, pixel) liveness mask
+    (default ``il >= 0``) — the split peel culls translucent fragments
+    behind the opaque winner here, which is exactly equivalent to
+    culling them in the kernel (in-front fragments are nearer, so the
+    L-deep list keeps them first either way). ``dst0`` overrides the
+    blend destination (channel list, default = clear color) — the
+    split peel starts from the shaded opaque frame.
+
     Returns (channel list [r, g, b, a] each (n_tiles, P) f32 0-255,
     still tile-major — callers pack/quantize + unflatten,
     n_over_tap)."""
     nt, _, p = tapidx.shape
     a4 = tattrs.reshape(nt, layers, 6, p)
     textured = tapidx >= 0
-    covered = il >= 0
+    if covered is None:
+        covered = il >= 0
     n = nt * layers
     cap = 0 if tap_tiles is None else min(tap_tiles, n)
     if cap and cap < n:
@@ -1007,8 +1039,12 @@ def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
         alb = _tap_albedo_channels(scene.mip_pool, tapidx,
                                    a4[:, :, 0], a4[:, :, 1])
         n_over_tap = jnp.int32(0)
-    clear = np.asarray(clear_color, np.float32)
-    dst = [jnp.full((nt, p), clear[c], jnp.float32) for c in range(4)]
+    if dst0 is None:
+        clear = np.asarray(clear_color, np.float32)
+        dst = [jnp.full((nt, p), clear[c], jnp.float32)
+               for c in range(4)]
+    else:
+        dst = list(dst0)
     for l in reversed(range(layers)):
         src = [jnp.where(textured[:, l], alb[c][:, l] * a4[:, l, 2 + c],
                          a4[:, l, 2 + c]) for c in range(4)]
@@ -1464,7 +1500,8 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
                            *, width: int, height: int, layers: int,
                            maxc: int | None = None,
                            lighting: bool = False,
-                           margin: float = 1.5) -> int:
+                           margin: float = 1.5,
+                           mode: str = "ml"):
     """Size ``tap_tiles`` (the peeled composite's compacted texture-tap
     cap — see composite_peeled_tap_flat) for a scene: run the ML kernel
     once for this view, count live (tile, layer) pairs on device, and
@@ -1472,25 +1509,56 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
     call once at load / scene change, exactly like ``auto_maxc``).
     Opaque content keeps deeper layers empty (kernel opaque-z cull), so
     this typically lands near ONE frame's covered tiles instead of
-    n_tiles x layers."""
+    n_tiles x layers.
+
+    ``mode="split"`` sizes the split peel instead and returns the
+    (opaque covered-tile cap, translucent live-row cap) pair that
+    ``render_frame_peeled(..., peel_mode="split", tap_tiles=...)``
+    takes."""
     from . import pallas_raster as pr
 
     pw = -(-width // pr.TILE_W) * pr.TILE_W
     ph = -(-height // pr.TILE_H) * pr.TILE_H
+    nt = (pw // pr.TILE_W) * (ph // pr.TILE_H)
     clip = vertex_stage(scene, view_proj, bone_mats)
+    mc = maxc or pr.MAXC_DEFAULT
+    interp = jax.default_backend() != "tpu"
+    light = _light_unit() if lighting else None
+
+    def cap(live, hi):
+        return min(max(8, -(-int(np.ceil(live * margin)) // 8) * 8), hi)
+
+    if mode == "split":
+        (cols_op, bbox_op), (cols_tr, bbox_tr), n_attr = \
+            setup_packed_cols(scene, clip, width, height,
+                              bone_mats=bone_mats, lighting=lighting,
+                              opacity_split=True)
+        zo, io, _, _, _ = pr.raster_pallas_fwd(
+            (cols_op, bbox_op), None, 0, 0, width=pw, height=ph,
+            maxc=mc, interpret=interp, n_attr=n_attr, tap=True,
+            w_eps=W_EPS, light=light, flat=True)
+        zt, it, _, _, _ = pr.raster_pallas_fwd_ml(
+            (cols_tr, bbox_tr), None, 0, 0, width=pw, height=ph,
+            layers=layers, maxc=mc, interpret=interp, n_attr=n_attr,
+            tap=True, w_eps=W_EPS, light=light, flat=True,
+            variant="nocull")
+        zo_eff = jnp.where(io >= 0, zo, jnp.float32(jnp.inf))
+        cov_tr = (it >= 0) & ((zt < zo_eff)
+                              | ((zt == zo_eff) & (it > io)))
+        live_op = int(jnp.sum(jnp.any(io >= 0, axis=2)))
+        live_tr = int(jnp.sum(jnp.any(cov_tr, axis=2)))
+        return cap(live_op, nt), cap(live_tr, nt * layers)
+
     cols, bbox, n_attr = setup_packed_cols(
         scene, clip, width, height, bone_mats=bone_mats,
         lighting=lighting)
     _, ib, _, _, _ = pr.raster_pallas_fwd_ml(
         (cols, bbox), None, 0, 0, width=pw, height=ph, layers=layers,
-        maxc=maxc or pr.MAXC_DEFAULT,
-        interpret=jax.default_backend() != "tpu",
+        maxc=mc, interpret=interp,
         n_attr=n_attr, tap=True, w_eps=W_EPS,
-        light=_light_unit() if lighting else None, flat=True)
+        light=light, flat=True)
     live = int(jnp.sum(jnp.any(ib >= 0, axis=2)))
-    nt = (pw // pr.TILE_W) * (ph // pr.TILE_H)
-    return min(max(8, -(-int(np.ceil(live * margin)) // 8) * 8),
-               nt * layers)
+    return cap(live, nt * layers)
 
 
 @functools.partial(
@@ -1612,8 +1680,11 @@ def _queue_frame_overflow(n_over, maxc, tap_tiles, width, height):
     if isinstance(n_over, tuple):
         n_over, n_tap = n_over
         nt = ((-(-width // pr.TILE_W)) * (-(-height // pr.TILE_H)))
+        cap = tap_tiles if tap_tiles else nt
+        if isinstance(cap, tuple):                    # split-peel pair
+            cap = sum((c if c else nt) for c in cap)
         pr.queue_overflow_check(
-            n_tap, tap_tiles if tap_tiles else nt,
+            n_tap, cap,
             what="tap overflow: live (tile, layer) rows lost their "
                  "texture; raise tap_tiles")
     pr.queue_overflow_check(n_over, maxc or pr.MAXC_DEFAULT)
@@ -1655,17 +1726,37 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
     differential testing). Layer semantics of "ml" match the scan
     oracle (L nearest, later-triangle tie wins); "multipass" peels with
     the PEEL_EPS exclusion chain — identical on scenes whose surfaces
-    are separated by more than PEEL_EPS.
+    are separated by more than PEEL_EPS. "split" (the production
+    config) partitions by per-triangle opacity: opaque triangles take
+    the single-layer fast path, ONLY translucent ones ride the ML
+    kernel, and the merge culls translucent fragments behind the
+    opaque winner under the exact (z, id) order. Its contract is the
+    opaque surface + the L nearest translucent fragments in front —
+    identical to "ml" whenever < ``layers`` translucent fragments
+    cover a pixel (and strictly more accurate beyond: opaque content
+    no longer consumes list slots). Cost scales with translucent
+    coverage — near the single-layer frame time on opaque scenes.
+    ``tap_tiles`` for "split" may be an (opaque, translucent) pair
+    from ``measure_live_tap_tiles(mode="split")``.
 
     Returns ((H, W, 4) uint8, (H, W) f32 nearest depth); with
     ``packed=True`` (pallas "ml", non-mipmap only) color is (H, W)
     uint32 RGBA-packed like ``render_frame``."""
-    if peel_mode not in ("ml", "multipass"):
+    if peel_mode not in ("ml", "multipass", "split"):
         raise ValueError(f"unknown peel_mode {peel_mode!r}")
-    if packed and not (backend == "pallas" and peel_mode == "ml"
+    if peel_mode == "split" and not (backend == "pallas" and not mipmap
+                                     and layers >= 2):
+        raise ValueError("peel_mode='split' requires the pallas "
+                         "backend, layers >= 2 and no mipmap")
+    if packed and not (backend == "pallas"
+                       and peel_mode in ("ml", "split")
                        and layers >= 2 and not mipmap):
         raise ValueError("packed peeled output requires the pallas "
-                         "backend's single-pass (ml) non-mipmap path")
+                         "backend's single-pass (ml/split) non-mipmap "
+                         "path")
+    if isinstance(tap_tiles, tuple) and peel_mode != "split":
+        raise ValueError("tuple tap_tiles is the split peel's "
+                         "(opaque, translucent) cap pair")
     clip = vertex_stage(scene, view_proj, bone_mats)
 
     if backend == "pallas":
@@ -1675,6 +1766,70 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
         ph = -(-height // pr.TILE_H) * pr.TILE_H
         interp = jax.default_backend() != "tpu"
         band = (pw, ph)
+
+        if peel_mode == "split":
+            # opaque/translucent split: opaque triangles raster
+            # single-layer (the production fast path), the ML kernel
+            # sees ONLY translucent ones, and the merge culls
+            # translucent fragments behind the opaque winner by the
+            # exact (z asc, id desc) list order. Contract: the opaque
+            # surface plus the L nearest translucent fragments in
+            # front of it — opaque content no longer consumes list
+            # slots (strictly MORE accurate than "L nearest
+            # fragments" on deep stacks, and the translucent pass's
+            # cost scales with translucent content: ~zero on the
+            # opaque scenes the reference renders, model.rs:242-247).
+            (cols_op, bbox_op), (cols_tr, bbox_tr), n_attr = \
+                setup_packed_cols(scene, clip, width, height,
+                                  bone_mats=bone_mats,
+                                  lighting=lighting, opacity_split=True)
+            mc = maxc or pr.MAXC_DEFAULT
+            light = _light_unit() if lighting else None
+            zo, io, tat_op, tid_op, nov_op = pr.raster_pallas_fwd(
+                (cols_op, bbox_op), None, 0, 0, width=pw, height=ph,
+                maxc=mc, interpret=interp, n_attr=n_attr, tap=True,
+                w_eps=W_EPS, light=light, flat=True)
+            # all-translucent feed: the in-kernel opaque horizon can
+            # never trigger, so skip its per-group reduce ("nocull")
+            zt, it, tat_tr, tid_tr, nov_tr = pr.raster_pallas_fwd_ml(
+                (cols_tr, bbox_tr), None, 0, 0, width=pw, height=ph,
+                layers=layers, maxc=mc, interpret=interp, n_attr=n_attr,
+                tap=True, w_eps=W_EPS, light=light, flat=True,
+                variant="nocull")
+            cap_op, cap_tr = (tap_tiles if isinstance(tap_tiles, tuple)
+                              else (tap_tiles, tap_tiles))
+            src_op, cov_op, novt_op = shade_tap_flat_channels(
+                scene, tat_op, tid_op, io, tap_tiles=cap_op)
+            dst0 = _blend_channels(src_op, cov_op, clear_color)
+            inf = jnp.float32(jnp.inf)
+            # raw z where covered, +inf where not (the wrappers remap
+            # uncovered z to 1.0, which real z may exceed)
+            zo_eff = jnp.where(io >= 0, zo, inf)
+            front = (zt < zo_eff) | ((zt == zo_eff) & (it > io))
+            cov_tr = (it >= 0) & front
+            dst, novt_tr = composite_peeled_tap_flat(
+                scene, tat_tr, tid_tr, it, layers, clear_color,
+                tap_tiles=cap_tr, covered=cov_tr, dst0=dst0)
+            n_over = (nov_op + nov_tr, novt_op + novt_tr)
+            z0 = jnp.minimum(jnp.where(it[:, 0] >= 0, zt[:, 0], inf),
+                             jnp.where(io[:, 0] >= 0, zo[:, 0], inf))
+            z0 = jnp.where(jnp.isfinite(z0), z0, 1.0)
+            zb0 = pr.unflatten_tiles(z0, ph, pw)
+            if packed:
+                q = [jnp.clip(d + 0.5, 0.0, 255.0).astype(jnp.uint32)
+                     for d in dst]
+                pk = q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
+                color = pr.unflatten_tiles(pk, ph, pw)
+                return (color[:height, :width],
+                        zb0[:height, :width], n_over)
+            out8 = [
+                pr.unflatten_tiles(
+                    jnp.clip(d + 0.5, 0.0, 255.0).astype(jnp.uint8),
+                    ph, pw,
+                ) for d in dst
+            ]
+            color = jnp.stack(out8, axis=-1)[:height, :width]
+            return color, zb0[:height, :width], n_over
 
         if peel_mode == "ml" and layers >= 2:
             cols, bbox, n_attr = setup_packed_cols(

@@ -75,6 +75,24 @@ def build_demo_batch(instances: int = 1, skinned: bool = True,
     return batch
 
 
+def make_translucent(batch: DrawBatch, instances: int,
+                     fraction: float = 0.25,
+                     alpha: float = 0.5) -> DrawBatch:
+    """Make ~``fraction`` of the instances translucent: assigns them
+    material slot 1 whose color multiplier has alpha < 1 (the same
+    animatable ``mat_color`` channel rScheduler tracks drive), so the
+    OIT paths see real mixed opaque/translucent content — the
+    ``--preset glass`` workload."""
+    t = batch.num_triangles
+    per = max(t // max(instances, 1), 1)
+    inst = np.arange(t, dtype=np.int64) // per
+    k = max(int(round(1.0 / fraction)), 1)
+    batch.tri_material = np.where(inst % k == 0, 1, 0).astype(np.int32)
+    batch.mat_color_host = np.array(
+        [[1.0, 1.0, 1.0, 1.0], [1.0, 1.0, 1.0, alpha]], np.float32)
+    return batch
+
+
 def demo_camera(instances: int = 1, width: int = 512, height: int = 512):
     """A camera that frames the demo grid."""
     from ..app.camera import Camera

@@ -269,6 +269,18 @@ class TestOpaqueCulling:
                 np.asarray(compact), np.asarray(dense),
                 err_msg=f"alpha={alpha} cap={cap}")
 
+    def test_split_tap_overflow_detected_not_silent(self):
+        from mt_renderer_tpu.render import pallas_raster as pr
+
+        scene = device.upload(self._stack(128))
+        before = pr.OVERFLOW_EVENTS
+        with pytest.warns(RuntimeWarning, match="tap overflow"):
+            device.render_frame_peeled(
+                scene, _vp(), None, width=64, height=64, layers=2,
+                backend="pallas", peel_mode="split", tap_tiles=(1, 1))
+            pr.flush_overflow_checks()
+        assert pr.OVERFLOW_EVENTS == before + 1
+
     def test_tap_overflow_detected_not_silent(self):
         from mt_renderer_tpu.render import pallas_raster as pr
 
@@ -282,3 +294,125 @@ class TestOpaqueCulling:
                 backend="pallas", tap_tiles=1)
             pr.flush_overflow_checks()
         assert pr.OVERFLOW_EVENTS == before + 1
+
+
+class TestSplitPeel:
+    """The opaque/translucent split peel (peel_mode="split"): opaque
+    triangles raster single-layer, ONLY translucent ones ride the ML
+    kernel, and the merge culls translucent fragments behind the
+    opaque winner under the exact (z asc, id desc) order. Contract:
+    the opaque surface + the L nearest translucent fragments in front
+    — identical to "ml" whenever < L translucent fragments cover a
+    pixel, strictly more accurate beyond (opaque content no longer
+    consumes a list slot)."""
+
+    def _demo(self):
+        from mt_renderer_tpu.scene import demo
+
+        batch = demo.build_demo_batch(instances=4, skinned=True, subdiv=1)
+        cam = demo.demo_camera(4, 96, 96)
+        return (device.upload(batch), np.asarray(cam.view_proj()),
+                demo.demo_bone_mats(0.4))
+
+    def test_matches_ml_on_opaque_scene(self):
+        scene, vp, bones = self._demo()
+        kw = dict(width=96, height=96, layers=3, backend="pallas")
+        ml, dml, _ = device._render_frame_peeled_core(
+            scene, vp, bones, peel_mode="ml", **kw)
+        sp, dsp, _ = device._render_frame_peeled_core(
+            scene, vp, bones, peel_mode="split", **kw)
+        np.testing.assert_array_equal(np.asarray(ml), np.asarray(sp))
+        np.testing.assert_array_equal(np.asarray(dml), np.asarray(dsp))
+
+    @pytest.mark.parametrize("alpha_front", [255, 128])
+    def test_matches_ml_on_textured_stack(self, alpha_front):
+        batch = _textured_quad_batch([
+            (0.0, np.full((8, 8, 4), (200, 200, 200, alpha_front),
+                          np.uint8)),
+            (-1.0, np.full((8, 8, 4), (255, 0, 0, 255), np.uint8)),
+        ])
+        scene = device.upload(batch)
+        kw = dict(width=64, height=64, layers=3, backend="pallas")
+        ml, dml, _ = device._render_frame_peeled_core(
+            scene, _vp(), None, peel_mode="ml", **kw)
+        sp, dsp, _ = device._render_frame_peeled_core(
+            scene, _vp(), None, peel_mode="split", **kw)
+        np.testing.assert_array_equal(np.asarray(ml), np.asarray(sp))
+        np.testing.assert_array_equal(np.asarray(dml), np.asarray(dsp))
+
+    def test_deep_stack_keeps_opaque_floor(self):
+        # 4 translucent quads in front of an opaque one. With L=4 the
+        # split equals ml with L=5 (the opaque floor is free); with
+        # L=2 the two nearest translucents blend over the opaque —
+        # where the "L nearest fragments" contract would have lost the
+        # opaque to truncation and bled the clear color through.
+        stack = [(0.8, (255, 0, 0, 100)), (0.6, (0, 255, 0, 100)),
+                 (0.4, (0, 0, 255, 100)), (0.2, (255, 255, 0, 100)),
+                 (-0.5, (40, 40, 40, 255))]
+        scene = device.upload(_quad_batch(stack))
+        vp = _vp()
+        kw = dict(width=48, height=48, backend="pallas")
+        sp4, _, _ = device._render_frame_peeled_core(
+            scene, vp, None, peel_mode="split", layers=4, **kw)
+        ml5, _, _ = device._render_frame_peeled_core(
+            scene, vp, None, peel_mode="ml", layers=5, **kw)
+        np.testing.assert_array_equal(np.asarray(sp4), np.asarray(ml5))
+
+        sp2, _, _ = device._render_frame_peeled_core(
+            scene, vp, None, peel_mode="split", layers=2, **kw)
+        a = 100 / 255.0
+        want = np.array([40, 40, 40], float)     # opaque over clear
+        for rgb in ([0, 255, 0], [255, 0, 0]):   # 2 nearest, b-to-f
+            want = np.array(rgb, float) * a + want * (1 - a)
+        np.testing.assert_allclose(
+            np.asarray(sp2)[24, 24, :3], np.round(want), atol=1)
+
+    def test_coplanar_translucent_opaque_tie(self):
+        # translucent coplanar WITH an opaque quad: the (z, id) order
+        # decides — drawn after (larger id) composites in front, drawn
+        # before is hidden behind the opaque winner. Split == ml.
+        for order in ((0, 1), (1, 0)):
+            quads = [None, None]
+            quads[order[0]] = (0.0, (0, 0, 255, 128))    # translucent
+            quads[order[1]] = (0.0, (200, 0, 0, 255))    # opaque
+            scene = device.upload(_quad_batch(quads))
+            kw = dict(width=48, height=48, layers=3, backend="pallas")
+            ml, _, _ = device._render_frame_peeled_core(
+                scene, _vp(), None, peel_mode="ml", **kw)
+            sp, _, _ = device._render_frame_peeled_core(
+                scene, _vp(), None, peel_mode="split", **kw)
+            np.testing.assert_array_equal(np.asarray(ml), np.asarray(sp),
+                                          err_msg=f"order={order}")
+
+    def test_compacted_and_packed_match_dense(self):
+        scene, vp, bones = self._demo()
+        kw = dict(width=96, height=96, layers=3, backend="pallas")
+        caps = device.measure_live_tap_tiles(
+            scene, vp, bones, width=96, height=96, layers=3,
+            mode="split")
+        dense, _, _ = device._render_frame_peeled_core(
+            scene, vp, bones, peel_mode="split", **kw)
+        compact, _, _ = device._render_frame_peeled_core(
+            scene, vp, bones, peel_mode="split", tap_tiles=caps, **kw)
+        np.testing.assert_array_equal(np.asarray(dense),
+                                      np.asarray(compact))
+        pk, _, _ = device._render_frame_peeled_core(
+            scene, vp, bones, peel_mode="split", packed=True,
+            tap_tiles=caps, **kw)
+        np.testing.assert_array_equal(
+            device.unpack_rgba(np.asarray(pk)), np.asarray(dense))
+
+    def test_validation(self):
+        scene, vp, bones = self._demo()
+        with pytest.raises(ValueError, match="split"):
+            device._render_frame_peeled_core(
+                scene, vp, bones, width=96, height=96, layers=3,
+                backend="scan", peel_mode="split")
+        with pytest.raises(ValueError, match="split"):
+            device._render_frame_peeled_core(
+                scene, vp, bones, width=96, height=96, layers=3,
+                backend="pallas", mipmap=True, peel_mode="split")
+        with pytest.raises(ValueError, match="cap pair"):
+            device._render_frame_peeled_core(
+                scene, vp, bones, width=96, height=96, layers=3,
+                backend="pallas", peel_mode="ml", tap_tiles=(4, 4))
