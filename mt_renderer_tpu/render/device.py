@@ -1537,12 +1537,12 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
             (cols_op, bbox_op), None, 0, 0, width=pw, height=ph,
             maxc=mc, interpret=interp, n_attr=n_attr, tap=True,
             w_eps=W_EPS, light=light, flat=True)
+        zo_eff = jnp.where(io >= 0, zo, jnp.float32(jnp.inf))
         zt, it, _, _, _ = pr.raster_pallas_fwd_ml(
             (cols_tr, bbox_tr), None, 0, 0, width=pw, height=ph,
             layers=layers, maxc=mc, interpret=interp, n_attr=n_attr,
             tap=True, w_eps=W_EPS, light=light, flat=True,
-            variant="nocull")
-        zo_eff = jnp.where(io >= 0, zo, jnp.float32(jnp.inf))
+            variant="nocull", zhi=zo_eff)
         cov_tr = (it >= 0) & ((zt < zo_eff)
                               | ((zt == zo_eff) & (it > io)))
         live_op = int(jnp.sum(jnp.any(io >= 0, axis=2)))
@@ -1789,22 +1789,24 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
                 (cols_op, bbox_op), None, 0, 0, width=pw, height=ph,
                 maxc=mc, interpret=interp, n_attr=n_attr, tap=True,
                 w_eps=W_EPS, light=light, flat=True)
+            inf = jnp.float32(jnp.inf)
+            # raw opaque z where covered, +inf where not (the wrapper
+            # remaps uncovered z to 1.0, which real z may exceed)
+            zo_eff = jnp.where(io >= 0, zo, inf)
             # all-translucent feed: the in-kernel opaque horizon can
-            # never trigger, so skip its per-group reduce ("nocull")
+            # never trigger, so skip its per-group reduce ("nocull");
+            # the opaque z-buffer rides in as the zhi work-skip horizon
+            # instead (fragments behind a wall never enter the list)
             zt, it, tat_tr, tid_tr, nov_tr = pr.raster_pallas_fwd_ml(
                 (cols_tr, bbox_tr), None, 0, 0, width=pw, height=ph,
                 layers=layers, maxc=mc, interpret=interp, n_attr=n_attr,
                 tap=True, w_eps=W_EPS, light=light, flat=True,
-                variant="nocull")
+                variant="nocull", zhi=zo_eff)
             cap_op, cap_tr = (tap_tiles if isinstance(tap_tiles, tuple)
                               else (tap_tiles, tap_tiles))
             src_op, cov_op, novt_op = shade_tap_flat_channels(
                 scene, tat_op, tid_op, io, tap_tiles=cap_op)
             dst0 = _blend_channels(src_op, cov_op, clear_color)
-            inf = jnp.float32(jnp.inf)
-            # raw z where covered, +inf where not (the wrappers remap
-            # uncovered z to 1.0, which real z may exceed)
-            zo_eff = jnp.where(io >= 0, zo, inf)
             front = (zt < zo_eff) | ((zt == zo_eff) & (it > io))
             cov_tr = (it >= 0) & front
             dst, novt_tr = composite_peeled_tap_flat(

@@ -775,10 +775,11 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
     return zb, ib, attrs, n_over
 
 
-def _raster_fwd_ml_kernel(layers, n_attr, tap, mtap, w_eps, light,
-                          variant,
+def _raster_fwd_ml_kernel(layers, n_attr, has_zhi, tap, mtap, w_eps,
+                          light, variant,
                           counts_ref, lists_ref, glists_ref, origin_ref,
-                          setup_hbm, zl_ref, il_ref, attr_ref, *rest):
+                          setup_hbm, zhi_ref, zl_ref, il_ref, attr_ref,
+                          *rest):
     """Single-pass multi-layer (OIT) raster kernel.
 
     Replaces L full depth-peel passes (the r2 formulation —
@@ -892,6 +893,13 @@ def _raster_fwd_ml_kernel(layers, n_attr, tap, mtap, w_eps, light,
                     # first chunk ordering this kills most far-chunk
                     # work, like the single-layer z <= zbuf test) ...
                     zlim = zl_ref[0][lyr - 1:lyr]
+                    if has_zhi:
+                        # ... and against the caller's depth horizon
+                        # (split peel: the opaque pass's raw z-buffer).
+                        # <= keeps coincident fragments — the merge's
+                        # (z, id) tie rule decides those — so this is
+                        # a pure work-skip, never a semantic change.
+                        zlim = jnp.minimum(zlim, zhi_ref[0])
                     if ocull:
                         # ... and against the nearest opaque CANDIDATE
                         # seen so far: a fragment strictly behind it
@@ -1133,7 +1141,8 @@ def raster_pallas_fwd_ml(setup, extras, x0, y0, *, width: int,
                          tap: bool = False, mtap: bool = False,
                          w_eps: float = 1e-6,
                          light: tuple | None = None, pre=None,
-                         flat: bool = False, variant: str = "full"):
+                         flat: bool = False, variant: str = "full",
+                         zhi=None):
     """Single-pass multi-layer forward raster over a band — the
     order-independent-transparency engine (see _raster_fwd_ml_kernel).
 
@@ -1195,10 +1204,22 @@ def raster_pallas_fwd_ml(setup, extras, x0, y0, *, width: int,
         out_shape.append(
             jax.ShapeDtypeStruct((n_tiles, layers, P), jnp.int32))
 
+    if zhi is None:
+        zhi_t = jnp.full((n_tiles, 1, P), jnp.inf, jnp.float32)
+    elif zhi.ndim == 3:
+        zhi_t = zhi                      # already tile-major
+    else:
+        zhi_t = (
+            zhi.reshape(n_ty, TILE_H, n_tx, TILE_W)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_tiles, 1, P)
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, 1, P), index_map=imap)],
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, K, NF), jnp.float32),
@@ -1210,11 +1231,13 @@ def raster_pallas_fwd_ml(setup, extras, x0, y0, *, width: int,
 
     outs = pl.pallas_call(
         functools.partial(_raster_fwd_ml_kernel, layers, n_attr,
-                          tap, mtap, w_eps, light, variant),
+                          zhi is not None, tap, mtap, w_eps, light,
+                          variant),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(counts, lists.reshape(-1), glists.reshape(-1), origin, packed)
+    )(counts, lists.reshape(-1), glists.reshape(-1), origin, packed,
+      zhi_t)
     zb, ib, attrs = outs[:3]
     zb = jnp.where(ib >= 0, zb, 1.0)
 
