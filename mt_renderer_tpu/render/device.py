@@ -348,10 +348,10 @@ def _fold_parts_mask(tri_valid, tri_parts, mask):
 
 
 # Palettes up to this size blend via a one-hot MXU matmul instead of a
-# (V, W, 4, 4) matrix gather — vertex gathers were ~9.5 ms of the 52 ms
-# frame (r2, 153k verts); the one-hot intermediate is (V, W, nj) so the
-# trick only pays while nj is small.
-ONEHOT_SKIN_MAX_JOINTS = 32
+# matrix gather — vertex gathers were ~9.5 ms of the 52 ms frame (r2,
+# 153k verts). 128 = one lane register: the weighted one-hot fuses to a
+# (V, nj→128) f32 operand with no padded (V, W, ...) intermediate.
+ONEHOT_SKIN_MAX_JOINTS = 128
 
 
 def _blend_bone_mats(scene: DeviceScene, bone_mats: jax.Array) -> jax.Array:
@@ -368,8 +368,14 @@ def _blend_bone_mats(scene: DeviceScene, bone_mats: jax.Array) -> jax.Array:
         return jnp.matmul(
             onehot, bone_mats.reshape(nj, 16), precision=hi
         ).reshape(v, 4, 4)
-    m = bone_mats[scene.joints]                            # (V, W, 4, 4)
-    return jnp.einsum("vw,vwij->vij", scene.weights, m, precision=hi)
+    # huge palettes: gather WIDE (nj, 16) rows. Gathers are row-priced
+    # (16 f32 costs the same as 4), and the minor dim 16 tile-pads 8x —
+    # the (V, W, 4, 4) matrix-gather form's (4, 4) minor pair pads
+    # (8, 128) = 32x HBM, which OOM'd the 96-joint world scene at
+    # 5.76M corner-rows (that scene now rides the one-hot path above)
+    m = bone_mats.reshape(nj, 16)[scene.joints]            # (V, W, 16)
+    return jnp.einsum("vw,vwk->vk", scene.weights, m,
+                      precision=hi).reshape(v, 4, 4)
 
 
 def vertex_stage(scene: DeviceScene, view_proj: jax.Array,
@@ -1744,10 +1750,10 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
     uint32 RGBA-packed like ``render_frame``."""
     if peel_mode not in ("ml", "multipass", "split"):
         raise ValueError(f"unknown peel_mode {peel_mode!r}")
-    if peel_mode == "split" and not (backend == "pallas" and not mipmap
+    if peel_mode == "split" and not (backend == "pallas"
                                      and layers >= 2):
         raise ValueError("peel_mode='split' requires the pallas "
-                         "backend, layers >= 2 and no mipmap")
+                         "backend and layers >= 2")
     if packed and not (backend == "pallas"
                        and peel_mode in ("ml", "split")
                        and layers >= 2 and not mipmap):
@@ -1785,11 +1791,48 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
                                   lighting=lighting, opacity_split=True)
             mc = maxc or pr.MAXC_DEFAULT
             light = _light_unit() if lighting else None
+            inf = jnp.float32(jnp.inf)
+            if mipmap:
+                # plane-major mip-tap variant: trilinear opaque pass,
+                # per-layer trilinear translucent shade, same (z, id)
+                # merge rule — mirrors the ml mipmap path below
+                zo, io, mat_op, nov_op = pr.raster_pallas_fwd(
+                    (cols_op, bbox_op), None, 0, 0, width=pw, height=ph,
+                    maxc=mc, interpret=interp, n_attr=n_attr, mtap=True,
+                    w_eps=W_EPS, light=light)
+                zo_eff = jnp.where(io >= 0, zo, inf)      # (ph, pw)
+                zt, it, mat_tr, nov_tr = pr.raster_pallas_fwd_ml(
+                    (cols_tr, bbox_tr), None, 0, 0, width=pw, height=ph,
+                    layers=layers, maxc=mc, interpret=interp,
+                    n_attr=n_attr, mtap=True, w_eps=W_EPS, light=light,
+                    variant="nocull", zhi=zo_eff)
+                src_op, cov_op = shade_mip_tap(scene, mat_op, io)
+                clear = jnp.asarray(
+                    np.asarray(clear_color, np.float32))[:, None, None]
+                dstp = blend_over_planes(
+                    src_op, cov_op, jnp.broadcast_to(clear, (4, ph, pw)))
+                front = ((zt < zo_eff[None])
+                         | ((zt == zo_eff[None]) & (it > io[None])))
+                nm = pr.ATTRS_MTAP
+                passes = []
+                for l in range(layers):
+                    src, covered = shade_mip_tap(
+                        scene, mat_tr[l * nm:(l + 1) * nm], it[l])
+                    passes.append((src, covered & front[l]))
+                for src, covered in reversed(passes):
+                    dstp = blend_over_planes(src, covered, dstp)
+                out = jnp.moveaxis(
+                    jnp.clip(dstp + 0.5, 0.0, 255.0).astype(jnp.uint8),
+                    0, -1)
+                z0 = jnp.minimum(jnp.where(it[0] >= 0, zt[0], inf),
+                                 jnp.where(io >= 0, zo, inf))
+                z0 = jnp.where(jnp.isfinite(z0), z0, 1.0)
+                return (out[:height, :width], z0[:height, :width],
+                        nov_op + nov_tr)
             zo, io, tat_op, tid_op, nov_op = pr.raster_pallas_fwd(
                 (cols_op, bbox_op), None, 0, 0, width=pw, height=ph,
                 maxc=mc, interpret=interp, n_attr=n_attr, tap=True,
                 w_eps=W_EPS, light=light, flat=True)
-            inf = jnp.float32(jnp.inf)
             # raw opaque z where covered, +inf where not (the wrapper
             # remaps uncovered z to 1.0, which real z may exceed)
             zo_eff = jnp.where(io >= 0, zo, inf)

@@ -213,6 +213,32 @@ class TestHeavySkinning:
         clamped = np.einsum("vw,vwij,vj->vi", w4, m4, homo)[:, :3]
         assert np.abs(clamped - want).max() > 0.05
 
+    def test_blend_paths_agree_on_large_palettes(self):
+        """The one-hot MXU path (<= 128 joints — covers the 96-joint
+        world scene whose (V, W, 4, 4) matrix gather tile-padded 32x
+        and OOM'd HBM) and the wide (nj, 16) row-gather fallback both
+        reproduce the straight einsum."""
+        from types import SimpleNamespace
+
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        v, w = 1000, 8
+        assert 96 <= device.ONEHOT_SKIN_MAX_JOINTS < 200
+        for nj in (96, 200):          # one-hot path / wide-gather path
+            joints = rng.integers(0, nj, (v, w)).astype(np.int32)
+            weights = rng.random((v, w)).astype(np.float32)
+            weights /= weights.sum(1, keepdims=True)
+            bones = rng.normal(size=(nj, 4, 4)).astype(np.float32)
+            scene = SimpleNamespace(joints=jnp.asarray(joints),
+                                    weights=jnp.asarray(weights),
+                                    num_joints=nj)
+            got = np.asarray(
+                device._blend_bone_mats(scene, jnp.asarray(bones)))
+            want = np.einsum("vw,vwij->vij", weights, bones[joints])
+            np.testing.assert_allclose(got, want, atol=2e-5,
+                                       err_msg=f"nj={nj}")
+
     def test_eight_weight_render_matches_oracle(self):
         batch = self._batch()
         bones = self._bones()

@@ -314,13 +314,31 @@ class TestSplitPeel:
         return (device.upload(batch), np.asarray(cam.view_proj()),
                 demo.demo_bone_mats(0.4))
 
-    def test_matches_ml_on_opaque_scene(self):
+    @pytest.mark.parametrize("mipmap", [False, True])
+    @pytest.mark.parametrize("lighting", [False, True])
+    def test_matches_ml_on_opaque_scene(self, mipmap, lighting):
         scene, vp, bones = self._demo()
-        kw = dict(width=96, height=96, layers=3, backend="pallas")
+        kw = dict(width=96, height=96, layers=3, backend="pallas",
+                  mipmap=mipmap, lighting=lighting)
         ml, dml, _ = device._render_frame_peeled_core(
             scene, vp, bones, peel_mode="ml", **kw)
         sp, dsp, _ = device._render_frame_peeled_core(
             scene, vp, bones, peel_mode="split", **kw)
+        np.testing.assert_array_equal(np.asarray(ml), np.asarray(sp))
+        np.testing.assert_array_equal(np.asarray(dml), np.asarray(dsp))
+
+    def test_mipmap_translucent_stack_matches_ml(self):
+        batch = _textured_quad_batch([
+            (0.0, np.full((8, 8, 4), (200, 200, 200, 128), np.uint8)),
+            (-1.0, np.full((8, 8, 4), (255, 0, 0, 255), np.uint8)),
+        ])
+        scene = device.upload(batch)
+        kw = dict(width=64, height=64, layers=3, backend="pallas",
+                  mipmap=True)
+        ml, dml, _ = device._render_frame_peeled_core(
+            scene, _vp(), None, peel_mode="ml", **kw)
+        sp, dsp, _ = device._render_frame_peeled_core(
+            scene, _vp(), None, peel_mode="split", **kw)
         np.testing.assert_array_equal(np.asarray(ml), np.asarray(sp))
         np.testing.assert_array_equal(np.asarray(dml), np.asarray(dsp))
 
@@ -408,10 +426,6 @@ class TestSplitPeel:
             device._render_frame_peeled_core(
                 scene, vp, bones, width=96, height=96, layers=3,
                 backend="scan", peel_mode="split")
-        with pytest.raises(ValueError, match="split"):
-            device._render_frame_peeled_core(
-                scene, vp, bones, width=96, height=96, layers=3,
-                backend="pallas", mipmap=True, peel_mode="split")
         with pytest.raises(ValueError, match="cap pair"):
             device._render_frame_peeled_core(
                 scene, vp, bones, width=96, height=96, layers=3,
