@@ -1,5 +1,11 @@
-"""Stage budget of the CURRENT production path via scan-of-N prefixes."""
+"""Stage budget of the CURRENT production path via scan-of-N prefixes.
+
+``python tools/bench/stage_budget.py [world]`` — default is the bench
+scene (1024 cubes / 196k tris); ``world`` budgets the archive-world
+scene instead (280 buildings / 240k tris / 293 materials / skinned
+characters, 80% coverage)."""
 import functools
+import sys
 import time
 import numpy as np
 import jax
@@ -13,16 +19,32 @@ PW = -(-W // pr.TILE_W) * pr.TILE_W
 PH = -(-H // pr.TILE_H) * pr.TILE_H
 N = 8
 
-batch = demo.build_demo_batch(instances=1024, skinned=True, subdiv=4)
-scene = device.upload(batch)
-vl = []
-for i in range(N):
-    cam = demo.demo_camera(1024, W, H)
-    cam.yaw = 15.0 + 3.0 * i
-    vl.append(np.asarray(cam.view_proj()))
+if "world" in sys.argv[1:]:
+    from mt_renderer_tpu.scene import world as world_mod
+
+    ws = world_mod.build_world(buildings=280,
+                               building_subdivs=(4, 6, 8, 10, 12))
+    batch = ws.batch
+    scene = device.upload(batch)
+    anim = ws.animator()
+    bones_h = ws.bone_palette(anim.bone_mats(np.float32(0.5)))
+    vl = []
+    for i in range(N):
+        cam = world_mod.world_camera(W, H, buildings=280)
+        cam.yaw += 3.0 * i
+        vl.append(np.asarray(cam.view_proj()))
+else:
+    batch = demo.build_demo_batch(instances=1024, skinned=True, subdiv=4)
+    scene = device.upload(batch)
+    bones_h = demo.demo_bone_mats(0.3)
+    vl = []
+    for i in range(N):
+        cam = demo.demo_camera(1024, W, H)
+        cam.yaw = 15.0 + 3.0 * i
+        vl.append(np.asarray(cam.view_proj()))
 vps = jnp.asarray(np.stack(vl))
-bones = jnp.asarray(demo.demo_bone_mats(0.3))
-maxc = device.auto_maxc(batch, vl[0], demo.demo_bone_mats(0.0),
+bones = jnp.asarray(bones_h)
+maxc = device.auto_maxc(batch, vl[0], bones_h,
                         width=W, height=H)
 interp = jax.default_backend() != "tpu"
 print(f"maxc={maxc}", flush=True)
@@ -52,8 +74,8 @@ def prefix(scene, vp, bones, stage):
         pre=pre, flat=True)
     if stage == "raster":
         return chk(zb) + chk(tapidx)
-    colort, cov = device.shade_finish_tap_flat(scene, tattrs, tapidx, ib,
-                                               (255, 255, 255, 255))
+    colort, cov, _ = device.shade_finish_tap_flat(
+        scene, tattrs, tapidx, ib, (255, 255, 255, 255))
     if stage == "shade":
         return chk(colort)
     color = pr.unflatten_tiles(colort, PH, PW)[:H, :W]
