@@ -539,11 +539,17 @@ def _raster_fwd_kernel(n_attr, has_zlow, tap, mtap, w_eps, light,
             # bbox missed this tile (bit g of gmask clear — precomputed
             # by bin_chunks) skips its entire (KG, P) block. Group gi
             # lives in sub-block gi // (K // KG) (lane offset c0), rows
-            # r0..r0+KG. (An explicit early-z group kill — cached tile
-            # zmax + per-group min-depth test — was tried and REMOVED:
-            # ~1 ms/frame SLOWER on both the default and the dense 75%-
-            # coverage scene, scan-harness A/B r2; the nearest-first
-            # chunk order + the z<=zbuf test already reap the benefit.)
+            # r0..r0+KG. (Explicit early-z kills were tried TWICE and
+            # REMOVED both times: r2's per-GROUP gate — cached tile
+            # zmax + group min-depth test — lost ~1 ms on the default
+            # and dense scenes; r3's per-CHUNK gate — zmin_c via scalar
+            # prefetch, carried start/wait predicate, skipping the DMA
+            # too — lost 0.2/0.3/0.9 ms on default/dense/world. The
+            # vector→scalar zmax reduce + conditional-DMA stall beat the
+            # savings even at 80% coverage: chunk zmin over 384 spread
+            # triangles is almost never behind a fully covered tile.
+            # The nearest-first chunk order + z<=zbuf candidate test
+            # already reap the benefit.)
             for g in range(G):
                 live = (gmask >> g) & 1 != 0
 
