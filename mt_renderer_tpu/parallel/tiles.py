@@ -46,7 +46,7 @@ def make_row_mesh(n_devices: int | None = None) -> Mesh:
     jax.jit,
     static_argnames=("mesh", "width", "height", "chunk", "clear_color",
                      "backend", "maxc", "mipmap", "lighting", "packed",
-                     "tap_tiles"),
+                     "tap_tiles", "peel_layers"),
 )
 def _render_frame_multichip_core(
     scene: dev.DeviceScene,
@@ -64,6 +64,7 @@ def _render_frame_multichip_core(
     lighting: bool = False,
     packed: bool = False,
     tap_tiles: int | None = None,
+    peel_layers: int = 0,
 ):
     """Jitted band-sharded frame body → (color, depth, n_over (n,) i32).
 
@@ -74,6 +75,9 @@ def _render_frame_multichip_core(
     single-chip path does, device.py:_render_frame_core)."""
     if backend == "scan" and packed:
         raise ValueError("packed output requires the pallas backend")
+    if peel_layers and not (backend == "pallas" and not mipmap):
+        raise ValueError("multichip peel (split OIT) requires the "
+                         "pallas backend without mipmap")
     n = mesh.devices.size
     band_h = -(-height // n)              # ceil: rows per chip pre-crop
 
@@ -86,6 +90,35 @@ def _render_frame_multichip_core(
             pw = -(-width // pr.TILE_W) * pr.TILE_W
             pb = -(-band_h // pr.TILE_H) * pr.TILE_H
             interp = jax.default_backend() != "tpu"
+            if peel_layers:
+                # band-sharded split OIT: the peel is per-pixel, so
+                # bands compose with zero collectives exactly like the
+                # single-layer path; each band runs the same split
+                # engine the single-chip core uses
+                setup_op, setup_tr, n_attr = dev.setup_packed_cols(
+                    scene, clip, width, height, bone_mats=bone_mats,
+                    lighting=lighting, opacity_split=True)
+                dst, z0, n_over = dev._split_peel_flat(
+                    scene, setup_op, setup_tr, n_attr, x0=0, y0=y0,
+                    pw=pw, ph=pb, layers=peel_layers,
+                    maxc=maxc or pr.MAXC_DEFAULT,
+                    light=dev._light_unit() if lighting else None,
+                    tap_tiles=tap_tiles, clear_color=clear_color,
+                    interp=interp)
+                zbf = pr.unflatten_tiles(z0, pb, pw)
+                if packed:
+                    colort = dev.pack_u32_channels(dst)
+                    color = pr.unflatten_tiles(colort, pb, pw)
+                else:
+                    out8 = [
+                        pr.unflatten_tiles(
+                            jnp.clip(d + 0.5, 0.0, 255.0
+                                     ).astype(jnp.uint8), pb, pw)
+                        for d in dst
+                    ]
+                    color = jnp.stack(out8, axis=-1)
+                return (color[:band_h, :width], zbf[:band_h, :width],
+                        jnp.stack(list(n_over))[None])
             cols, bbox, n_attr = dev.setup_packed_cols(
                 scene, clip, width, height, bone_mats=bone_mats,
                 lighting=lighting,
@@ -180,7 +213,8 @@ def render_frame_multichip(scene, view_proj, bone_mats=None, *,
                            mipmap: bool = False, lighting: bool = False,
                            check_overflow: bool = True,
                            packed: bool = False,
-                           tap_tiles: int | None = None):
+                           tap_tiles: int | None = None,
+                           peel_layers: int = 0):
     """Render one frame with the raster+shade stages sharded over screen
     bands. Returns ((H, W, 4) uint8, (H, W) f32), row-sharded over the
     mesh (``packed``: (H, W) uint32 RGBA — see ``device.render_frame``).
@@ -188,12 +222,19 @@ def render_frame_multichip(scene, view_proj, bone_mats=None, *,
     each band up to tile alignment and crops. Per-band bin-overflow
     (and, on the packed path, compacted-tap-overflow — ``tap_tiles``,
     sized via ``device.auto_tap_tiles(bands=n)``) counts are summed and
-    checked host-side (``pallas_raster.queue_overflow_check``)."""
+    checked host-side (``pallas_raster.queue_overflow_check``).
+
+    ``peel_layers`` > 0 renders band-sharded order-independent
+    transparency with the split OIT engine (pallas, non-mipmap; the
+    peel is per-pixel so bands still compose with zero collectives);
+    ``tap_tiles`` may then be the (opaque, translucent) per-band cap
+    pair. Pixel-identical to the single-chip
+    ``render_frame_peeled(peel_mode="split")``."""
     color, depth, n_over = _render_frame_multichip_core(
         scene, view_proj, bone_mats, mesh=mesh, width=width, height=height,
         chunk=chunk, clear_color=clear_color, backend=backend, maxc=maxc,
         mipmap=mipmap, lighting=lighting, packed=packed,
-        tap_tiles=tap_tiles,
+        tap_tiles=tap_tiles, peel_layers=peel_layers,
     )
     if check_overflow and backend == "pallas":
         from ..render import pallas_raster as pr
@@ -201,8 +242,11 @@ def render_frame_multichip(scene, view_proj, bone_mats=None, *,
         if n_over.ndim == 2:              # packed path: (n, [bins, taps])
             band_h = -(-height // mesh.devices.size)
             nt_band = (-(-width // pr.TILE_W)) * (-(-band_h // pr.TILE_H))
+            cap = tap_tiles if tap_tiles else nt_band
+            if isinstance(cap, tuple):    # split peel (op, tr) pair
+                cap = sum((c if c else nt_band) for c in cap)
             pr.queue_overflow_check(
-                jnp.sum(n_over[:, 1]), tap_tiles if tap_tiles else nt_band,
+                jnp.sum(n_over[:, 1]), cap,
                 what="tap overflow: live (tile, layer) rows lost their "
                      "texture; raise tap_tiles")
             n_over = n_over[:, 0]

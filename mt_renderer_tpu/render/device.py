@@ -1696,6 +1696,55 @@ def _queue_frame_overflow(n_over, maxc, tap_tiles, width, height):
     pr.queue_overflow_check(n_over, maxc or pr.MAXC_DEFAULT)
 
 
+def _split_peel_flat(scene: DeviceScene, setup_op, setup_tr, n_attr, *,
+                     x0: int | jax.Array, y0: int | jax.Array,
+                     pw: int, ph: int, layers: int, maxc: int,
+                     light, tap_tiles, clear_color, interp: bool):
+    """Split-peel engine over one tile-aligned band (band origin
+    x0/y0 may be traced — shard_map bands): opaque single-layer pass,
+    ML kernel over translucent triangles only (opaque z as the zhi
+    work-skip horizon), exact (z asc, id desc) merge in the compacted
+    tap composite. Shared by the single-chip peeled core and the
+    multichip band renderer.
+
+    Returns (dst channel list [r, g, b, a] each (n_tiles, P) f32
+    tile-major, z0 (n_tiles, P) nearest depth (1.0 empty),
+    n_over (bins, taps) pair)."""
+    from . import pallas_raster as pr
+
+    inf = jnp.float32(jnp.inf)
+    zo, io, tat_op, tid_op, nov_op = pr.raster_pallas_fwd(
+        setup_op, None, x0, y0, width=pw, height=ph,
+        maxc=maxc, interpret=interp, n_attr=n_attr, tap=True,
+        w_eps=W_EPS, light=light, flat=True)
+    # raw opaque z where covered, +inf where not (the wrapper
+    # remaps uncovered z to 1.0, which real z may exceed)
+    zo_eff = jnp.where(io >= 0, zo, inf)
+    # all-translucent feed: the in-kernel opaque horizon can
+    # never trigger, so skip its per-group reduce ("nocull");
+    # the opaque z-buffer rides in as the zhi work-skip horizon
+    # instead (fragments behind a wall never enter the list)
+    zt, it, tat_tr, tid_tr, nov_tr = pr.raster_pallas_fwd_ml(
+        setup_tr, None, x0, y0, width=pw, height=ph,
+        layers=layers, maxc=maxc, interpret=interp, n_attr=n_attr,
+        tap=True, w_eps=W_EPS, light=light, flat=True,
+        variant="nocull", zhi=zo_eff)
+    cap_op, cap_tr = (tap_tiles if isinstance(tap_tiles, tuple)
+                      else (tap_tiles, tap_tiles))
+    src_op, cov_op, novt_op = shade_tap_flat_channels(
+        scene, tat_op, tid_op, io, tap_tiles=cap_op)
+    dst0 = _blend_channels(src_op, cov_op, clear_color)
+    front = (zt < zo_eff) | ((zt == zo_eff) & (it > io))
+    cov_tr = (it >= 0) & front
+    dst, novt_tr = composite_peeled_tap_flat(
+        scene, tat_tr, tid_tr, it, layers, clear_color,
+        tap_tiles=cap_tr, covered=cov_tr, dst0=dst0)
+    z0 = jnp.minimum(jnp.where(it[:, 0] >= 0, zt[:, 0], inf),
+                     jnp.where(io[:, 0] >= 0, zo[:, 0], inf))
+    z0 = jnp.where(jnp.isfinite(z0), z0, 1.0)
+    return dst, z0, (nov_op + nov_tr, novt_op + novt_tr)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "chunk", "clear_color", "backend",
@@ -1829,36 +1878,11 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
                 z0 = jnp.where(jnp.isfinite(z0), z0, 1.0)
                 return (out[:height, :width], z0[:height, :width],
                         nov_op + nov_tr)
-            zo, io, tat_op, tid_op, nov_op = pr.raster_pallas_fwd(
-                (cols_op, bbox_op), None, 0, 0, width=pw, height=ph,
-                maxc=mc, interpret=interp, n_attr=n_attr, tap=True,
-                w_eps=W_EPS, light=light, flat=True)
-            # raw opaque z where covered, +inf where not (the wrapper
-            # remaps uncovered z to 1.0, which real z may exceed)
-            zo_eff = jnp.where(io >= 0, zo, inf)
-            # all-translucent feed: the in-kernel opaque horizon can
-            # never trigger, so skip its per-group reduce ("nocull");
-            # the opaque z-buffer rides in as the zhi work-skip horizon
-            # instead (fragments behind a wall never enter the list)
-            zt, it, tat_tr, tid_tr, nov_tr = pr.raster_pallas_fwd_ml(
-                (cols_tr, bbox_tr), None, 0, 0, width=pw, height=ph,
-                layers=layers, maxc=mc, interpret=interp, n_attr=n_attr,
-                tap=True, w_eps=W_EPS, light=light, flat=True,
-                variant="nocull", zhi=zo_eff)
-            cap_op, cap_tr = (tap_tiles if isinstance(tap_tiles, tuple)
-                              else (tap_tiles, tap_tiles))
-            src_op, cov_op, novt_op = shade_tap_flat_channels(
-                scene, tat_op, tid_op, io, tap_tiles=cap_op)
-            dst0 = _blend_channels(src_op, cov_op, clear_color)
-            front = (zt < zo_eff) | ((zt == zo_eff) & (it > io))
-            cov_tr = (it >= 0) & front
-            dst, novt_tr = composite_peeled_tap_flat(
-                scene, tat_tr, tid_tr, it, layers, clear_color,
-                tap_tiles=cap_tr, covered=cov_tr, dst0=dst0)
-            n_over = (nov_op + nov_tr, novt_op + novt_tr)
-            z0 = jnp.minimum(jnp.where(it[:, 0] >= 0, zt[:, 0], inf),
-                             jnp.where(io[:, 0] >= 0, zo[:, 0], inf))
-            z0 = jnp.where(jnp.isfinite(z0), z0, 1.0)
+            dst, z0, n_over = _split_peel_flat(
+                scene, (cols_op, bbox_op), (cols_tr, bbox_tr), n_attr,
+                x0=0, y0=0, pw=pw, ph=ph, layers=layers, maxc=mc,
+                light=light, tap_tiles=tap_tiles,
+                clear_color=clear_color, interp=interp)
             zb0 = pr.unflatten_tiles(z0, ph, pw)
             if packed:
                 q = [jnp.clip(d + 0.5, 0.0, 255.0).astype(jnp.uint32)

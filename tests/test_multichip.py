@@ -253,3 +253,49 @@ class TestGeomsplitTapCompaction:
         np.testing.assert_array_equal(np.asarray(compact),
                                       np.asarray(dense))
         np.testing.assert_array_equal(np.asarray(cd), np.asarray(dd))
+
+
+class TestMultichipPeel:
+    """Band-sharded split-OIT: the peel is per-pixel, so bands compose
+    with zero collectives — pixel-identical to the single-chip split
+    engine, on opaque AND mixed translucent content."""
+
+    def _glass_scene(self):
+        batch = demo.build_demo_batch(instances=4, skinned=True)
+        demo.make_translucent(batch, 4, fraction=0.5)
+        scene = device.upload(batch)
+        cam = demo.demo_camera(4, 64, 64)
+        return scene, np.asarray(cam.view_proj()), demo.demo_bone_mats(0.7)
+
+    @pytest.mark.parametrize("n", [2, 8])
+    def test_peeled_bands_match_single(self, n):
+        scene, vp, bones = self._glass_scene()
+        want_c, want_d = device.render_frame_peeled(
+            scene, vp, bones, width=64, height=64, layers=3,
+            backend="pallas", peel_mode="split")
+        got_c, got_d = render_frame_multichip(
+            scene, vp, bones, mesh=make_row_mesh(n), width=64, height=64,
+            peel_layers=3)
+        np.testing.assert_array_equal(np.asarray(got_c),
+                                      np.asarray(want_c))
+        np.testing.assert_array_equal(np.asarray(got_d),
+                                      np.asarray(want_d))
+
+    def test_packed_and_unaligned_height(self):
+        scene, vp, bones = self._glass_scene()
+        # 52 rows over 8 chips: 7-row bands pad to 16-row tiles + crop
+        want_c, _ = device.render_frame_peeled(
+            scene, vp, bones, width=64, height=52, layers=3,
+            backend="pallas", peel_mode="split")
+        got_p, _ = render_frame_multichip(
+            scene, vp, bones, mesh=make_row_mesh(8), width=64, height=52,
+            peel_layers=3, packed=True)
+        np.testing.assert_array_equal(
+            device.unpack_rgba(np.asarray(got_p)), np.asarray(want_c))
+
+    def test_validation(self):
+        scene, vp, bones = self._glass_scene()
+        with pytest.raises(ValueError, match="multichip peel"):
+            render_frame_multichip(
+                scene, vp, bones, mesh=make_row_mesh(2), width=64,
+                height=64, peel_layers=3, mipmap=True)
