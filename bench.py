@@ -294,10 +294,13 @@ def run_once(args, width, height, instances, frames, png=None):
     if args.backend == "pallas" and not args.mipmap:
         cam.yaw = base_yaw
         if args.multichip:
-            # per-band compacted-tap cap: worst band's host-side bound
-            tap_tiles = device.auto_tap_tiles(
-                batch, np.asarray(cam.view_proj()), bones_at(0),
-                width=width, height=height, bands=args.multichip)
+            if args.peel:
+                tap_tiles = None   # banded split OIT: dense taps, exact
+            else:
+                # per-band compacted-tap cap: worst band's bound
+                tap_tiles = device.auto_tap_tiles(
+                    batch, np.asarray(cam.view_proj()), bones_at(0),
+                    width=width, height=height, bands=args.multichip)
         elif args.peel and args.peel_mode != "multipass":
             # size the peel composite's compacted tap cap once at
             # setup, like maxc (one device sync — BEFORE any timing;
@@ -334,6 +337,7 @@ def run_once(args, width, height, instances, frames, png=None):
                 scene, vp, bones, mesh=mesh, width=width, height=height,
                 backend=args.backend, maxc=maxc,
                 packed=args.backend == "pallas", tap_tiles=tap_tiles,
+                peel_layers=args.peel,
             )
         if args.peel:
             return device.render_frame_peeled(
@@ -448,7 +452,8 @@ def run_once(args, width, height, instances, frames, png=None):
                 height=height, chunk=chunk, backend=args.backend,
                 maxc=maxc, mipmap=args.mipmap,
                 lighting=args.lighting,
-                packed=args.backend == "pallas", tap_tiles=tap_tiles)
+                packed=args.backend == "pallas", tap_tiles=tap_tiles,
+                peel_layers=args.peel)
         elif args.peel:
             c, d, _ = device._render_frame_peeled_core(
                 scene, vp, bones, width=width, height=height,
