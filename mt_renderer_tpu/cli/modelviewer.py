@@ -53,6 +53,7 @@ class ModelViewerApp(RendererApp):
         self.animator = None
         self.mipmap = False
         self.lighting = False
+        self.peel = 0
         self.overlay = DebugOverlay()
 
     def setup(self, mgr: RendererAppManager) -> None:
@@ -138,6 +139,20 @@ class ModelViewerApp(RendererApp):
             self.bones = np.asarray(self.animator.bone_mats_device(
                 np.float32(t)
             ))
+        if self.peel:
+            # order-independent transparency (the split OIT engine on
+            # pallas) — correct back-to-front compositing of any
+            # translucent materials regardless of draw order
+            color, _ = device.render_frame_peeled(
+                self.scene, mgr.camera.view_proj(), self.bones,
+                width=mgr.width, height=mgr.height,
+                backend=self.backend, layers=self.peel,
+                mipmap=self.mipmap, lighting=self.lighting,
+                peel_mode=("split" if self.backend == "pallas"
+                           else "ml"),
+                packed=self.backend == "pallas" and not self.mipmap,
+            )
+            return color
         color, _ = device.render_frame(
             self.scene, mgr.camera.view_proj(), self.bones,
             width=mgr.width, height=mgr.height, backend=self.backend,
@@ -156,6 +171,7 @@ class DemoWorldApp(RendererApp):
     mipmap = True
     lighting = False
     backend = "pallas"
+    peel = 0
 
     def __init__(self, buildings: int = 40):
         self.buildings = buildings
@@ -183,6 +199,17 @@ class DemoWorldApp(RendererApp):
         bones = self.world.bone_palette(
             self.anim.bone_mats(np.float32((2.0 * mgr.frame_index)
                                            % self._dur)))
+        if self.peel:
+            color, _ = device.render_frame_peeled(
+                self.scene, mgr.camera.view_proj(), bones,
+                width=mgr.width, height=mgr.height,
+                backend=self.backend, layers=self.peel,
+                mipmap=self.mipmap, lighting=self.lighting,
+                peel_mode=("split" if self.backend == "pallas"
+                           else "ml"),
+                packed=self.backend == "pallas" and not self.mipmap,
+            )
+            return color
         color, _ = device.render_frame(
             self.scene, mgr.camera.view_proj(), bones,
             width=mgr.width, height=mgr.height, backend=self.backend,
@@ -215,6 +242,9 @@ def main(argv=None):
                    help="trilinear mipmapped minification")
     p.add_argument("--lighting", action="store_true",
                    help="directional lambert shading (needs normals)")
+    p.add_argument("--peel", type=int, default=0, metavar="L",
+                   help="L-layer order-independent transparency "
+                        "(split OIT engine)")
     p.add_argument("--events", default=None,
                    help="JSON event script for the fly camera: a list of "
                         "per-frame event lists, e.g. "
@@ -232,6 +262,7 @@ def main(argv=None):
     if args.demo is not None:
         app = DemoWorldApp(buildings=args.demo)
         app.backend = args.backend
+        app.peel = args.peel
     elif args.data_root is None or args.prp_path is None:
         p.error("data_root and prp_path are required (or use --demo)")
     else:
@@ -240,6 +271,7 @@ def main(argv=None):
                              sdl_path=args.sdl)
         app.mipmap = args.mipmap
         app.lighting = args.lighting
+        app.peel = args.peel
     mgr = RendererAppManager(app, width=args.width, height=args.height)
     if args.serve is not None:
         from ..app.serve import FrameStreamServer

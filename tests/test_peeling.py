@@ -430,3 +430,43 @@ class TestSplitPeel:
             device._render_frame_peeled_core(
                 scene, vp, bones, width=96, height=96, layers=3,
                 backend="pallas", peel_mode="ml", tap_tiles=(4, 4))
+
+    def test_animated_alpha_moves_triangles_between_passes(self):
+        """Material alpha is the rScheduler-animatable mat_color
+        channel, so the opacity partition is PER-FRAME DATA: the same
+        jitted split core must render a material as opaque at alpha 1
+        and as translucent at alpha 0.5 with no retrace (only
+        mat_color values change)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        batch = _quad_batch([
+            (-1.0, (255, 0, 0, 255)),     # back, opaque, slot 0
+            (0.0, (0, 0, 255, 255)),      # front quad -> slot 1
+        ])
+        batch.tri_material = np.array([0, 0, 1, 1], np.int32)
+        batch.mat_color_host = np.ones((2, 4), np.float32)
+        scene = device.upload(batch)
+        vp = _vp()
+        kw = dict(width=48, height=48, layers=3, backend="pallas",
+                  peel_mode="split")
+
+        def run(scene):
+            c, _, _ = device._render_frame_peeled_core(scene, vp, None,
+                                                       **kw)
+            return np.asarray(c)
+
+        before = device._render_frame_peeled_core._cache_size()
+        opaque_px = run(scene)[24, 24]
+        glass = dataclasses.replace(
+            scene, mat_color=jnp.asarray(
+                [[1, 1, 1, 1], [1, 1, 1, 0.5]], jnp.float32))
+        glass_px = run(glass)[24, 24]
+        assert device._render_frame_peeled_core._cache_size() \
+            == before + 1, "alpha change must not retrace"
+
+        np.testing.assert_array_equal(opaque_px[:3], [0, 0, 255])
+        a = round(255 * 0.5) / 255.0
+        want = np.array([0, 0, 255]) * a + np.array([255, 0, 0]) * (1 - a)
+        np.testing.assert_allclose(glass_px[:3], np.round(want), atol=1)
