@@ -11,6 +11,8 @@ multi-layer frame time goes:
   ml-group    pass 2 at group (KG) granularity instead of sub-block
   pipe-ml     full peeled pipeline, single-pass kernel, packed
   pipe-mp     full peeled pipeline, multipass (r2 formulation)
+  pipe-sp     full peeled pipeline, split engine (opaque fast path +
+              ML for translucent; -ct = compacted tap caps)
 
 Run on the real chip: PYTHONPATH=. python tools/bench/ml_ab.py
 """
@@ -60,6 +62,9 @@ def raster_only(scene, vp, variant):
             + jnp.sum(tattrs[::7, :, ::31]))
 
 
+SPLIT_TILES = device.measure_live_tap_tiles(
+    scene, cams[0], bones, width=W, height=H, layers=L, maxc=maxc,
+    mode="split")
 TAP_TILES = device.measure_live_tap_tiles(
     scene, cams[0], bones, width=W, height=H, layers=L, maxc=maxc)
 print(f"tap_tiles={TAP_TILES} (dense would be "
@@ -69,7 +74,7 @@ print(f"tap_tiles={TAP_TILES} (dense would be "
 def pipe(scene, vp, mode, tap_tiles=None):
     c, d, _ = device._render_frame_peeled_core(
         scene, vp, bones, width=W, height=H, layers=L, backend="pallas",
-        maxc=maxc, peel_mode=mode, packed=mode == "ml",
+        maxc=maxc, peel_mode=mode, packed=mode in ("ml", "split"),
         tap_tiles=tap_tiles)
     f = c.reshape(-1)
     return (jnp.sum(f[:: max(f.size // 512, 1)].astype(jnp.float32))
@@ -116,6 +121,8 @@ CFGS = {
     "pipe-ml": lambda s, v: pipe(s, v, "ml"),
     "pipe-ml-ct": lambda s, v: pipe(s, v, "ml", TAP_TILES),
     "pipe-mp": lambda s, v: pipe(s, v, "multipass"),
+    "pipe-sp": lambda s, v: pipe(s, v, "split"),
+    "pipe-sp-ct": lambda s, v: pipe(s, v, "split", SPLIT_TILES),
 }
 
 
