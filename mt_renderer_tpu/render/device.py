@@ -820,11 +820,16 @@ def shade_fwd(scene: DeviceScene, attrs, ib, mipmap: bool = False,
         # so level offsets/extents derive from the winner's constant
         # columns (off0, th, tw) by shift chains — zero per-pixel
         # mip-table or tex-size gathers, bit-identical to the table.
+        # LOD is analytic from the winner's plane-gradient tail rows
+        # (raw; the single divide-by-Q multiply here reproduces the
+        # mip-tap epilogue's in-kernel one exactly).
         off0 = (attrs[8].astype(jnp.int32) * 4096
                 + attrs[9].astype(jnp.int32))
         th = attrs[10].astype(jnp.int32)
         tw = attrs[11].astype(jnp.int32)
-        lod = _uv_lod_planes(u, v, hw_planes=(attrs[10], attrs[11]))
+        g0 = attrs.shape[0] - 6
+        grads = [attrs[g0 + i] * inv for i in range(6)]
+        lod = _analytic_lod(u, v, *grads, attrs[10], attrs[11])
         albedo = _trilinear_arith(scene.mip_pool, off0, th, tw, lod, u, v,
                                   scene.num_mips, planes=True)
     else:
@@ -1066,12 +1071,12 @@ def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
 
 def shade_mip_tap(scene: DeviceScene, mattrs, ib):
     """Trilinear shade from the kernel's mip-tap epilogue outputs
-    (raster_pallas_fwd with ``mtap=True``): mattrs (11, H, W) =
+    (raster_pallas_fwd with ``mtap=True``): mattrs (17, H, W) =
     [u, v, tex, off_hi, off_lo, th, tw, C rgba (lit-scaled when
-    lighting)]. LOD comes from screen-space forward differences of the
-    in-kernel u/v; both mip levels address arithmetically
-    (_trilinear_arith) — zero per-pixel table gathers, two quad
-    gathers total.
+    lighting), U/V/Q plane gradients / Q]. LOD is ANALYTIC per pixel
+    (_analytic_lod — elementwise, no forward differences); both mip
+    levels address arithmetically (_trilinear_arith) — zero per-pixel
+    table gathers, two quad gathers total.
 
     Returns (src (4, bh, bw) f32 0-255, covered (bh, bw) bool)."""
     covered = ib >= 0
@@ -1083,7 +1088,8 @@ def shade_mip_tap(scene: DeviceScene, mattrs, ib):
     th = mattrs[5].astype(jnp.int32)
     tw = mattrs[6].astype(jnp.int32)
     c_rgba = mattrs[7:11]
-    lod = _uv_lod_planes(u, v, hw_planes=(mattrs[5], mattrs[6]))
+    lod = _analytic_lod(u, v, *[mattrs[11 + i] for i in range(6)],
+                        mattrs[5], mattrs[6])
     albedo = _trilinear_arith(scene.mip_pool, off0, th, tw, lod, u, v,
                               scene.num_mips, planes=True)
     src = jnp.where(textured[None], albedo * c_rgba, c_rgba)
@@ -1214,16 +1220,26 @@ def sample_trilinear(scene: DeviceScene, layer, u, v, lod,
     return s0 * (1 - fm) + s1 * fm
 
 
-def _uv_lod(uvp, tex_hw):
-    """Per-pixel LOD from screen-space UV derivatives (forward
-    differences; edge pixels clamp like GPU quad derivatives)."""
-    du_dx = jnp.diff(uvp, axis=1, append=uvp[:, -1:])
-    du_dy = jnp.diff(uvp, axis=0, append=uvp[-1:])
-    tx = tex_hw[..., 1].astype(jnp.float32)[..., None]
-    ty = tex_hw[..., 0].astype(jnp.float32)[..., None]
-    sx = jnp.abs(du_dx) * jnp.concatenate([tx, ty], -1)
-    sy = jnp.abs(du_dy) * jnp.concatenate([tx, ty], -1)
-    rho = jnp.maximum(jnp.max(sx, -1), jnp.max(sy, -1))
+def _analytic_lod(u, v, gux, guy, gvx, gvy, gqx, gqy, th, tw):
+    """Per-pixel texture LOD from the winner triangle's OWN screen
+    planes — u = U(x,y)/Q(x,y) with U, Q affine, so
+    du/dx = (U_x − u·Q_x)/Q exactly. The g* args are the winner's
+    plane gradients already divided by Q (the raster epilogues emit
+    them), th/tw the texture extents (f32, any matching shape).
+
+    Replaces screen-space forward differences (r1–r3 used the GPU
+    quad-derivative analog): no cross-triangle or tile/band-seam
+    derivative cross-talk, and the mip shade becomes fully ELEMENTWISE
+    — it can run tile-major and compacted. ONE definition shared by
+    every mipmap path (mip-tap, forward multipass, scan) so the pinned
+    path-equality tests compare the identical XLA expression."""
+    dudx = gux - u * gqx
+    dudy = guy - u * gqy
+    dvdx = gvx - v * gqx
+    dvdy = gvy - v * gqy
+    rho = jnp.maximum(
+        jnp.maximum(jnp.abs(dudx), jnp.abs(dudy)) * tw,
+        jnp.maximum(jnp.abs(dvdx), jnp.abs(dvdy)) * th)
     return jnp.log2(jnp.maximum(rho, 1e-6))
 
 
@@ -1263,25 +1279,6 @@ def _trilinear_arith(pool, off0, th, tw, lod, u, v, num_mips: int,
     s1 = _quad_bilinear(pool, *_mip_arith(off0, th, tw, m1, num_mips),
                         u, v, planes=planes)
     return s0 * (1 - fm) + s1 * fm
-
-
-def _uv_lod_planes(u, v, tex_hw=None, hw_planes=None):
-    """Per-pixel LOD from (H, W) u/v planes (same math as _uv_lod).
-    Texture extents come either from ``tex_hw`` (H, W, 2) or from
-    ``hw_planes`` = (h_plane, w_plane) f32 (H, W) each."""
-    if hw_planes is not None:
-        ty, tx = hw_planes
-    else:
-        tx = tex_hw[..., 1].astype(jnp.float32)
-        ty = tex_hw[..., 0].astype(jnp.float32)
-
-    def rho(c, scale):
-        dx = jnp.abs(jnp.diff(c, axis=1, append=c[:, -1:])) * scale
-        dy = jnp.abs(jnp.diff(c, axis=0, append=c[-1:])) * scale
-        return jnp.maximum(dx, dy)
-
-    r = jnp.maximum(rho(u, tx), rho(v, ty))
-    return jnp.log2(jnp.maximum(r, 1e-6))
 
 
 LIGHT_DIR = (0.35, 0.65, 0.67)   # world-space directional light (normalized-ish)
@@ -1324,7 +1321,26 @@ def shade_src(scene: DeviceScene, setup, ib, width: int, height: int,
     textured = layer >= 0
     if mipmap:
         tex_hw = scene.tex_size[jnp.clip(layer, 0, scene.tex_size.shape[0] - 1)]
-        lod = _uv_lod(uvp, tex_hw)
+        # analytic LOD from this pixel's OWN winner planes (the same
+        # _analytic_lod expression the pallas paths use): U/Q plane
+        # gradients reconstructed from the gathered edge coefficients
+        area = setup["area"][idx][..., None]
+        ax = ea / area                                 # (H, W, 3)
+        ay = eb / area
+        qx = jnp.sum(ax * inv_w, -1)
+        qy = jnp.sum(ay * inv_w, -1)
+        gux = jnp.einsum("hwp,hwpc->hwc", ax * inv_w, uv,
+                         precision=jax.lax.Precision.HIGHEST)
+        guy = jnp.einsum("hwp,hwpc->hwc", ay * inv_w, uv,
+                         precision=jax.lax.Precision.HIGHEST)
+        ipw = 1.0 / pw
+        lod = _analytic_lod(
+            uvp[..., 0], uvp[..., 1],
+            gux[..., 0] * ipw, guy[..., 0] * ipw,
+            gux[..., 1] * ipw, guy[..., 1] * ipw,
+            qx * ipw, qy * ipw,
+            tex_hw[..., 0].astype(jnp.float32),
+            tex_hw[..., 1].astype(jnp.float32))
         albedo = sample_trilinear(scene, layer, uvp[..., 0], uvp[..., 1], lod)
     else:
         albedo = sample_bilinear(scene, layer, uvp[..., 0], uvp[..., 1])

@@ -359,10 +359,20 @@ _N_COEF = {ATTRS_BASE: 18, ATTRS_LIT: 27}
 
 
 ATTRS_TAP = 6            # tap epilogue output planes: fx, fy, C rgba
-ATTRS_MTAP = 11          # mip-tap epilogue planes: u, v, tex, off_hi,
+ATTRS_MTAP = 17          # mip-tap epilogue planes: u, v, tex, off_hi,
                          # off_lo, th, tw, C rgba (C pre-scaled by the
-                         # lambert factor when lighting) — the trilinear
-                         # shade derives both mip levels arithmetically
+                         # lambert factor when lighting), then the
+                         # winner's 6 plane-gradient constants
+                         # [U_x, U_y, V_x, V_y, Q_x, Q_y] for the
+                         # ANALYTIC per-pixel LOD (device._analytic_lod)
+                         # — the trilinear shade derives both mip
+                         # levels arithmetically and is fully
+                         # ELEMENTWISE (no screen-space forward
+                         # differences: no cross-triangle or band-seam
+                         # derivative cross-talk, and the shade can run
+                         # tile-major / compacted)
+ATTRS_GRAD = 6           # the [U_x, U_y, V_x, V_y, Q_x, Q_y] tail, also
+                         # appended to the plain forward epilogue
 
 
 def prebin(setup, extras, x0, y0, *, width: int, height: int,
@@ -423,8 +433,11 @@ def _epilogue_rows(a, px, py, n_attr, tap, mtap, w_eps, light):
     if mtap:
         # mip-tap epilogue: perspective-correct u/v plus the winner's
         # texture constants (the trilinear shade derives both mip
-        # levels' pool locations arithmetically — device.shade_mip_tap);
-        # lighting folds into the C rgb planes like the base tap.
+        # levels' pool locations arithmetically — device.shade_mip_tap)
+        # and the winner's U/V/Q plane gradients (the ANALYTIC LOD
+        # inputs — device._analytic_lod computes lod elementwise in
+        # XLA so the ml and multipass mipmap paths share one
+        # expression); lighting folds into the C rgb planes.
         w1 = ev(6)
         inv = 1.0 / jnp.where(jnp.abs(w1) < w_eps, jnp.float32(w_eps), w1)
         rows = [ev(0) * inv, ev(3) * inv,      # u, v
@@ -436,6 +449,10 @@ def _epilogue_rows(a, px, py, n_attr, tap, mtap, w_eps, light):
                      a[13:14]]                 # alpha unlit
         else:
             rows.append(a[10:14])              # C rgba
+        # U/V/Q plane gradients pre-divided by Q: du/dx = gux − u·gqx
+        # etc. (device._analytic_lod) — each a single IEEE multiply, so
+        # the multipass path's XLA-side a·inv reproduces these exactly
+        rows += [a[0:2] * inv, a[3:5] * inv, a[6:8] * inv]
         return jnp.concatenate(rows, axis=0), None
 
     if tap:
@@ -479,6 +496,9 @@ def _epilogue_rows(a, px, py, n_attr, tap, mtap, w_eps, light):
             a[9:18]]                # tex, C rgba, off hi/lo, th, tw
     if n_attr == ATTRS_LIT:
         rows += [ev(18), ev(21), ev(24)]       # [nx, ny, nz]/w
+    # raw U/V/Q plane gradients — shade_fwd divides by Q itself (its
+    # single XLA multiply matches the mtap epilogue's in-kernel one)
+    rows += [a[0:2], a[3:5], a[6:8]]
     return jnp.concatenate(rows, axis=0), None
 
 
@@ -708,7 +728,8 @@ def raster_pallas_fwd(setup, extras, x0, y0, *, width: int, height: int,
         raise ValueError("tap and mtap are mutually exclusive")
     if (tap or mtap) and n_attr == ATTRS_LIT and light is None:
         raise ValueError("lit tap epilogue needs the light direction")
-    n_out_attr = ATTRS_TAP if tap else (ATTRS_MTAP if mtap else n_attr)
+    n_out_attr = (ATTRS_TAP if tap
+                  else (ATTRS_MTAP if mtap else n_attr + ATTRS_GRAD))
 
     out_specs = [
         pl.BlockSpec((1, 1, P), index_map=imap),
@@ -1192,7 +1213,8 @@ def raster_pallas_fwd_ml(setup, extras, x0, y0, *, width: int,
         raise ValueError("tap and mtap are mutually exclusive")
     if (tap or mtap) and n_attr == ATTRS_LIT and light is None:
         raise ValueError("lit tap epilogue needs the light direction")
-    n_out_attr = ATTRS_TAP if tap else (ATTRS_MTAP if mtap else n_attr)
+    n_out_attr = (ATTRS_TAP if tap
+                  else (ATTRS_MTAP if mtap else n_attr + ATTRS_GRAD))
 
     out_specs = [
         pl.BlockSpec((1, layers, P), index_map=imap),

@@ -286,6 +286,25 @@ class TestMipmapping:
         got, _ = device.render_frame(ds, vp, width=128, height=128)
         assert_frames_match(np.asarray(got), want)
 
+    def test_analytic_lod_known_values(self):
+        """Absolute pin for _analytic_lod (the differential tests only
+        pin the three mipmap paths to each other): du/dx = gux − u·gqx
+        etc., rho = max(|du|·tw, |dv|·th), lod = log2(max(rho, 1e-6))."""
+        import jax.numpy as jnp
+
+        one = jnp.ones((4, 4), jnp.float32)
+        z = jnp.zeros((4, 4), jnp.float32)
+        # pure-affine u with du/dx = 0.5 on a 64-wide texture -> lod 5
+        lod = device._analytic_lod(0.3 * one, 0.7 * one, 0.5 * one,
+                                   z, z, z, z, z, 16 * one, 64 * one)
+        np.testing.assert_allclose(np.asarray(lod), 5.0, atol=1e-6)
+        # the perspective term cancels the gradient exactly:
+        # du/dx = 0.5 - 2.0 * 0.25 = 0 -> rho clamps to 1e-6
+        lod2 = device._analytic_lod(2.0 * one, z, 0.5 * one, z, z, z,
+                                    0.25 * one, z, 16 * one, 16 * one)
+        np.testing.assert_allclose(np.asarray(lod2), np.log2(1e-6),
+                                   rtol=1e-5)
+
     def test_mip0_matches_bilinear(self, scene):
         # a close-up view magnifies: lod <= 0 -> trilinear == bilinear mip0
         from mt_renderer_tpu.scene import demo

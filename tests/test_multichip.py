@@ -299,3 +299,21 @@ class TestMultichipPeel:
             render_frame_multichip(
                 scene, vp, bones, mesh=make_row_mesh(2), width=64,
                 height=64, peel_layers=3, mipmap=True)
+
+
+class TestMultichipMipmapExact:
+    def test_pallas_mipmap_bands_bit_identical(self):
+        """Analytic per-pixel LOD (device._analytic_lod) makes the
+        trilinear shade elementwise, so band-sharded mipmap is now
+        BIT-identical to single-chip — under forward-difference LOD the
+        derivative clamp at band seams could differ from the full
+        frame's."""
+        scene, vp, bones = _scene()
+        got, gd = render_frame_multichip(
+            scene, vp, bones, mesh=make_row_mesh(8), width=64, height=64,
+            mipmap=True, lighting=True)
+        want, wd = device.render_frame(
+            scene, vp, bones, width=64, height=64, backend="pallas",
+            mipmap=True, lighting=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
