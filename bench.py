@@ -291,11 +291,11 @@ def run_once(args, width, height, instances, frames, png=None):
         print(f"# auto maxc={maxc}", file=sys.stderr)
 
     tap_tiles = None
-    if args.backend == "pallas" and not args.mipmap:
+    if args.backend == "pallas":
         cam.yaw = base_yaw
         if args.multichip:
-            if args.peel:
-                tap_tiles = None   # banded split OIT: dense taps, exact
+            if args.peel or args.mipmap:
+                tap_tiles = None   # banded OIT/mip: dense taps, exact
             else:
                 # per-band compacted-tap cap: worst band's bound
                 tap_tiles = device.auto_tap_tiles(
@@ -313,8 +313,9 @@ def run_once(args, width, height, instances, frames, png=None):
         elif args.peel:
             tap_tiles = None
         else:
-            # single-layer compacted tap: HOST-side conservative cap
-            # (no device sync — dispatch-rate measurement unaffected)
+            # single-layer compacted tap (bilinear AND trilinear —
+            # analytic LOD made the mip shade compactable): HOST-side
+            # conservative cap, no device sync
             tap_tiles = device.auto_tap_tiles(
                 batch, np.asarray(cam.view_proj()), bones_at(0),
                 width=width, height=height)

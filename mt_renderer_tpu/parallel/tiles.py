@@ -75,9 +75,9 @@ def _render_frame_multichip_core(
     single-chip path does, device.py:_render_frame_core)."""
     if backend == "scan" and packed:
         raise ValueError("packed output requires the pallas backend")
-    if peel_layers and not (backend == "pallas" and not mipmap):
+    if peel_layers and backend != "pallas":
         raise ValueError("multichip peel (split OIT) requires the "
-                         "pallas backend without mipmap")
+                         "pallas backend")
     n = mesh.devices.size
     band_h = -(-height // n)              # ceil: rows per chip pre-crop
 
@@ -104,19 +104,13 @@ def _render_frame_multichip_core(
                     maxc=maxc or pr.MAXC_DEFAULT,
                     light=dev._light_unit() if lighting else None,
                     tap_tiles=tap_tiles, clear_color=clear_color,
-                    interp=interp)
+                    interp=interp, mipmap=mipmap)
                 zbf = pr.unflatten_tiles(z0, pb, pw)
-                if packed:
-                    colort = dev.pack_u32_channels(dst)
-                    color = pr.unflatten_tiles(colort, pb, pw)
-                else:
-                    out8 = [
-                        pr.unflatten_tiles(
-                            jnp.clip(d + 0.5, 0.0, 255.0
-                                     ).astype(jnp.uint8), pb, pw)
-                        for d in dst
-                    ]
-                    color = jnp.stack(out8, axis=-1)
+                color = pr.unflatten_tiles(dev.pack_u32_channels(dst),
+                                           pb, pw)
+                if not packed:  # unpacked = a bitcast of the same u32
+                    color = jax.lax.bitcast_convert_type(color,
+                                                         jnp.uint8)
                 return (color[:band_h, :width], zbf[:band_h, :width],
                         jnp.stack(list(n_over))[None])
             cols, bbox, n_attr = dev.setup_packed_cols(
@@ -152,18 +146,32 @@ def _render_frame_multichip_core(
                     light=dev._light_unit() if lighting else None,
                 )
                 src, covered = dev.shade_tap(scene, tattrs, tapidx, ib)
-            else:
-                zb, ib, mattrs, n_over = pr.raster_pallas_fwd(
-                    (cols, bbox), None, 0, y0, width=pw, height=pb,
-                    maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
-                    n_attr=n_attr, mtap=True, w_eps=dev.W_EPS,
-                    light=dev._light_unit() if lighting else None,
-                )
-                src, covered = dev.shade_mip_tap(scene, mattrs, ib)
-            fin = dev.finish_packed if packed else dev.finish_planes
-            color = fin(src, covered, clear_color, pb, pw)
-            return (color[:band_h, :width], zb[:band_h, :width],
-                    n_over[None])
+                fin = dev.finish_packed if packed else dev.finish_planes
+                color = fin(src, covered, clear_color, pb, pw)
+                return (color[:band_h, :width], zb[:band_h, :width],
+                        n_over[None])
+            # mipmap: the single-chip tile-major compacted trilinear
+            # engine per band (bit-identical to the full frame — the
+            # shade is elementwise per tile row)
+            zb, ib, mattrs, n_over = pr.raster_pallas_fwd(
+                (cols, bbox), None, 0, y0, width=pw, height=pb,
+                maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
+                n_attr=n_attr, mtap=True, w_eps=dev.W_EPS,
+                light=dev._light_unit() if lighting else None,
+                flat=True,
+            )
+            src, covered, n_tap = dev.shade_mip_tap_flat_channels(
+                scene, mattrs, ib,
+                tap_tiles=None if isinstance(tap_tiles, tuple)
+                else tap_tiles)
+            dstc = dev._blend_channels(src, covered, clear_color)
+            color = pr.unflatten_tiles(dev.pack_u32_channels(dstc),
+                                       pb, pw)
+            if not packed:     # unpacked = a bitcast view of the same
+                color = jax.lax.bitcast_convert_type(color, jnp.uint8)
+            zbf = pr.unflatten_tiles(zb[:, 0, :], pb, pw)
+            return (color[:band_h, :width], zbf[:band_h, :width],
+                    jnp.stack([n_over, n_tap])[None])
         setup = dev.setup_stage(scene, clip, width, height,
                                 bone_mats=bone_mats, need_normals=lighting)
         zb, ib = dev.raster_stage(
@@ -387,14 +395,17 @@ def _render_frame_geomsplit_core(
             z2, ib2 = zb[:, 0, :], ib[:, 0, :]
             unflat = lambda x: pr.unflatten_tiles(x, ph, pw)  # noqa: E731
         else:
-            # raster order: the trilinear LOD comes from screen-space
-            # forward differences, which need true pixel neighbors
+            # tile-major like the single-chip mip engine (analytic LOD
+            # is per-pixel, so a shard's shade needs no neighbors —
+            # under forward-difference LOD a shard's winner u/v at a
+            # shard boundary had no true neighbor to difference with)
             zb, ib, mattrs, n_over = pr.raster_pallas_fwd(
-                (cols_s, bbox_s), None, 0, 0, mtap=True, **kw)
-            srcp, _ = dev.shade_mip_tap(scene, mattrs, ib)
-            src = [srcp[c] for c in range(4)]
-            z2, ib2 = zb, ib
-            unflat = lambda x: x                             # noqa: E731
+                (cols_s, bbox_s), None, 0, 0, mtap=True, flat=True,
+                **kw)
+            src, _cov, n_tap = dev.shade_mip_tap_flat_channels(
+                scene, mattrs, ib, tap_tiles=tap_tiles)
+            z2, ib2 = zb[:, 0, :], ib[:, 0, :]
+            unflat = lambda x: pr.unflatten_tiles(x, ph, pw)  # noqa: E731
         ib_g = jnp.where(ib2 >= 0, ib2 + base, -1)
         z = jnp.where(ib_g >= 0, z2, jnp.inf)
         zmin = jax.lax.pmin(z, "rows")
@@ -404,8 +415,7 @@ def _render_frame_geomsplit_core(
         src_all = [jax.lax.psum(jnp.where(mine, c, 0.0), "rows")
                    for c in src]
         covered = jax.lax.psum(mine.astype(jnp.int32), "rows") > 0
-        if not mipmap:
-            n_over = jnp.stack([n_over, n_tap])
+        n_over = jnp.stack([n_over, n_tap])
         n_over_all = jax.lax.psum(n_over, "rows")
 
         out = dev._blend_channels(src_all, covered, clear_color)

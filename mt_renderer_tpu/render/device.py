@@ -1069,31 +1069,101 @@ def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
     return dst, n_over_tap
 
 
-def shade_mip_tap(scene: DeviceScene, mattrs, ib):
-    """Trilinear shade from the kernel's mip-tap epilogue outputs
-    (raster_pallas_fwd with ``mtap=True``): mattrs (17, H, W) =
-    [u, v, tex, off_hi, off_lo, th, tw, C rgba (lit-scaled when
-    lighting), U/V/Q plane gradients / Q]. LOD is ANALYTIC per pixel
-    (_analytic_lod — elementwise, no forward differences); both mip
-    levels address arithmetically (_trilinear_arith) — zero per-pixel
-    table gathers, two quad gathers total.
-
-    Returns (src (4, bh, bw) f32 0-255, covered (bh, bw) bool)."""
-    covered = ib >= 0
-    u = mattrs[0]
-    v = mattrs[1]
-    textured = mattrs[2] >= 0.0
-    off0 = (mattrs[3].astype(jnp.int32) * 4096
-            + mattrs[4].astype(jnp.int32))
-    th = mattrs[5].astype(jnp.int32)
-    tw = mattrs[6].astype(jnp.int32)
-    c_rgba = mattrs[7:11]
-    lod = _analytic_lod(u, v, *[mattrs[11 + i] for i in range(6)],
-                        mattrs[5], mattrs[6])
+def _mip_albedo_channels(scene: DeviceScene, m):
+    """Trilinear albedo from mip-tap planes ``m`` (N, 17, P) → list of
+    4 channel arrays (N, P). Fully elementwise per pixel (analytic
+    LOD + arithmetic mip addressing): exactly the math shade_mip_tap
+    runs plane-major, reusable on COMPACTED row subsets."""
+    u = m[:, 0]
+    v = m[:, 1]
+    off0 = (m[:, 3].astype(jnp.int32) * 4096
+            + m[:, 4].astype(jnp.int32))
+    th = m[:, 5].astype(jnp.int32)
+    tw = m[:, 6].astype(jnp.int32)
+    lod = _analytic_lod(u, v, *[m[:, 11 + i] for i in range(6)],
+                        m[:, 5], m[:, 6])
     albedo = _trilinear_arith(scene.mip_pool, off0, th, tw, lod, u, v,
                               scene.num_mips, planes=True)
-    src = jnp.where(textured[None], albedo * c_rgba, c_rgba)
-    return src, covered
+    return [albedo[c] for c in range(4)]
+
+
+def shade_mip_tap_flat_channels(scene: DeviceScene, mattrs, ib,
+                                tap_tiles: int | None = None):
+    """Tile-major trilinear shade (mip-tap ``flat=True`` outputs:
+    mattrs (n_tiles, 17, P), ib (n_tiles, 1, P)) → (src channel list
+    [r, g, b, a] each (n_tiles, P) f32 0-255, covered (n_tiles, P)
+    bool, n_over_tap). ``tap_tiles`` compacts the trilinear work (two
+    quad gathers per pixel — the mipmap frame's dominant cost) to that
+    many COVERED tiles, exactly like shade_tap_flat_channels; possible
+    at all because the analytic LOD made the shade elementwise."""
+    covered = ib[:, 0, :] >= 0
+    nt, _, p = mattrs.shape
+    cap = 0 if tap_tiles is None else min(tap_tiles, nt)
+    if cap and cap < nt:
+        live = jnp.any(covered, axis=1)
+        sr, slot, n_over_tap = _compact_live_rows(live, cap)
+        albc = _mip_albedo_channels(scene, mattrs[sr])
+        alb = [jnp.concatenate(
+            [a, jnp.zeros((1, p), jnp.float32)])[slot] for a in albc]
+    else:
+        alb = _mip_albedo_channels(scene, mattrs)
+        n_over_tap = jnp.int32(0)
+    textured = mattrs[:, 2, :] >= 0.0
+    src = [jnp.where(textured, alb[c] * mattrs[:, 7 + c, :],
+                     mattrs[:, 7 + c, :]) for c in range(4)]
+    return src, covered, n_over_tap
+
+
+def composite_peeled_mip_flat(scene: DeviceScene, mattrs, il,
+                              layers: int, clear_color,
+                              tap_tiles: int | None = None,
+                              covered=None, dst0=None):
+    """Tile-major multi-layer TRILINEAR composite (the mip twin of
+    composite_peeled_tap_flat): mattrs (n_tiles, L*17, P), il
+    (n_tiles, L, P) nearest-first. The trilinear gathers + LOD run
+    COMPACTED over live (tile, layer) rows; blending is dense
+    elementwise. ``covered``/``dst0`` as in the tap version (the split
+    peel's behind-opaque cull and opaque base).
+
+    Returns (channel list [r, g, b, a] each (n_tiles, P) f32 0-255,
+    n_over_tap)."""
+    nt, _, p = mattrs.shape
+    a4 = mattrs.reshape(nt, layers, 17, p)
+    if covered is None:
+        covered = il >= 0
+    n = nt * layers
+    cap = 0 if tap_tiles is None else min(tap_tiles, n)
+    flat = a4.reshape(n, 17, p)
+    if cap and cap < n:
+        live = jnp.any(covered, axis=2).reshape(n)
+        sr, slot, n_over_tap = _compact_live_rows(live, cap)
+        albc = _mip_albedo_channels(scene, flat[sr])
+        slot2 = slot.reshape(nt, layers)
+        alb = [jnp.concatenate(
+            [a, jnp.zeros((1, p), jnp.float32)])[slot2]
+            for a in albc]                                # 4 x (nt, L, P)
+    else:
+        albc = _mip_albedo_channels(scene, flat)
+        alb = [a.reshape(nt, layers, p) for a in albc]
+        n_over_tap = jnp.int32(0)
+    textured = a4[:, :, 2] >= 0.0
+    if dst0 is None:
+        clear = np.asarray(clear_color, np.float32)
+        dst = [jnp.full((nt, p), clear[c], jnp.float32)
+               for c in range(4)]
+    else:
+        dst = list(dst0)
+    for l in reversed(range(layers)):
+        src = [jnp.where(textured[:, l], alb[c][:, l] * a4[:, l, 7 + c],
+                         a4[:, l, 7 + c]) for c in range(4)]
+        a = src[3] / 255.0
+        cov = covered[:, l]
+        dst = (
+            [jnp.where(cov, src[c] * a + dst[c] * (1.0 - a), dst[c])
+             for c in range(3)]
+            + [jnp.where(cov, src[3], dst[3])]
+        )
+    return dst, n_over_tap
 
 
 def blend_over_planes(src, covered, dst):
@@ -1274,10 +1344,15 @@ def _trilinear_arith(pool, off0, th, tw, lod, u, v, num_mips: int,
     fm = fm[None] if planes else fm[..., None]
     m0 = jnp.minimum(m0f.astype(jnp.int32), mmax)
     m1 = jnp.minimum(m0 + 1, mmax)
-    s0 = _quad_bilinear(pool, *_mip_arith(off0, th, tw, m0, num_mips),
-                        u, v, planes=planes)
-    s1 = _quad_bilinear(pool, *_mip_arith(off0, th, tw, m1, num_mips),
-                        u, v, planes=planes)
+    # ONE offset walk: levels are contiguous in the pool, so
+    # off(m0+1) = off(m0) + rows(m0) — saves the second num_mips-long
+    # where chain per pixel (bit-identical to walking m1)
+    off_a, hm0, wm0 = _mip_arith(off0, th, tw, m0, num_mips)
+    off_b = off_a + jnp.where(m1 > m0, hm0 * wm0, 0)
+    hm1 = jnp.maximum(th >> m1, 1)
+    wm1 = jnp.maximum(tw >> m1, 1)
+    s0 = _quad_bilinear(pool, off_a, hm0, wm0, u, v, planes=planes)
+    s1 = _quad_bilinear(pool, off_b, hm1, wm1, u, v, planes=planes)
     return s0 * (1 - fm) + s1 * fm
 
 
@@ -1629,6 +1704,28 @@ def _render_frame_core(scene: DeviceScene, view_proj: jax.Array,
             zbf = pr.unflatten_tiles(zb[:, 0, :], ph, pw)
             return (color[:height, :width], zbf[:height, :width],
                     (n_over, n_over_tap))
+        if mipmap:
+            # ONE mipmap engine: tile-major compacted trilinear shade
+            # (two quad gathers only for covered tiles — possible since
+            # the analytic LOD made the shade elementwise), packed-u32
+            # out; the unpacked frame is a device BITCAST of the same
+            # u32 plane, so packed/unpacked can never diverge (separate
+            # blend programs fused ±1 ulp apart — measured)
+            zb, ib, mattrs, n_over = pr.raster_pallas_fwd(
+                (cols, bbox), None, 0, 0, width=pw, height=ph,
+                maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
+                n_attr=n_attr, mtap=True, w_eps=W_EPS,
+                light=_light_unit() if lighting else None, flat=True,
+            )
+            src, covered, n_over_tap = shade_mip_tap_flat_channels(
+                scene, mattrs, ib, tap_tiles=tap_tiles)
+            colort = _blend_pack_u32(src, covered, clear_color)
+            color = pr.unflatten_tiles(colort, ph, pw)[:height, :width]
+            zbf = pr.unflatten_tiles(zb[:, 0, :], ph, pw)
+            if not packed:
+                color = jax.lax.bitcast_convert_type(color, jnp.uint8)
+            return (color, zbf[:height, :width],
+                    (n_over, n_over_tap))
         if not mipmap:
             # fast path: tap addresses (and the lambert factor when
             # lighting) computed in the kernel epilogue
@@ -1638,19 +1735,8 @@ def _render_frame_core(scene: DeviceScene, view_proj: jax.Array,
                 n_attr=n_attr, tap=True, w_eps=W_EPS,
                 light=_light_unit() if lighting else None,
             )
-            src, covered = shade_tap(scene, tattrs, tapidx, ib)
-        else:
-            # mipmap: trilinear via the mip-tap epilogue (u/v + texture
-            # constants from the kernel; lighting folded in-kernel)
-            zb, ib, mattrs, n_over = pr.raster_pallas_fwd(
-                (cols, bbox), None, 0, 0, width=pw, height=ph,
-                maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
-                n_attr=n_attr, mtap=True, w_eps=W_EPS,
-                light=_light_unit() if lighting else None,
-            )
-            src, covered = shade_mip_tap(scene, mattrs, ib)
-        fin = finish_packed if packed else finish_planes
-        color = fin(src, covered, clear_color, ph, pw)
+        src, covered = shade_tap(scene, tattrs, tapidx, ib)
+        color = finish_planes(src, covered, clear_color, ph, pw)
         return color[:height, :width], zb[:height, :width], n_over
     if packed:
         raise ValueError("packed output requires the pallas backend")
@@ -1715,13 +1801,15 @@ def _queue_frame_overflow(n_over, maxc, tap_tiles, width, height):
 def _split_peel_flat(scene: DeviceScene, setup_op, setup_tr, n_attr, *,
                      x0: int | jax.Array, y0: int | jax.Array,
                      pw: int, ph: int, layers: int, maxc: int,
-                     light, tap_tiles, clear_color, interp: bool):
+                     light, tap_tiles, clear_color, interp: bool,
+                     mipmap: bool = False):
     """Split-peel engine over one tile-aligned band (band origin
     x0/y0 may be traced — shard_map bands): opaque single-layer pass,
     ML kernel over translucent triangles only (opaque z as the zhi
     work-skip horizon), exact (z asc, id desc) merge in the compacted
-    tap composite. Shared by the single-chip peeled core and the
-    multichip band renderer.
+    composite (bilinear tap or, with ``mipmap``, the trilinear mip-tap
+    twin). Shared by the single-chip peeled core and the multichip
+    band renderer.
 
     Returns (dst channel list [r, g, b, a] each (n_tiles, P) f32
     tile-major, z0 (n_tiles, P) nearest depth (1.0 empty),
@@ -1729,10 +1817,15 @@ def _split_peel_flat(scene: DeviceScene, setup_op, setup_tr, n_attr, *,
     from . import pallas_raster as pr
 
     inf = jnp.float32(jnp.inf)
-    zo, io, tat_op, tid_op, nov_op = pr.raster_pallas_fwd(
-        setup_op, None, x0, y0, width=pw, height=ph,
-        maxc=maxc, interpret=interp, n_attr=n_attr, tap=True,
-        w_eps=W_EPS, light=light, flat=True)
+    kw = dict(width=pw, height=ph, maxc=maxc, interpret=interp,
+              n_attr=n_attr, w_eps=W_EPS, light=light, flat=True,
+              tap=not mipmap, mtap=mipmap)
+    if mipmap:
+        zo, io, mat_op, nov_op = pr.raster_pallas_fwd(
+            setup_op, None, x0, y0, **kw)
+    else:
+        zo, io, tat_op, tid_op, nov_op = pr.raster_pallas_fwd(
+            setup_op, None, x0, y0, **kw)
     # raw opaque z where covered, +inf where not (the wrapper
     # remaps uncovered z to 1.0, which real z may exceed)
     zo_eff = jnp.where(io >= 0, zo, inf)
@@ -1740,21 +1833,33 @@ def _split_peel_flat(scene: DeviceScene, setup_op, setup_tr, n_attr, *,
     # never trigger, so skip its per-group reduce ("nocull");
     # the opaque z-buffer rides in as the zhi work-skip horizon
     # instead (fragments behind a wall never enter the list)
-    zt, it, tat_tr, tid_tr, nov_tr = pr.raster_pallas_fwd_ml(
-        setup_tr, None, x0, y0, width=pw, height=ph,
-        layers=layers, maxc=maxc, interpret=interp, n_attr=n_attr,
-        tap=True, w_eps=W_EPS, light=light, flat=True,
-        variant="nocull", zhi=zo_eff)
+    if mipmap:
+        zt, it, mat_tr, nov_tr = pr.raster_pallas_fwd_ml(
+            setup_tr, None, x0, y0, layers=layers,
+            variant="nocull", zhi=zo_eff, **kw)
+    else:
+        zt, it, tat_tr, tid_tr, nov_tr = pr.raster_pallas_fwd_ml(
+            setup_tr, None, x0, y0, layers=layers,
+            variant="nocull", zhi=zo_eff, **kw)
     cap_op, cap_tr = (tap_tiles if isinstance(tap_tiles, tuple)
                       else (tap_tiles, tap_tiles))
-    src_op, cov_op, novt_op = shade_tap_flat_channels(
-        scene, tat_op, tid_op, io, tap_tiles=cap_op)
+    if mipmap:
+        src_op, cov_op, novt_op = shade_mip_tap_flat_channels(
+            scene, mat_op, io, tap_tiles=cap_op)
+    else:
+        src_op, cov_op, novt_op = shade_tap_flat_channels(
+            scene, tat_op, tid_op, io, tap_tiles=cap_op)
     dst0 = _blend_channels(src_op, cov_op, clear_color)
     front = (zt < zo_eff) | ((zt == zo_eff) & (it > io))
     cov_tr = (it >= 0) & front
-    dst, novt_tr = composite_peeled_tap_flat(
-        scene, tat_tr, tid_tr, it, layers, clear_color,
-        tap_tiles=cap_tr, covered=cov_tr, dst0=dst0)
+    if mipmap:
+        dst, novt_tr = composite_peeled_mip_flat(
+            scene, mat_tr, it, layers, clear_color,
+            tap_tiles=cap_tr, covered=cov_tr, dst0=dst0)
+    else:
+        dst, novt_tr = composite_peeled_tap_flat(
+            scene, tat_tr, tid_tr, it, layers, clear_color,
+            tap_tiles=cap_tr, covered=cov_tr, dst0=dst0)
     z0 = jnp.minimum(jnp.where(it[:, 0] >= 0, zt[:, 0], inf),
                      jnp.where(io[:, 0] >= 0, zo[:, 0], inf))
     z0 = jnp.where(jnp.isfinite(z0), z0, 1.0)
@@ -1811,8 +1916,8 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
     from ``measure_live_tap_tiles(mode="split")``.
 
     Returns ((H, W, 4) uint8, (H, W) f32 nearest depth); with
-    ``packed=True`` (pallas "ml", non-mipmap only) color is (H, W)
-    uint32 RGBA-packed like ``render_frame``."""
+    ``packed=True`` (pallas "ml"/"split") color is (H, W) uint32
+    RGBA-packed like ``render_frame``."""
     if peel_mode not in ("ml", "multipass", "split"):
         raise ValueError(f"unknown peel_mode {peel_mode!r}")
     if peel_mode == "split" and not (backend == "pallas"
@@ -1821,10 +1926,9 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
                          "backend and layers >= 2")
     if packed and not (backend == "pallas"
                        and peel_mode in ("ml", "split")
-                       and layers >= 2 and not mipmap):
+                       and layers >= 2):
         raise ValueError("packed peeled output requires the pallas "
-                         "backend's single-pass (ml/split) non-mipmap "
-                         "path")
+                         "backend's single-pass (ml/split) path")
     if isinstance(tap_tiles, tuple) and peel_mode != "split":
         raise ValueError("tuple tap_tiles is the split peel's "
                          "(opaque, translucent) cap pair")
@@ -1856,64 +1960,16 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
                                   lighting=lighting, opacity_split=True)
             mc = maxc or pr.MAXC_DEFAULT
             light = _light_unit() if lighting else None
-            inf = jnp.float32(jnp.inf)
-            if mipmap:
-                # plane-major mip-tap variant: trilinear opaque pass,
-                # per-layer trilinear translucent shade, same (z, id)
-                # merge rule — mirrors the ml mipmap path below
-                zo, io, mat_op, nov_op = pr.raster_pallas_fwd(
-                    (cols_op, bbox_op), None, 0, 0, width=pw, height=ph,
-                    maxc=mc, interpret=interp, n_attr=n_attr, mtap=True,
-                    w_eps=W_EPS, light=light)
-                zo_eff = jnp.where(io >= 0, zo, inf)      # (ph, pw)
-                zt, it, mat_tr, nov_tr = pr.raster_pallas_fwd_ml(
-                    (cols_tr, bbox_tr), None, 0, 0, width=pw, height=ph,
-                    layers=layers, maxc=mc, interpret=interp,
-                    n_attr=n_attr, mtap=True, w_eps=W_EPS, light=light,
-                    variant="nocull", zhi=zo_eff)
-                src_op, cov_op = shade_mip_tap(scene, mat_op, io)
-                clear = jnp.asarray(
-                    np.asarray(clear_color, np.float32))[:, None, None]
-                dstp = blend_over_planes(
-                    src_op, cov_op, jnp.broadcast_to(clear, (4, ph, pw)))
-                front = ((zt < zo_eff[None])
-                         | ((zt == zo_eff[None]) & (it > io[None])))
-                nm = pr.ATTRS_MTAP
-                passes = []
-                for l in range(layers):
-                    src, covered = shade_mip_tap(
-                        scene, mat_tr[l * nm:(l + 1) * nm], it[l])
-                    passes.append((src, covered & front[l]))
-                for src, covered in reversed(passes):
-                    dstp = blend_over_planes(src, covered, dstp)
-                out = jnp.moveaxis(
-                    jnp.clip(dstp + 0.5, 0.0, 255.0).astype(jnp.uint8),
-                    0, -1)
-                z0 = jnp.minimum(jnp.where(it[0] >= 0, zt[0], inf),
-                                 jnp.where(io >= 0, zo, inf))
-                z0 = jnp.where(jnp.isfinite(z0), z0, 1.0)
-                return (out[:height, :width], z0[:height, :width],
-                        nov_op + nov_tr)
             dst, z0, n_over = _split_peel_flat(
                 scene, (cols_op, bbox_op), (cols_tr, bbox_tr), n_attr,
                 x0=0, y0=0, pw=pw, ph=ph, layers=layers, maxc=mc,
                 light=light, tap_tiles=tap_tiles,
-                clear_color=clear_color, interp=interp)
+                clear_color=clear_color, interp=interp, mipmap=mipmap)
             zb0 = pr.unflatten_tiles(z0, ph, pw)
-            if packed:
-                q = [jnp.clip(d + 0.5, 0.0, 255.0).astype(jnp.uint32)
-                     for d in dst]
-                pk = q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
-                color = pr.unflatten_tiles(pk, ph, pw)
-                return (color[:height, :width],
-                        zb0[:height, :width], n_over)
-            out8 = [
-                pr.unflatten_tiles(
-                    jnp.clip(d + 0.5, 0.0, 255.0).astype(jnp.uint8),
-                    ph, pw,
-                ) for d in dst
-            ]
-            color = jnp.stack(out8, axis=-1)[:height, :width]
+            color = pr.unflatten_tiles(pack_u32_channels(dst),
+                                       ph, pw)[:height, :width]
+            if not packed:  # unpacked = a bitcast of the same u32
+                color = jax.lax.bitcast_convert_type(color, jnp.uint8)
             return color, zb0[:height, :width], n_over
 
         if peel_mode == "ml" and layers >= 2:
@@ -1921,62 +1977,34 @@ def _render_frame_peeled_core(scene: DeviceScene, view_proj: jax.Array,
                 scene, clip, width, height, bone_mats=bone_mats,
                 lighting=lighting,
             )
-            if not mipmap:
-                # single-pass ML kernel + tile-major tap composite: one
-                # raster pass, one pool gather for all layers, one
-                # final relayout per output plane
+            # single-pass ML kernel + tile-major composite: one raster
+            # pass, one (compactable) pool gather for all layers —
+            # bilinear tap or, with mipmap, the trilinear mip-tap twin
+            # — one final relayout per output plane
+            light = _light_unit() if lighting else None
+            mlkw = dict(width=pw, height=ph, layers=layers,
+                        maxc=maxc or pr.MAXC_DEFAULT, interpret=interp,
+                        n_attr=n_attr, w_eps=W_EPS, light=light,
+                        flat=True)
+            if mipmap:
+                zb, ib, mattrs, n_over = pr.raster_pallas_fwd_ml(
+                    (cols, bbox), None, 0, 0, mtap=True, **mlkw)
+                dst, n_over_tap = composite_peeled_mip_flat(
+                    scene, mattrs, ib, layers, clear_color,
+                    tap_tiles=tap_tiles)
+            else:
                 zb, ib, tattrs, tapidx, n_over = pr.raster_pallas_fwd_ml(
-                    (cols, bbox), None, 0, 0, width=pw, height=ph,
-                    layers=layers, maxc=maxc or pr.MAXC_DEFAULT,
-                    interpret=interp, n_attr=n_attr, tap=True,
-                    w_eps=W_EPS,
-                    light=_light_unit() if lighting else None, flat=True,
-                )
+                    (cols, bbox), None, 0, 0, tap=True, **mlkw)
                 dst, n_over_tap = composite_peeled_tap_flat(
                     scene, tattrs, tapidx, ib, layers, clear_color,
                     tap_tiles=tap_tiles)
-                n_over = (n_over, n_over_tap)
-                zb0 = pr.unflatten_tiles(zb[:, 0, :], ph, pw)
-                if packed:
-                    q = [jnp.clip(d + 0.5, 0.0, 255.0).astype(jnp.uint32)
-                         for d in dst]
-                    pk = q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
-                    color = pr.unflatten_tiles(pk, ph, pw)
-                    return (color[:height, :width],
-                            zb0[:height, :width], n_over)
-                out8 = [
-                    pr.unflatten_tiles(
-                        jnp.clip(d + 0.5, 0.0, 255.0).astype(jnp.uint8),
-                        ph, pw,
-                    ) for d in dst
-                ]
-                color = jnp.stack(out8, axis=-1)[:height, :width]
-                return color, zb0[:height, :width], n_over
-            # mipmap: mip-tap epilogue per layer from the same
-            # single-pass kernel, plane-major composite
-            zb, ib, mattrs, n_over = pr.raster_pallas_fwd_ml(
-                (cols, bbox), None, 0, 0, width=pw, height=ph,
-                layers=layers, maxc=maxc or pr.MAXC_DEFAULT,
-                interpret=interp, n_attr=n_attr, mtap=True, w_eps=W_EPS,
-                light=_light_unit() if lighting else None,
-            )
-            nm = pr.ATTRS_MTAP
-            passes = []
-            for l in range(layers):
-                src, covered = shade_mip_tap(
-                    scene, mattrs[l * nm:(l + 1) * nm], ib[l])
-                passes.append((src, covered, zb[l]))
-            clear = jnp.asarray(
-                np.asarray(clear_color, np.float32)
-            )[:, None, None]
-            dstp = jnp.broadcast_to(clear, (4, ph, pw))
-            for src, covered, _ in reversed(passes):
-                dstp = blend_over_planes(src, covered, dstp)
-            out = jnp.moveaxis(
-                jnp.clip(dstp + 0.5, 0.0, 255.0).astype(jnp.uint8), 0, -1
-            )
-            return (out[:height, :width], passes[0][2][:height, :width],
-                    n_over)
+            n_over = (n_over, n_over_tap)
+            zb0 = pr.unflatten_tiles(zb[:, 0, :], ph, pw)
+            color = pr.unflatten_tiles(pack_u32_channels(dst),
+                                       ph, pw)[:height, :width]
+            if not packed:  # unpacked = a bitcast of the same u32
+                color = jax.lax.bitcast_convert_type(color, jnp.uint8)
+            return color, zb0[:height, :width], n_over
     else:
         setup = setup_stage(scene, clip, width, height,
                             bone_mats=bone_mats, need_normals=lighting)

@@ -286,6 +286,29 @@ class TestMipmapping:
         got, _ = device.render_frame(ds, vp, width=128, height=128)
         assert_frames_match(np.asarray(got), want)
 
+    def test_packed_tile_major_matches_unpacked(self):
+        """The packed mipmap path (tile-major compacted trilinear
+        shade) must reproduce the plane-major unpacked render exactly,
+        compacted and dense."""
+        from mt_renderer_tpu.scene import demo
+
+        batch = demo.build_demo_batch(instances=4, skinned=True)
+        ds = device.upload(batch)
+        vp = np.asarray(demo.demo_camera(4, 96, 96).view_proj())
+        bones = demo.demo_bone_mats(0.5)
+        kw = dict(width=96, height=96, backend="pallas", mipmap=True,
+                  lighting=True)
+        u8, d8 = device.render_frame(ds, vp, bones, **kw)
+        tt = device.auto_tap_tiles(batch, vp, bones, width=96, height=96)
+        for cap in (None, tt):
+            pk, dp = device.render_frame(ds, vp, bones, packed=True,
+                                         tap_tiles=cap, **kw)
+            np.testing.assert_array_equal(
+                device.unpack_rgba(np.asarray(pk)), np.asarray(u8),
+                err_msg=f"cap={cap}")
+            np.testing.assert_array_equal(np.asarray(dp),
+                                          np.asarray(d8))
+
     def test_analytic_lod_known_values(self):
         """Absolute pin for _analytic_lod (the differential tests only
         pin the three mipmap paths to each other): du/dx = gux − u·gqx

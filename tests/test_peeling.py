@@ -154,7 +154,17 @@ class TestSinglePassML:
             scene, vp, bones, peel_mode="multipass", **kw)
         b, db, _ = device._render_frame_peeled_core(
             scene, vp, bones, peel_mode="ml", **kw)
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        if mipmap:
+            # the ml engine shades TILE-major (compacted trilinear),
+            # multipass plane-major: the same scalar graph fuses
+            # differently per layout, so allow 1 quantization LSB on a
+            # vanishing pixel fraction (depths are untouched)
+            cdiff = np.abs(np.asarray(a).astype(np.int32)
+                           - np.asarray(b).astype(np.int32)).max(-1)
+            assert cdiff.max() <= 1 and (cdiff > 0).mean() < 1e-3, (
+                f"max={cdiff.max()} frac={(cdiff > 0).mean()}")
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
 
     def test_packed_peel_round_trips(self):
@@ -324,7 +334,17 @@ class TestSplitPeel:
             scene, vp, bones, peel_mode="ml", **kw)
         sp, dsp, _ = device._render_frame_peeled_core(
             scene, vp, bones, peel_mode="split", **kw)
-        np.testing.assert_array_equal(np.asarray(ml), np.asarray(sp))
+        if mipmap:
+            # split and ml are different programs (opaque shade + merge
+            # vs one composite); their identical blend math can fuse
+            # ±1 ulp apart — allow 1 quantization LSB on a vanishing
+            # fraction (measured: 1 px of 36864 on the lit variant)
+            cdiff = np.abs(np.asarray(ml).astype(np.int32)
+                           - np.asarray(sp).astype(np.int32)).max(-1)
+            assert cdiff.max() <= 1 and (cdiff > 0).mean() < 1e-3, (
+                f"max={cdiff.max()} frac={(cdiff > 0).mean()}")
+        else:
+            np.testing.assert_array_equal(np.asarray(ml), np.asarray(sp))
         np.testing.assert_array_equal(np.asarray(dml), np.asarray(dsp))
 
     def test_mipmap_translucent_stack_matches_ml(self):
@@ -430,6 +450,26 @@ class TestSplitPeel:
             device._render_frame_peeled_core(
                 scene, vp, bones, width=96, height=96, layers=3,
                 backend="pallas", peel_mode="ml", tap_tiles=(4, 4))
+
+    def test_mipmap_packed_and_compacted_match(self):
+        """The tile-major mip composite: packed mipmap peel round-trips
+        the unpacked frame, compacted == dense, for split AND ml."""
+        scene, vp, bones = self._demo()
+        caps = device.measure_live_tap_tiles(
+            scene, vp, bones, width=96, height=96, layers=3,
+            mode="split")
+        for mode, cap in (("split", caps), ("ml", caps[0] + caps[1])):
+            kw = dict(width=96, height=96, layers=3, backend="pallas",
+                      mipmap=True, peel_mode=mode)
+            dense, dd, _ = device._render_frame_peeled_core(
+                scene, vp, bones, **kw)
+            pk, dp, _ = device._render_frame_peeled_core(
+                scene, vp, bones, packed=True, tap_tiles=cap, **kw)
+            np.testing.assert_array_equal(
+                device.unpack_rgba(np.asarray(pk)), np.asarray(dense),
+                err_msg=mode)
+            np.testing.assert_array_equal(np.asarray(dp),
+                                          np.asarray(dd))
 
     def test_animated_alpha_moves_triangles_between_passes(self):
         """Material alpha is the rScheduler-animatable mat_color
