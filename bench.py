@@ -608,6 +608,8 @@ def main(argv=None):
             ("pallas", []),
             ("pallas+mip+light", ["--mipmap", "--lighting"]),
             ("pallas peel4", ["--peel", "4"]),   # split OIT engine
+            ("pallas peel4+mip+light",
+             ["--peel", "4", "--mipmap", "--lighting"]),
             ("pallas peel4 ml", ["--peel", "4", "--peel-mode", "ml"]),
             ("pallas peel4 glass", ["--preset", "glass", "--peel", "4"]),
             ("pallas dense", ["--preset", "dense"]),

@@ -454,6 +454,13 @@ class TestSplitPeel:
     def test_mipmap_packed_and_compacted_match(self):
         """The tile-major mip composite: packed mipmap peel round-trips
         the unpacked frame, compacted == dense, for split AND ml."""
+        import jax
+
+        # XLA CPU segfaults compiling this test's ml-leg program after
+        # ~290 suite tests' worth of accumulated compile state (crash
+        # in backend_compile_and_load; not reproducible with a short
+        # prefix or standalone) — start from a clean compilation cache
+        jax.clear_caches()
         scene, vp, bones = self._demo()
         caps = device.measure_live_tap_tiles(
             scene, vp, bones, width=96, height=96, layers=3,
