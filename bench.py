@@ -196,6 +196,29 @@ def verify(width=256, height=256, instances=9, subdiv=2) -> dict:
     )}
     out["pass"] &= out["peel_packed"]["pass"]
 
+    # the benchmarked MIPMAP engine (tile-major compacted trilinear,
+    # packed, analytic LOD): against the scan backend's trilinear —
+    # coverage must match off-edge exactly; color within the oracle
+    # bound (the two paths reconstruct the lod inputs differently, so
+    # rare pixels may land one quantization step apart)
+    sm, smd = device.render_frame(
+        scene, vp, bones, width=width, height=height, backend="scan",
+        mipmap=True)
+    pm, pmd = device.render_frame(
+        scene, vp, bones, width=width, height=height, backend="pallas",
+        mipmap=True, packed=True, tap_tiles=stt)
+    pmc = device.unpack_rgba(np.asarray(pm))
+    cov_mis = (np.asarray(pmd) < 1.0) != (np.asarray(smd) < 1.0)
+    cdiff = np.abs(pmc.astype(np.int32)
+                   - np.asarray(sm).astype(np.int32)).max(-1)
+    ok = ((cov_mis & ~edge).sum() == 0 and (cdiff > 1).mean() <= 0.003)
+    out["mipmap_packed"] = {
+        "coverage_mismatch_px": int(cov_mis.sum()),
+        "color_mismatch_pct": round(float((cdiff > 1).mean() * 100), 4),
+        "pass": bool(ok),
+    }
+    out["pass"] &= bool(ok)
+
     # the production OIT engine (opaque/translucent split): must equal
     # the single-pass ml peel exactly on this (opaque) scene, packed +
     # compacted, on the live backend
