@@ -304,10 +304,11 @@ class TestMultichipPeel:
         scene, vp, bones = self._glass_scene()
         want_c, want_d = device.render_frame_peeled(
             scene, vp, bones, width=64, height=64, layers=3,
-            backend="pallas", peel_mode="split", mipmap=True)
+            backend="pallas", peel_mode="split", mipmap=True,
+            lighting=True)
         got_c, got_d = render_frame_multichip(
             scene, vp, bones, mesh=make_row_mesh(4), width=64,
-            height=64, peel_layers=3, mipmap=True)
+            height=64, peel_layers=3, mipmap=True, lighting=True)
         np.testing.assert_array_equal(np.asarray(got_c),
                                       np.asarray(want_c))
         np.testing.assert_array_equal(np.asarray(got_d),
