@@ -64,7 +64,12 @@ KG = 32                  # culling-group size: the kernel tests each
                          # a precomputed SMEM bitmask) and skips the whole
                          # (KG, P) edge/z/select block when it misses —
                          # measured r2: 0.85 -> 0.33 G(tri,px) pairs at
-                         # 1080p/196k tris (chunk bboxes are ~4x looser)
+                         # 1080p/196k tris (chunk bboxes are ~4x looser).
+                         # KG=16 (G=24) was A/B'd r3 on the world scene
+                         # (tools/bench/kg_ab.py, same-process scan-of-N):
+                         # ~22% fewer binned pairs but the doubled unrolled
+                         # branch count LOST 2.1 ms raster / 1.6 ms frame
+                         # — same verdict as both early-z gate attempts
 NF = 128                 # lane columns of a setup block (the per-chunk DMA
                          # block minor dim must be 128-aligned)
 S = 3                    # sub-blocks packed side-by-side in the 128 lanes:
