@@ -82,6 +82,13 @@ def prefix(scene, vp, stage):
     tic = tid_tr.reshape(n, p)[sr]
     fxc = a4[:, :, 0].reshape(n, p)[sr]
     fyc = a4[:, :, 1].reshape(n, p)[sr]
+    if stage == "gatherraw":
+        # the pinned pool gather ALONE (no 2x2 contraction): splits
+        # _tap_albedo_channels' 5.6 ms into gather vs contract
+        quad = jax.lax.optimization_barrier(
+            scene.mip_pool[jnp.maximum(tic, 0)])
+        return (chk(quad[:, ::31]) + sum(chk(d[::7, ::31]) for d in dst0)
+                + chk(fxc[:, ::31]) + chk(fyc[:, ::31]))
     albc = device._tap_albedo_channels(scene.mip_pool, tic, fxc, fyc)
     if stage == "gather":
         return (sum(chk(a[:, ::31]) for a in albc)
@@ -106,7 +113,7 @@ def prefix(scene, vp, stage):
     return chk(color[:H, :W])
 
 
-STAGES = ["base", "gather", "expand", "blend"]
+STAGES = ["base", "gatherraw", "gather", "expand", "blend"]
 
 
 @functools.partial(jax.jit, static_argnames=("stage",))
