@@ -1,0 +1,141 @@
+"""Measured multichip band scaling on ONE real chip (config 5's story).
+
+Band-split multichip (parallel/tiles.py) is zero-collective: every chip
+runs the identical band program at its own y0 and the frame exists as a
+row-sharded global array. Therefore the n-chip frame time IS the
+slowest band's single-chip time — measurable on the one real chip by
+timing the DENSEST band (predict_bin_counts picks it) at each n. No ICI
+estimate needed; the only thing this can't see is n chips' HBM clocks
+drifting independently (each chip would need its own run anyway).
+
+Measures the world scene on the production mipmap band path (the
+workload still under 60 fps single-chip) for n = 1/2/4/8, and prints
+the projected multichip fps plus the fixed per-chip floor (vertex +
+setup + bin run over ALL triangles on every chip — the saturation
+term).
+
+Run on the real chip: PYTHONPATH=. python tools/bench/band_scale.py
+"""
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mt_renderer_tpu.render import device, pallas_raster as pr
+from mt_renderer_tpu.scene import world as world_mod
+
+W = int(os.environ.get("MTR_BAND_W", 1920))
+H = int(os.environ.get("MTR_BAND_H", 1080))
+PW = -(-W // pr.TILE_W) * pr.TILE_W
+N = int(os.environ.get("MTR_BAND_N", 8))
+BANDS = (1, 2, 4, 8)
+BUILDINGS = int(os.environ.get("MTR_BAND_B", 280))
+
+ws = world_mod.build_world(buildings=BUILDINGS,
+                           building_subdivs=(4, 6, 8, 10, 12))
+print(f"world: {ws.info}", flush=True)
+batch = ws.batch
+scene = device.upload(batch)
+anim = ws.animator()
+bones_np = ws.bone_palette(anim.bone_mats(np.float32(0.6)))
+bones = jnp.asarray(bones_np)
+cam = world_mod.world_camera(W, H, buildings=BUILDINGS)
+base_yaw = cam.yaw
+vl = []
+for i in range(N):
+    # small sweep: the densest band must stay densest across steps
+    cam.yaw = base_yaw + 0.8 * np.sin(0.25 * i)
+    vl.append(np.asarray(cam.view_proj()))
+vps = jnp.asarray(np.stack(vl))
+maxc = device.auto_maxc(batch, vl[0], bones_np, width=W, height=H)
+interp = jax.default_backend() != "tpu"
+print(f"maxc={maxc} interp={interp}", flush=True)
+
+
+def densest_band(n):
+    """Index + predicted binned-pair share of the heaviest band."""
+    band_h = -(-H // n)
+    pb = -(-band_h // pr.TILE_H) * pr.TILE_H
+    loads = [
+        int(device.predict_bin_counts(batch, vl[0], bones_np,
+                                      width=W, height=H,
+                                      y0=i * band_h, grid_rows=pb).sum())
+        for i in range(n)
+    ]
+    i = int(np.argmax(loads))
+    return i, band_h, pb, loads
+
+
+def chk(x):
+    f = x.reshape(-1)
+    return jnp.sum(f[:: max(f.shape[0] // 512, 1)].astype(jnp.float32))
+
+
+def make_runner(y0, pb):
+    """The multichip mipmap band body (tiles.py band_render, mipmap
+    branch) at a concrete band origin — fresh jit closure per n."""
+
+    def band(scene, vp):
+        clip = device.vertex_stage(scene, vp, bones)
+        cols, bbox, n_attr = device.setup_packed_cols(
+            scene, clip, W, H, bone_mats=bones)
+        zb, ib, mattrs, n_over = pr.raster_pallas_fwd(
+            (cols, bbox), None, 0, y0, width=PW, height=pb,
+            maxc=maxc, interpret=interp, n_attr=n_attr, mtap=True,
+            w_eps=device.W_EPS, flat=True)
+        src, covered, _ = device.shade_mip_tap_flat_channels(
+            scene, mattrs, ib, tap_tiles=None)
+        dstc = device._blend_channels(src, covered,
+                                      (255, 255, 255, 255))
+        color = pr.unflatten_tiles(device.pack_u32_channels(dstc),
+                                   pb, PW)
+        return chk(color) + chk(zb[:, 0, ::31])
+
+    def run_n(scene, vps):
+        def step(c, vp):
+            return c + band(scene, vp), None
+        return jax.lax.scan(step, jnp.float32(0), vps)[0]
+
+    return jax.jit(lambda s, v: band(s, v)), jax.jit(run_n)
+
+
+runners = {}
+meta = {}
+for n in BANDS:
+    i, band_h, pb, loads = densest_band(n)
+    t0 = time.perf_counter()
+    r1, rn = make_runner(i * band_h, pb)
+    float(r1(scene, vps[0]))
+    jax.block_until_ready(rn(scene, vps))
+    runners[n] = (r1, rn)
+    meta[n] = (i, pb, loads)
+    print(f"compiled n={n} band={i} pb={pb} "
+          f"load_share={max(loads)/max(sum(loads), 1):.2f} "
+          f"{time.perf_counter()-t0:.1f}s", flush=True)
+
+
+def timed(fn, *a):
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(*a))
+    return time.perf_counter() - t0
+
+
+res = {n: [] for n in BANDS}
+for rep in range(5):
+    for n, (r1, rn) in runners.items():
+        tn = timed(rn, scene, vps)
+        t1 = timed(r1, scene, vps[0])
+        res[n].append((tn - t1) / (N - 1) * 1e3)
+        print(f"rep{rep} n={n}: {res[n][-1]:7.2f}ms", flush=True)
+
+print("\n=== medians (densest band = projected n-chip frame) ===",
+      flush=True)
+t1v = None
+for n in BANDS:
+    v = sorted(res[n])[2]
+    if t1v is None:
+        t1v = v
+    print(f"n={n}: band {meta[n][0]} {v:7.2f}ms -> {1e3/v:6.1f} fps "
+          f"(speedup {t1v/v:.2f}x)", flush=True)
