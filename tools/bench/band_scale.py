@@ -12,7 +12,11 @@ Measures the world scene on the production mipmap band path (the
 workload still under 60 fps single-chip) for n = 1/2/4/8, and prints
 the projected multichip fps plus the fixed per-chip floor (vertex +
 setup + bin run over ALL triangles on every chip — the saturation
-term).
+term). MTR_BAND_SCENE=glass measures the mixed-OIT workload instead,
+on the banded split-peel path (tiles.py peel branch: dense taps, the
+production multichip OIT config); MTR_BAND_SCENE=peelmip measures the
+4-layer OIT + trilinear + lighting config on the default 196k-tri
+scene (the remaining sub-60 single-chip row).
 
 Run on the real chip: PYTHONPATH=. python tools/bench/band_scale.py
 """
@@ -32,16 +36,32 @@ PW = -(-W // pr.TILE_W) * pr.TILE_W
 N = int(os.environ.get("MTR_BAND_N", 8))
 BANDS = (1, 2, 4, 8)
 BUILDINGS = int(os.environ.get("MTR_BAND_B", 280))
+SCENE = os.environ.get("MTR_BAND_SCENE", "world")
+L = 4
 
-ws = world_mod.build_world(buildings=BUILDINGS,
-                           building_subdivs=(4, 6, 8, 10, 12))
-print(f"world: {ws.info}", flush=True)
-batch = ws.batch
-scene = device.upload(batch)
-anim = ws.animator()
-bones_np = ws.bone_palette(anim.bone_mats(np.float32(0.6)))
+if SCENE in ("glass", "peelmip"):
+    from mt_renderer_tpu.scene import demo
+
+    inst = int(os.environ.get("MTR_BAND_B", 1024))
+    batch = demo.build_demo_batch(instances=inst, skinned=True, subdiv=4)
+    if SCENE == "glass":
+        batch = demo.make_translucent(batch, inst)
+    scene = device.upload(batch)
+    bones_np = demo.demo_bone_mats(0.3)
+    cam = demo.demo_camera(inst, W, H)
+    if SCENE == "glass":
+        cam.position = cam.position * 0.3
+        cam.yaw = 15.0
+else:
+    ws = world_mod.build_world(buildings=BUILDINGS,
+                               building_subdivs=(4, 6, 8, 10, 12))
+    print(f"world: {ws.info}", flush=True)
+    batch = ws.batch
+    scene = device.upload(batch)
+    anim = ws.animator()
+    bones_np = ws.bone_palette(anim.bone_mats(np.float32(0.6)))
+    cam = world_mod.world_camera(W, H, buildings=BUILDINGS)
 bones = jnp.asarray(bones_np)
-cam = world_mod.world_camera(W, H, buildings=BUILDINGS)
 base_yaw = cam.yaw
 vl = []
 for i in range(N):
@@ -74,10 +94,11 @@ def chk(x):
 
 
 def make_runner(y0, pb):
-    """The multichip mipmap band body (tiles.py band_render, mipmap
-    branch) at a concrete band origin — fresh jit closure per n."""
+    """The multichip band body (tiles.py band_render: mipmap branch
+    for world, split-peel branch for glass) at a concrete band origin
+    — fresh jit closure per n."""
 
-    def band(scene, vp):
+    def band_world(scene, vp):
         clip = device.vertex_stage(scene, vp, bones)
         cols, bbox, n_attr = device.setup_packed_cols(
             scene, clip, W, H, bone_mats=bones)
@@ -92,6 +113,24 @@ def make_runner(y0, pb):
         color = pr.unflatten_tiles(device.pack_u32_channels(dstc),
                                    pb, PW)
         return chk(color) + chk(zb[:, 0, ::31])
+
+    def band_peel(scene, vp):
+        mip = SCENE == "peelmip"
+        clip = device.vertex_stage(scene, vp, bones)
+        setup_op, setup_tr, n_attr = device.setup_packed_cols(
+            scene, clip, W, H, bone_mats=bones, opacity_split=True,
+            lighting=mip)
+        dst, z0, n_over = device._split_peel_flat(
+            scene, setup_op, setup_tr, n_attr, x0=0, y0=y0,
+            pw=PW, ph=pb, layers=L, maxc=maxc,
+            light=device._light_unit() if mip else None,
+            tap_tiles=None, clear_color=(255, 255, 255, 255),
+            interp=interp, mipmap=mip)
+        color = pr.unflatten_tiles(device.pack_u32_channels(dst),
+                                   pb, PW)
+        return chk(color) + chk(z0[::7, ::31])
+
+    band = band_world if SCENE == "world" else band_peel
 
     def run_n(scene, vps):
         def step(c, vp):
