@@ -317,8 +317,18 @@ def run_once(args, width, height, instances, frames, png=None):
     if args.backend == "pallas":
         cam.yaw = base_yaw
         if args.multichip:
-            if args.peel or args.mipmap:
-                tap_tiles = None   # banded OIT/mip: dense taps, exact
+            if args.peel:
+                # per-band split-peel caps (max over bands — ONE static
+                # pair serves every shard): the dense-tap fallback cost
+                # banded glass ~6 ms/band-frame at 2 chips (band_scale)
+                tap_tiles = device.measure_live_tap_tiles(
+                    scene, np.asarray(cam.view_proj()),
+                    bones_at(0) if batch.skinned else None,
+                    width=width, height=height, layers=args.peel,
+                    maxc=maxc, lighting=args.lighting, mode="split",
+                    bands=args.multichip)
+            elif args.mipmap:
+                tap_tiles = None   # banded mip: dense taps, exact
             else:
                 # per-band compacted-tap cap: worst band's bound
                 tap_tiles = device.auto_tap_tiles(

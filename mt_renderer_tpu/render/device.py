@@ -1598,7 +1598,8 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
                            maxc: int | None = None,
                            lighting: bool = False,
                            margin: float = 1.5,
-                           mode: str = "ml"):
+                           mode: str = "ml",
+                           bands: int = 1):
     """Size ``tap_tiles`` (the peeled composite's compacted texture-tap
     cap — see composite_peeled_tap_flat) for a scene: run the ML kernel
     once for this view, count live (tile, layer) pairs on device, and
@@ -1611,7 +1612,14 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
     ``mode="split"`` sizes the split peel instead and returns the
     (opaque covered-tile cap, translucent live-row cap) pair that
     ``render_frame_peeled(..., peel_mode="split", tap_tiles=...)``
-    takes."""
+    takes. ``bands`` > 1 (split only) sizes a multichip band split:
+    the measurement runs per band at its own origin and returns the
+    max over bands — one static cap pair serves every shard
+    (``render_frame_multichip(peel_layers=L, tap_tiles=caps)``).
+    Liveness (z/id coverage) is identical between the bilinear and
+    trilinear kernel variants, so these caps serve ``mipmap=True``
+    renders too (the measurement always runs the cheaper tap
+    variant)."""
     from . import pallas_raster as pr
 
     pw = -(-width // pr.TILE_W) * pr.TILE_W
@@ -1625,26 +1633,37 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
     def cap(live, hi):
         return min(max(8, -(-int(np.ceil(live * margin)) // 8) * 8), hi)
 
+    if bands > 1 and mode != "split":
+        raise ValueError("bands > 1 sizing exists for mode='split' only "
+                         "(the multichip peel engine)")
+
     if mode == "split":
         (cols_op, bbox_op), (cols_tr, bbox_tr), n_attr = \
             setup_packed_cols(scene, clip, width, height,
                               bone_mats=bone_mats, lighting=lighting,
                               opacity_split=True)
-        zo, io, _, _, _ = pr.raster_pallas_fwd(
-            (cols_op, bbox_op), None, 0, 0, width=pw, height=ph,
-            maxc=mc, interpret=interp, n_attr=n_attr, tap=True,
-            w_eps=W_EPS, light=light, flat=True)
-        zo_eff = jnp.where(io >= 0, zo, jnp.float32(jnp.inf))
-        zt, it, _, _, _ = pr.raster_pallas_fwd_ml(
-            (cols_tr, bbox_tr), None, 0, 0, width=pw, height=ph,
-            layers=layers, maxc=mc, interpret=interp, n_attr=n_attr,
-            tap=True, w_eps=W_EPS, light=light, flat=True,
-            variant="nocull", zhi=zo_eff)
-        cov_tr = (it >= 0) & ((zt < zo_eff)
-                              | ((zt == zo_eff) & (it > io)))
-        live_op = int(jnp.sum(jnp.any(io >= 0, axis=2)))
-        live_tr = int(jnp.sum(jnp.any(cov_tr, axis=2)))
-        return cap(live_op, nt), cap(live_tr, nt * layers)
+        band_h = -(-height // bands)
+        pb = -(-band_h // pr.TILE_H) * pr.TILE_H
+        nt_band = (pw // pr.TILE_W) * (pb // pr.TILE_H)
+        kw = dict(width=pw, height=pb, maxc=mc, interpret=interp,
+                  n_attr=n_attr, w_eps=W_EPS, light=light, flat=True,
+                  tap=True)
+        live_op = live_tr = 0
+        for i in range(bands):
+            y0 = i * band_h
+            zo, io, _, _, _ = pr.raster_pallas_fwd(
+                (cols_op, bbox_op), None, 0, y0, **kw)
+            zo_eff = jnp.where(io >= 0, zo, jnp.float32(jnp.inf))
+            zt, it, _, _, _ = pr.raster_pallas_fwd_ml(
+                (cols_tr, bbox_tr), None, 0, y0, layers=layers,
+                variant="nocull", zhi=zo_eff, **kw)
+            cov_tr = (it >= 0) & ((zt < zo_eff)
+                                  | ((zt == zo_eff) & (it > io)))
+            live_op = max(live_op,
+                          int(jnp.sum(jnp.any(io >= 0, axis=2))))
+            live_tr = max(live_tr,
+                          int(jnp.sum(jnp.any(cov_tr, axis=2))))
+        return cap(live_op, nt_band), cap(live_tr, nt_band * layers)
 
     cols, bbox, n_attr = setup_packed_cols(
         scene, clip, width, height, bone_mats=bone_mats,

@@ -300,6 +300,40 @@ class TestMultichipPeel:
                 scene, vp, bones, mesh=make_row_mesh(2), width=64,
                 height=64, peel_layers=3, backend="scan")
 
+    def test_banded_caps_match_dense(self):
+        """Per-band split-cap sizing (measure_live_tap_tiles(bands=n)):
+        the capped banded peel is pixel-identical to the dense one, and
+        the caps are in PER-BAND units (≤ that band's tile count)."""
+        from mt_renderer_tpu.render import pallas_raster as pr
+
+        scene, vp, bones = self._glass_scene()
+        n = 4
+        caps = device.measure_live_tap_tiles(
+            scene, vp, bones, width=64, height=64, layers=3,
+            mode="split", bands=n)
+        band_h = -(-64 // n)
+        pb = -(-band_h // pr.TILE_H) * pr.TILE_H
+        nt_band = (-(-64 // pr.TILE_W)) * (pb // pr.TILE_H)
+        assert 0 < caps[0] <= nt_band
+        assert 0 < caps[1] <= nt_band * 3
+        dense_c, dense_d = render_frame_multichip(
+            scene, vp, bones, mesh=make_row_mesh(n), width=64,
+            height=64, peel_layers=3)
+        got_c, got_d = render_frame_multichip(
+            scene, vp, bones, mesh=make_row_mesh(n), width=64,
+            height=64, peel_layers=3, tap_tiles=caps)
+        np.testing.assert_array_equal(np.asarray(got_c),
+                                      np.asarray(dense_c))
+        np.testing.assert_array_equal(np.asarray(got_d),
+                                      np.asarray(dense_d))
+
+    def test_bands_requires_split_mode(self):
+        scene, vp, bones = self._glass_scene()
+        with pytest.raises(ValueError, match="bands"):
+            device.measure_live_tap_tiles(
+                scene, vp, bones, width=64, height=64, layers=3,
+                mode="ml", bands=2)
+
     def test_mipmap_peeled_bands_match_single(self):
         scene, vp, bones = self._glass_scene()
         want_c, want_d = device.render_frame_peeled(

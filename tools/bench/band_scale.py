@@ -93,10 +93,12 @@ def chk(x):
     return jnp.sum(f[:: max(f.shape[0] // 512, 1)].astype(jnp.float32))
 
 
-def make_runner(y0, pb):
+def make_runner(y0, pb, tap_tiles=None):
     """The multichip band body (tiles.py band_render: mipmap branch
     for world, split-peel branch for glass) at a concrete band origin
-    — fresh jit closure per n."""
+    — fresh jit closure per n. ``tap_tiles`` (peel scenes) is the
+    per-band split cap pair from measure_live_tap_tiles(bands=n);
+    None = dense taps (MTR_BAND_CAPS=1 turns caps on)."""
 
     def band_world(scene, vp):
         clip = device.vertex_stage(scene, vp, bones)
@@ -124,7 +126,7 @@ def make_runner(y0, pb):
             scene, setup_op, setup_tr, n_attr, x0=0, y0=y0,
             pw=PW, ph=pb, layers=L, maxc=maxc,
             light=device._light_unit() if mip else None,
-            tap_tiles=None, clear_color=(255, 255, 255, 255),
+            tap_tiles=tap_tiles, clear_color=(255, 255, 255, 255),
             interp=interp, mipmap=mip)
         color = pr.unflatten_tiles(device.pack_u32_channels(dst),
                                    pb, PW)
@@ -140,17 +142,23 @@ def make_runner(y0, pb):
     return jax.jit(lambda s, v: band(s, v)), jax.jit(run_n)
 
 
+USE_CAPS = bool(os.environ.get("MTR_BAND_CAPS")) and SCENE != "world"
 runners = {}
 meta = {}
 for n in BANDS:
     i, band_h, pb, loads = densest_band(n)
+    caps = None
+    if USE_CAPS:
+        caps = device.measure_live_tap_tiles(
+            scene, vl[0], bones_np, width=W, height=H, layers=L,
+            maxc=maxc, mode="split", bands=n)
     t0 = time.perf_counter()
-    r1, rn = make_runner(i * band_h, pb)
+    r1, rn = make_runner(i * band_h, pb, caps)
     float(r1(scene, vps[0]))
     jax.block_until_ready(rn(scene, vps))
     runners[n] = (r1, rn)
     meta[n] = (i, pb, loads)
-    print(f"compiled n={n} band={i} pb={pb} "
+    print(f"compiled n={n} band={i} pb={pb} caps={caps} "
           f"load_share={max(loads)/max(sum(loads), 1):.2f} "
           f"{time.perf_counter()-t0:.1f}s", flush=True)
 
