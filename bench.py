@@ -327,10 +327,12 @@ def run_once(args, width, height, instances, frames, png=None):
                     width=width, height=height, layers=args.peel,
                     maxc=maxc, lighting=args.lighting, mode="split",
                     bands=args.multichip)
-            elif args.mipmap:
-                tap_tiles = None   # banded mip: dense taps, exact
             else:
-                # per-band compacted-tap cap: worst band's bound
+                # per-band compacted-tap cap: worst band's bound.
+                # Valid for mipmap too — analytic LOD made the
+                # trilinear shade compactable, and the banded mip body
+                # takes scalar caps (tiles.py threads them through to
+                # shade_mip_tap_flat_channels, overflow checked)
                 tap_tiles = device.auto_tap_tiles(
                     batch, np.asarray(cam.view_proj()), bones_at(0),
                     width=width, height=height, bands=args.multichip)

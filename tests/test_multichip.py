@@ -350,6 +350,26 @@ class TestMultichipPeel:
 
 
 class TestMultichipMipmapExact:
+    def test_banded_mip_caps_match_dense(self):
+        """Banded trilinear with the worst-band scalar cap
+        (auto_tap_tiles(bands=n)) is pixel-identical to dense taps —
+        what bench --multichip --mipmap wires."""
+        batch = demo.build_demo_batch(instances=4, skinned=True)
+        scene = device.upload(batch)
+        cam = demo.demo_camera(4, 64, 64)
+        vp = np.asarray(cam.view_proj())
+        bones = demo.demo_bone_mats(0.7)
+        caps = device.auto_tap_tiles(batch, vp, bones,
+                                     width=64, height=64, bands=4)
+        dense, _ = render_frame_multichip(
+            scene, vp, bones, mesh=make_row_mesh(4), width=64,
+            height=64, mipmap=True, lighting=True)
+        got, _ = render_frame_multichip(
+            scene, vp, bones, mesh=make_row_mesh(4), width=64,
+            height=64, mipmap=True, lighting=True, tap_tiles=caps)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(dense))
+
     def test_pallas_mipmap_bands_bit_identical(self):
         """Analytic per-pixel LOD (device._analytic_lod) makes the
         trilinear shade elementwise, so band-sharded mipmap is now
