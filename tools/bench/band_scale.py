@@ -16,7 +16,11 @@ term). MTR_BAND_SCENE=glass measures the mixed-OIT workload instead,
 on the banded split-peel path (tiles.py peel branch: dense taps, the
 production multichip OIT config); MTR_BAND_SCENE=peelmip measures the
 4-layer OIT + trilinear + lighting config on the default 196k-tri
-scene (the remaining sub-60 single-chip row).
+scene (the remaining sub-60 single-chip row); MTR_BAND_SCENE=default
+measures the headline config (single-layer packed tap path).
+MTR_BAND_CAPS=1 sizes the per-band compacted-tap caps the bench
+multichip modes wire (measure_live_tap_tiles(bands)/auto_tap_tiles
+(bands)); default/world use the scalar cap, peel scenes the pair.
 
 Run on the real chip: PYTHONPATH=. python tools/bench/band_scale.py
 """
@@ -39,7 +43,7 @@ BUILDINGS = int(os.environ.get("MTR_BAND_B", 280))
 SCENE = os.environ.get("MTR_BAND_SCENE", "world")
 L = 4
 
-if SCENE in ("glass", "peelmip"):
+if SCENE in ("glass", "peelmip", "default"):
     from mt_renderer_tpu.scene import demo
 
     inst = int(os.environ.get("MTR_BAND_B", 1024))
@@ -132,7 +136,24 @@ def make_runner(y0, pb, tap_tiles=None):
                                    pb, PW)
         return chk(color) + chk(z0[::7, ::31])
 
-    band = band_world if SCENE == "world" else band_peel
+    def band_default(scene, vp):
+        # tiles.py band_render, not-mipmap packed branch: the
+        # single-chip production fast path per band
+        clip = device.vertex_stage(scene, vp, bones)
+        cols, bbox, n_attr = device.setup_packed_cols(
+            scene, clip, W, H, bone_mats=bones)
+        zb, ib, tattrs, tapidx, n_over = pr.raster_pallas_fwd(
+            (cols, bbox), None, 0, y0, width=PW, height=pb,
+            maxc=maxc, interpret=interp, n_attr=n_attr, tap=True,
+            w_eps=device.W_EPS, flat=True)
+        colort, _, _ = device.shade_finish_tap_flat(
+            scene, tattrs, tapidx, ib, (255, 255, 255, 255),
+            tap_tiles=tap_tiles)
+        color = pr.unflatten_tiles(colort, pb, PW)
+        return chk(color) + chk(zb[:, 0, ::31])
+
+    band = {"world": band_world, "default": band_default}.get(
+        SCENE, band_peel)
 
     def run_n(scene, vps):
         def step(c, vp):
@@ -148,7 +169,10 @@ meta = {}
 for n in BANDS:
     i, band_h, pb, loads = densest_band(n)
     caps = None
-    if USE_CAPS:
+    if USE_CAPS and SCENE == "default":
+        caps = device.auto_tap_tiles(batch, vl[0], bones_np,
+                                     width=W, height=H, bands=n)
+    elif USE_CAPS:
         caps = device.measure_live_tap_tiles(
             scene, vl[0], bones_np, width=W, height=H, layers=L,
             maxc=maxc, mode="split", bands=n)
