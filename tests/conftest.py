@@ -18,5 +18,20 @@ if "xla_force_host_platform_device_count" not in flags:
 # jax.config.jax_platforms at interpreter start, overriding the env var —
 # pin it back to cpu before any backend initialises.
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_xla_compile_state():
+    """XLA CPU segfaults in backend_compile_and_load after a few hundred
+    tests' worth of accumulated compile state (upstream; first hit r3 in
+    test_peeling's ml-leg, and the tipping point MOVES whenever the suite
+    grows — it relocated to test_compacted_and_packed_match_dense when
+    two multichip tests were added ahead of it). Start every module from
+    a clean compilation cache so the accumulation stays bounded:
+    cross-module cache reuse is negligible (test programs differ by
+    shape), so this costs seconds, not minutes."""
+    jax.clear_caches()
+    yield
