@@ -119,7 +119,7 @@ def _render_frame_multichip_core(
             )
             if not mipmap and packed:
                 # the single-chip production path, per band: tile-major
-                # flat epilogue with the covered-tile compacted tap
+                # flat epilogue with the covered-row compacted tap
                 # (tap_tiles sized host-side over the worst band —
                 # auto_tap_tiles(bands=n))
                 zb, ib, tattrs, tapidx, n_over = pr.raster_pallas_fwd(
@@ -249,13 +249,14 @@ def render_frame_multichip(scene, view_proj, bone_mats=None, *,
 
         if n_over.ndim == 2:              # packed path: (n, [bins, taps])
             band_h = -(-height // mesh.devices.size)
-            nt_band = (-(-width // pr.TILE_W)) * (-(-band_h // pr.TILE_H))
-            cap = tap_tiles if tap_tiles else nt_band
+            nrows_band = ((-(-width // pr.TILE_W))
+                          * (-(-band_h // pr.TILE_H)) * pr.TILE_H)
+            cap = tap_tiles if tap_tiles else nrows_band
             if isinstance(cap, tuple):    # split peel (op, tr) pair
-                cap = sum((c if c else nt_band) for c in cap)
+                cap = sum((c if c else nrows_band) for c in cap)
             pr.queue_overflow_check(
                 jnp.sum(n_over[:, 1]), cap,
-                what="tap overflow: live (tile, layer) rows lost their "
+                what="tap overflow: live 128-px tap rows lost their "
                      "texture; raise tap_tiles")
             n_over = n_over[:, 0]
         pr.queue_overflow_check(jnp.sum(n_over),
@@ -480,8 +481,8 @@ def render_frame_geomsplit(scene, view_proj, bone_mats=None, *,
             ph_t = -(-height // pr.TILE_H)
             pr.queue_overflow_check(
                 jnp.sum(n_over[:, 1]),
-                tap_tiles if tap_tiles else pw_t * ph_t,
-                what="tap overflow: live (tile, layer) rows lost their "
+                tap_tiles if tap_tiles else pw_t * ph_t * pr.TILE_H,
+                what="tap overflow: live 128-px tap rows lost their "
                      "texture; raise tap_tiles")
             n_over = n_over[:, 0]
         pr.queue_overflow_check(jnp.sum(n_over),

@@ -47,6 +47,14 @@ logger = logging.getLogger("mt_renderer_tpu.device")
 
 W_EPS = 1e-6
 PEEL_EPS = 1e-6        # depth-peel layer separation (NDC depth units)
+SEG_PX = 128           # tap-compaction row granularity: one 128-px lane
+                       # row (a single sublane of the flattened tile).
+                       # XLA TPU gathers are row-count priced (measured
+                       # 2.1 ns/row, width-insensitive — gather_shapes),
+                       # so the texture-tap cost is the STATIC compacted
+                       # row count x SEG_PX; sublane granularity lets the
+                       # cap hug the covered-pixel count instead of
+                       # rounding every live tile up to TILE_H rows
 TRI_PAD = 384          # triangle-count padding quantum — one S-packed
                        # raster chunk (pallas_raster.CT = K·S triangles
                        # per (K, NF) setup block)
@@ -956,6 +964,19 @@ def shade_finish_tap_flat(scene: DeviceScene, tattrs, tapidx, ib,
     return _blend_pack_u32(src, covered, clear_color), covered, n_over_tap
 
 
+def _expand_rows(albc, slot, n: int):
+    """Scatter compacted per-row channel results back to dense rows:
+    ``albc`` = 4 channel arrays (cap, SEG_PX), ``slot`` (n,) compact
+    slot per dense row (cap = dead/pad). ONE row gather serves all four
+    channels (lane-concatenated — gathers are row-count priced, so four
+    separate expands would cost 4x). Returns 4 arrays (n, SEG_PX)."""
+    cap = albc[0].shape[0]
+    allc = jnp.concatenate(albc, axis=1)                  # (cap, 4*SEG)
+    allc = jnp.concatenate(
+        [allc, jnp.zeros((1, 4 * SEG_PX), jnp.float32)])[slot]
+    return [allc[:, c * SEG_PX:(c + 1) * SEG_PX] for c in range(4)]
+
+
 def shade_tap_flat_channels(scene: DeviceScene, tattrs, tapidx, ib,
                             tap_tiles: int | None = None):
     """Tile-major tap shade → (src channel list [r, g, b, a] each
@@ -964,23 +985,24 @@ def shade_tap_flat_channels(scene: DeviceScene, tattrs, tapidx, ib,
     flat peel compositor.
 
     ``tap_tiles`` compacts the pool gather + contraction to that many
-    COVERED tiles (None/0 = dense). Size it host-side with
-    ``auto_tap_tiles`` — any tile whose pixels are covered has binning
-    candidates, so the predictor's non-empty-tile count is a true upper
+    COVERED 128-px rows (SEG_PX sublane segments — the unit every
+    compacted tap path shares; None/0 = dense). Size it host-side with
+    ``auto_tap_tiles`` — a covered row's tile has binning candidates on
+    that pixel row, so the predictor's live-row count is a true upper
     bound (margin covers animation drift; overflow reports loudly)."""
     ti = tapidx[:, 0, :]
     covered = ib[:, 0, :] >= 0
     nt, p = ti.shape
-    cap = 0 if tap_tiles is None else min(tap_tiles, nt)
-    if cap and cap < nt:
-        live = jnp.any(covered, axis=1)                   # (nt,)
+    n = nt * (p // SEG_PX)
+    cap = 0 if tap_tiles is None else min(tap_tiles, n)
+    if cap and cap < n:
+        live = jnp.any(covered.reshape(n, SEG_PX), axis=1)  # (n,)
         src_rows, slot, n_over_tap = _compact_live_rows(live, cap)
-        tic = ti[src_rows]
-        fxc = tattrs[:, 0, :][src_rows]
-        fyc = tattrs[:, 1, :][src_rows]
+        tic = ti.reshape(n, SEG_PX)[src_rows]
+        fxc = tattrs[:, 0, :].reshape(n, SEG_PX)[src_rows]
+        fyc = tattrs[:, 1, :].reshape(n, SEG_PX)[src_rows]
         albc = _tap_albedo_channels(scene.mip_pool, tic, fxc, fyc)
-        alb = [jnp.concatenate(
-            [a, jnp.zeros((1, p), jnp.float32)])[slot] for a in albc]
+        alb = [a.reshape(nt, p) for a in _expand_rows(albc, slot, n)]
     else:
         alb = _tap_albedo_channels(scene.mip_pool, ti, tattrs[:, 0, :],
                                    tattrs[:, 1, :])
@@ -1014,6 +1036,9 @@ def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
     texture (albedo 0) and the overflow count is returned for the
     caller to report loudly (render_frame_peeled queues it like bin
     overflow). None/0 = dense — exact for any content, the default.
+    The compaction unit is the 128-px SEG_PX row (a (tile, layer,
+    sublane) triple), so the cap tracks covered pixels, not covered
+    tiles.
 
     ``covered`` overrides the per-(tile, layer, pixel) liveness mask
     (default ``il >= 0``) — the split peel culls translucent fragments
@@ -1031,21 +1056,19 @@ def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
     textured = tapidx >= 0
     if covered is None:
         covered = il >= 0
-    n = nt * layers
+    n = nt * layers * (p // SEG_PX)
     cap = 0 if tap_tiles is None else min(tap_tiles, n)
     if cap and cap < n:
-        live = jnp.any(covered, axis=2).reshape(n)        # (nt*L,)
+        live = jnp.any(covered.reshape(n, SEG_PX), axis=1)  # (n,)
         sr, slot, n_over_tap = _compact_live_rows(live, cap)
-        tic = tapidx.reshape(n, p)[sr]                    # (cap, p)
-        fxc = a4[:, :, 0].reshape(n, p)[sr]
-        fyc = a4[:, :, 1].reshape(n, p)[sr]
+        tic = tapidx.reshape(n, SEG_PX)[sr]               # (cap, SEG)
+        fxc = a4[:, :, 0].reshape(n, SEG_PX)[sr]
+        fyc = a4[:, :, 1].reshape(n, SEG_PX)[sr]
         albc = _tap_albedo_channels(scene.mip_pool, tic, fxc, fyc)
-        # expand back: per-(tile, layer) row gather from the compact
-        # buffer; the pad row (slot == cap) is zero albedo
-        slot2 = slot.reshape(nt, layers)
-        alb = [jnp.concatenate(
-            [a, jnp.zeros((1, p), jnp.float32)])[slot2]
-            for a in albc]                                # 4 x (nt, L, P)
+        # expand back: per-(tile, layer, sublane) row gather from the
+        # compact buffer; the pad row (slot == cap) is zero albedo
+        alb = [a.reshape(nt, layers, p)
+               for a in _expand_rows(albc, slot, n)]      # 4 x (nt, L, P)
     else:
         alb = _tap_albedo_channels(scene.mip_pool, tapidx,
                                    a4[:, :, 0], a4[:, :, 1])
@@ -1069,11 +1092,44 @@ def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
     return dst, n_over_tap
 
 
+def _seg_rows(m):
+    """(N, planes, P) → (N·P/SEG_PX, planes, SEG_PX): split each plane
+    row into 128-lane SEG_PX segments, segment-major within a row.
+    BOTH the dense and the compacted mip shades build their arithmetic
+    input through this one helper (compacted adds a plain row gather on
+    the result) so XLA sees the same 128-lane-minor elementwise program
+    either way — a two-axis ``mseg[sr // sg, :, sr % sg]`` gather on
+    the compacted side fused ±1 ulp apart from the dense program (the
+    CLAUDE.md layout-fusion gotcha), breaking bit-exactness."""
+    N, npl, p = m.shape
+    sg = p // SEG_PX
+    return jnp.moveaxis(
+        m.reshape(N, npl, sg, SEG_PX), 2, 1).reshape(
+            N * sg, npl, SEG_PX)
+
+
 def _mip_albedo_channels(scene: DeviceScene, m):
     """Trilinear albedo from mip-tap planes ``m`` (N, 17, P) → list of
     4 channel arrays (N, P). Fully elementwise per pixel (analytic
     LOD + arithmetic mip addressing): exactly the math shade_mip_tap
-    runs plane-major, reusable on COMPACTED row subsets."""
+    runs plane-major, reusable on COMPACTED row subsets.
+
+    Inputs with P > SEG_PX are canonicalised to SEG_PX-minor rows
+    first so every caller — dense (P = tile pixels) and compacted
+    (P = SEG_PX) — runs the SAME 128-lane-minor elementwise program:
+    XLA fuses differently-laid-out trilinear math ±1 ulp apart (the
+    CLAUDE.md layout-fusion gotcha), which broke the compacted ==
+    dense bit-exactness contract before this canonicalisation."""
+    N, npl, p = m.shape
+    if p != SEG_PX:
+        return [a.reshape(N, p)
+                for a in _mip_albedo_channels(scene, _seg_rows(m))]
+    # Seal the trilinear cluster: without the barriers XLA cancels the
+    # dense caller's _seg_rows layout ops against the output reshape and
+    # fuses this math with the surrounding frame program in the ORIGINAL
+    # layout — ±1 ulp from the compacted program (reproduced: the
+    # isolated jit matches bit-exactly, the full render_frame doesn't).
+    m = jax.lax.optimization_barrier(m)
     u = m[:, 0]
     v = m[:, 1]
     off0 = (m[:, 3].astype(jnp.int32) * 4096
@@ -1084,7 +1140,8 @@ def _mip_albedo_channels(scene: DeviceScene, m):
                         m[:, 5], m[:, 6])
     albedo = _trilinear_arith(scene.mip_pool, off0, th, tw, lod, u, v,
                               scene.num_mips, planes=True)
-    return [albedo[c] for c in range(4)]
+    return list(jax.lax.optimization_barrier(
+        tuple(albedo[c] for c in range(4))))
 
 
 def shade_mip_tap_flat_channels(scene: DeviceScene, mattrs, ib,
@@ -1094,20 +1151,24 @@ def shade_mip_tap_flat_channels(scene: DeviceScene, mattrs, ib,
     [r, g, b, a] each (n_tiles, P) f32 0-255, covered (n_tiles, P)
     bool, n_over_tap). ``tap_tiles`` compacts the trilinear work (two
     quad gathers per pixel — the mipmap frame's dominant cost) to that
-    many COVERED tiles, exactly like shade_tap_flat_channels; possible
-    at all because the analytic LOD made the shade elementwise."""
+    many COVERED 128-px rows (SEG_PX), exactly like
+    shade_tap_flat_channels; possible at all because the analytic LOD
+    made the shade elementwise."""
     covered = ib[:, 0, :] >= 0
-    nt, _, p = mattrs.shape
-    cap = 0 if tap_tiles is None else min(tap_tiles, nt)
-    if cap and cap < nt:
-        live = jnp.any(covered, axis=1)
-        sr, slot, n_over_tap = _compact_live_rows(live, cap)
-        albc = _mip_albedo_channels(scene, mattrs[sr])
-        alb = [jnp.concatenate(
-            [a, jnp.zeros((1, p), jnp.float32)])[slot] for a in albc]
-    else:
-        alb = _mip_albedo_channels(scene, mattrs)
-        n_over_tap = jnp.int32(0)
+    nt, nplanes, p = mattrs.shape
+    sg = p // SEG_PX
+    n = nt * sg
+    # ONE program for every cap (None = n): gather live seg-rows →
+    # trilinear → expand. A separate dense branch fused ±1 ulp apart
+    # from the compacted one (optimization_barrier is layout-transparent,
+    # so XLA folded the dense side's relayout through it), breaking the
+    # compacted == dense bit-exactness contract; with a single structure
+    # the cap is just a shape constant.
+    cap = min(tap_tiles, n) if tap_tiles else n
+    live = jnp.any(covered.reshape(n, SEG_PX), axis=1)
+    sr, slot, n_over_tap = _compact_live_rows(live, cap)
+    albc = _mip_albedo_channels(scene, _seg_rows(mattrs)[sr])
+    alb = [a.reshape(nt, p) for a in _expand_rows(albc, slot, n)]
     textured = mattrs[:, 2, :] >= 0.0
     src = [jnp.where(textured, alb[c] * mattrs[:, 7 + c, :],
                      mattrs[:, 7 + c, :]) for c in range(4)]
@@ -1131,21 +1192,17 @@ def composite_peeled_mip_flat(scene: DeviceScene, mattrs, il,
     a4 = mattrs.reshape(nt, layers, 17, p)
     if covered is None:
         covered = il >= 0
-    n = nt * layers
-    cap = 0 if tap_tiles is None else min(tap_tiles, n)
-    flat = a4.reshape(n, 17, p)
-    if cap and cap < n:
-        live = jnp.any(covered, axis=2).reshape(n)
-        sr, slot, n_over_tap = _compact_live_rows(live, cap)
-        albc = _mip_albedo_channels(scene, flat[sr])
-        slot2 = slot.reshape(nt, layers)
-        alb = [jnp.concatenate(
-            [a, jnp.zeros((1, p), jnp.float32)])[slot2]
-            for a in albc]                                # 4 x (nt, L, P)
-    else:
-        albc = _mip_albedo_channels(scene, flat)
-        alb = [a.reshape(nt, layers, p) for a in albc]
-        n_over_tap = jnp.int32(0)
+    sg = p // SEG_PX
+    n = nt * layers * sg
+    # one gather → trilinear → expand program for every cap — see
+    # shade_mip_tap_flat_channels
+    cap = min(tap_tiles, n) if tap_tiles else n
+    live = jnp.any(covered.reshape(n, SEG_PX), axis=1)
+    sr, slot, n_over_tap = _compact_live_rows(live, cap)
+    albc = _mip_albedo_channels(
+        scene, _seg_rows(a4.reshape(nt * layers, 17, p))[sr])
+    alb = [a.reshape(nt, layers, p)
+           for a in _expand_rows(albc, slot, n)]          # 4 x (nt, L, P)
     textured = a4[:, :, 2] >= 0.0
     if dst0 is None:
         clear = np.asarray(clear_color, np.float32)
@@ -1497,11 +1554,30 @@ def predict_bin_counts(batch, view_proj, bone_mats=None, *,
     transfer this early would permanently degrade every later dispatch
     in the process to ~250 ms through the axon TPU tunnel (measured
     r2), so the sizing decision must never touch the device."""
-    from . import cpu_reference as cr
     from . import pallas_raster as pr
 
     pw = -(-width // pr.TILE_W) * pr.TILE_W
     ph = -(-height // pr.TILE_H) * pr.TILE_H
+    xmin, xmax, ymin, ymax = _chunk_bboxes(batch, view_proj, bone_mats,
+                                           width=width, height=height)
+    n_ty, n_tx = (grid_rows or ph) // pr.TILE_H, pw // pr.TILE_W
+    ty0 = np.arange(n_ty, dtype=np.float32) * pr.TILE_H + y0
+    tx0 = np.arange(n_tx, dtype=np.float32) * pr.TILE_W
+    ovy = (ymax[:, None] >= ty0) & (ymin[:, None] <= ty0 + pr.TILE_H)
+    ovx = (xmax[:, None] >= tx0) & (xmin[:, None] <= tx0 + pr.TILE_W)
+    return (ovy[:, :, None] & ovx[:, None, :]).sum(axis=0)
+
+
+def _chunk_bboxes(batch, view_proj, bone_mats=None, *,
+                  width: int, height: int):
+    """Per-chunk screen bboxes (xmin, xmax, ymin, ymax), each (C,), in
+    NumPy from the HOST batch — the shared geometry behind
+    ``predict_bin_counts`` (tile granularity) and ``predict_live_rows``
+    (128-px row granularity). Duplicates ``upload``'s triangle padding
+    and ``pack_setup``'s chunk aggregation; the property test pinning
+    predict_bin_counts to the kernel's bin_chunks pins this too."""
+    from . import cpu_reference as cr
+    from . import pallas_raster as pr
 
     pos = cr.skin_positions(batch, bone_mats)
     homo = np.concatenate(
@@ -1531,17 +1607,36 @@ def predict_bin_counts(batch, view_proj, bone_mats=None, *,
     ymin[:t] = np.where(valid, sy.min(1), big)
     ymax[:t] = np.where(valid, sy.max(1), -big)
     cc = tp // pr.CT
-    xmin = xmin.reshape(cc, pr.CT).min(1)
-    xmax = xmax.reshape(cc, pr.CT).max(1)
-    ymin = ymin.reshape(cc, pr.CT).min(1)
-    ymax = ymax.reshape(cc, pr.CT).max(1)
+    return (xmin.reshape(cc, pr.CT).min(1),
+            xmax.reshape(cc, pr.CT).max(1),
+            ymin.reshape(cc, pr.CT).min(1),
+            ymax.reshape(cc, pr.CT).max(1))
 
-    n_ty, n_tx = (grid_rows or ph) // pr.TILE_H, pw // pr.TILE_W
-    ty0 = np.arange(n_ty, dtype=np.float32) * pr.TILE_H + y0
+
+def predict_live_rows(batch, view_proj, bone_mats=None, *,
+                      width: int, height: int,
+                      y0: int = 0, grid_rows: int | None = None) -> int:
+    """Host-side upper bound on live 128-px tap rows (SEG_PX sublane
+    segments) for this view: a (tile-x, pixel-row) segment can only be
+    covered if some candidate chunk's bbox overlaps it, so counting
+    bbox-overlapped segments bounds the compacted tap's true liveness
+    from above (chunk bboxes are the binning's own granularity).
+    ``y0``/``grid_rows`` follow the multichip band contract of
+    ``predict_bin_counts``."""
+    from . import pallas_raster as pr
+
+    pw = -(-width // pr.TILE_W) * pr.TILE_W
+    ph = -(-height // pr.TILE_H) * pr.TILE_H
+    xmin, xmax, ymin, ymax = _chunk_bboxes(batch, view_proj, bone_mats,
+                                           width=width, height=height)
+    rows = grid_rows or ph
+    n_tx = pw // pr.TILE_W
     tx0 = np.arange(n_tx, dtype=np.float32) * pr.TILE_W
-    ovy = (ymax[:, None] >= ty0) & (ymin[:, None] <= ty0 + pr.TILE_H)
+    ys = np.arange(rows, dtype=np.float32) + y0
     ovx = (xmax[:, None] >= tx0) & (xmin[:, None] <= tx0 + pr.TILE_W)
-    return (ovy[:, :, None] & ovx[:, None, :]).sum(axis=0)
+    ovy = (ymax[:, None] >= ys) & (ymin[:, None] <= ys + 1.0)
+    live = (ovy.astype(np.float32).T @ ovx.astype(np.float32)) > 0.0
+    return int(live.sum())
 
 
 def auto_maxc(batch, view_proj, bone_mats=None, *,
@@ -1572,25 +1667,26 @@ def auto_tap_tiles(batch, view_proj, bone_mats=None, *,
                    width: int, height: int, margin: float = 1.25,
                    bands: int = 1) -> int:
     """Host-side (NO device sync) cap for the single-layer compacted
-    texture tap (shade_tap_flat_channels): a covered tile necessarily
-    has binning candidates, so the predictor's non-empty-tile count
-    bounds live tiles from above; ``margin`` covers animation drift.
-    Rounded up to a multiple of 8, clamped to the tile count.
-    ``bands`` > 1 sizes a multichip band split: the max over each
-    band's own tile grid (one static cap serves every shard)."""
+    texture tap (shade_tap_flat_channels), in 128-px tap rows (SEG_PX):
+    a covered row's segment necessarily overlaps a candidate chunk
+    bbox, so ``predict_live_rows`` bounds liveness from above;
+    ``margin`` covers animation drift. Rounded up to a multiple of 8,
+    clamped to the grid's segment count. ``bands`` > 1 sizes a
+    multichip band split: the max over each band's own tile grid (one
+    static cap serves every shard)."""
     from . import pallas_raster as pr
 
     pw = -(-width // pr.TILE_W) * pr.TILE_W
     band_h = -(-height // bands)
     pb = -(-band_h // pr.TILE_H) * pr.TILE_H
-    nt = (pw // pr.TILE_W) * (pb // pr.TILE_H)
+    nrows = (pw // pr.TILE_W) * pb
     live = max(
-        int((predict_bin_counts(batch, view_proj, bone_mats,
-                                width=width, height=height,
-                                y0=i * band_h, grid_rows=pb) > 0).sum())
+        predict_live_rows(batch, view_proj, bone_mats,
+                          width=width, height=height,
+                          y0=i * band_h, grid_rows=pb)
         for i in range(bands)
     )
-    return min(max(8, -(-int(np.ceil(live * margin)) // 8) * 8), nt)
+    return min(max(8, -(-int(np.ceil(live * margin)) // 8) * 8), nrows)
 
 
 def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
@@ -1601,16 +1697,17 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
                            mode: str = "ml",
                            bands: int = 1):
     """Size ``tap_tiles`` (the peeled composite's compacted texture-tap
-    cap — see composite_peeled_tap_flat) for a scene: run the ML kernel
-    once for this view, count live (tile, layer) pairs on device, and
-    return count x ``margin`` rounded up (one device→host transfer —
-    call once at load / scene change, exactly like ``auto_maxc``).
-    Opaque content keeps deeper layers empty (kernel opaque-z cull), so
-    this typically lands near ONE frame's covered tiles instead of
-    n_tiles x layers.
+    cap — see composite_peeled_tap_flat) for a scene, in 128-px tap
+    rows (SEG_PX): run the ML kernel once for this view, count live
+    (tile, layer, sublane) rows on device, and return count x
+    ``margin`` rounded up (one device→host transfer — call once at
+    load / scene change, exactly like ``auto_maxc``). Opaque content
+    keeps deeper layers empty (kernel opaque-z cull), so this
+    typically lands near ONE frame's covered rows instead of
+    rows x layers.
 
     ``mode="split"`` sizes the split peel instead and returns the
-    (opaque covered-tile cap, translucent live-row cap) pair that
+    (opaque live-row cap, translucent live-row cap) pair that
     ``render_frame_peeled(..., peel_mode="split", tap_tiles=...)``
     takes. ``bands`` > 1 (split only) sizes a multichip band split:
     the measurement runs per band at its own origin and returns the
@@ -1624,7 +1721,6 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
 
     pw = -(-width // pr.TILE_W) * pr.TILE_W
     ph = -(-height // pr.TILE_H) * pr.TILE_H
-    nt = (pw // pr.TILE_W) * (ph // pr.TILE_H)
     clip = vertex_stage(scene, view_proj, bone_mats)
     mc = maxc or pr.MAXC_DEFAULT
     interp = jax.default_backend() != "tpu"
@@ -1637,6 +1733,13 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
         raise ValueError("bands > 1 sizing exists for mode='split' only "
                          "(the multichip peel engine)")
 
+    def live_rows(mask):
+        # (nt, L, P) bool → live 128-px (tile, layer, sublane) rows
+        nt_, l_, p_ = mask.shape
+        return int(jnp.sum(
+            jnp.any(mask.reshape(nt_ * l_ * (p_ // SEG_PX), SEG_PX),
+                    axis=1)))
+
     if mode == "split":
         (cols_op, bbox_op), (cols_tr, bbox_tr), n_attr = \
             setup_packed_cols(scene, clip, width, height,
@@ -1644,7 +1747,7 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
                               opacity_split=True)
         band_h = -(-height // bands)
         pb = -(-band_h // pr.TILE_H) * pr.TILE_H
-        nt_band = (pw // pr.TILE_W) * (pb // pr.TILE_H)
+        nrows_band = (pw // pr.TILE_W) * pb
         kw = dict(width=pw, height=pb, maxc=mc, interpret=interp,
                   n_attr=n_attr, w_eps=W_EPS, light=light, flat=True,
                   tap=True)
@@ -1659,11 +1762,10 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
                 variant="nocull", zhi=zo_eff, **kw)
             cov_tr = (it >= 0) & ((zt < zo_eff)
                                   | ((zt == zo_eff) & (it > io)))
-            live_op = max(live_op,
-                          int(jnp.sum(jnp.any(io >= 0, axis=2))))
-            live_tr = max(live_tr,
-                          int(jnp.sum(jnp.any(cov_tr, axis=2))))
-        return cap(live_op, nt_band), cap(live_tr, nt_band * layers)
+            live_op = max(live_op, live_rows(io >= 0))
+            live_tr = max(live_tr, live_rows(cov_tr))
+        return (cap(live_op, nrows_band),
+                cap(live_tr, nrows_band * layers))
 
     cols, bbox, n_attr = setup_packed_cols(
         scene, clip, width, height, bone_mats=bone_mats,
@@ -1673,8 +1775,8 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
         maxc=mc, interpret=interp,
         n_attr=n_attr, tap=True, w_eps=W_EPS,
         light=light, flat=True)
-    live = int(jnp.sum(jnp.any(ib >= 0, axis=2)))
-    return cap(live, nt * layers)
+    nrows = (pw // pr.TILE_W) * ph
+    return cap(live_rows(ib >= 0), nrows * layers)
 
 
 @functools.partial(
@@ -1806,13 +1908,14 @@ def _queue_frame_overflow(n_over, maxc, tap_tiles, width, height):
 
     if isinstance(n_over, tuple):
         n_over, n_tap = n_over
-        nt = ((-(-width // pr.TILE_W)) * (-(-height // pr.TILE_H)))
-        cap = tap_tiles if tap_tiles else nt
+        nrows = ((-(-width // pr.TILE_W))
+                 * (-(-height // pr.TILE_H)) * pr.TILE_H)
+        cap = tap_tiles if tap_tiles else nrows
         if isinstance(cap, tuple):                    # split-peel pair
-            cap = sum((c if c else nt) for c in cap)
+            cap = sum((c if c else nrows) for c in cap)
         pr.queue_overflow_check(
             n_tap, cap,
-            what="tap overflow: live (tile, layer) rows lost their "
+            what="tap overflow: live 128-px tap rows lost their "
                  "texture; raise tap_tiles")
     pr.queue_overflow_check(n_over, maxc or pr.MAXC_DEFAULT)
 

@@ -303,7 +303,8 @@ class TestMultichipPeel:
     def test_banded_caps_match_dense(self):
         """Per-band split-cap sizing (measure_live_tap_tiles(bands=n)):
         the capped banded peel is pixel-identical to the dense one, and
-        the caps are in PER-BAND units (≤ that band's tile count)."""
+        the caps are in PER-BAND 128-px row units (≤ that band's
+        segment-row count)."""
         from mt_renderer_tpu.render import pallas_raster as pr
 
         scene, vp, bones = self._glass_scene()
@@ -313,9 +314,9 @@ class TestMultichipPeel:
             mode="split", bands=n)
         band_h = -(-64 // n)
         pb = -(-band_h // pr.TILE_H) * pr.TILE_H
-        nt_band = (-(-64 // pr.TILE_W)) * (pb // pr.TILE_H)
-        assert 0 < caps[0] <= nt_band
-        assert 0 < caps[1] <= nt_band * 3
+        nrows_band = (-(-64 // pr.TILE_W)) * pb
+        assert 0 < caps[0] <= nrows_band
+        assert 0 < caps[1] <= nrows_band * 3
         dense_c, dense_d = render_frame_multichip(
             scene, vp, bones, mesh=make_row_mesh(n), width=64,
             height=64, peel_layers=3)
