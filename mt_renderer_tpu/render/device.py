@@ -985,18 +985,24 @@ def shade_tap_flat_channels(scene: DeviceScene, tattrs, tapidx, ib,
     flat peel compositor.
 
     ``tap_tiles`` compacts the pool gather + contraction to that many
-    COVERED 128-px rows (SEG_PX sublane segments — the unit every
-    compacted tap path shares; None/0 = dense). Size it host-side with
-    ``auto_tap_tiles`` — a covered row's tile has binning candidates on
-    that pixel row, so the predictor's live-row count is a true upper
-    bound (margin covers animation drift; overflow reports loudly)."""
+    live (textured∧covered) 128-px rows (SEG_PX sublane segments — the
+    unit every compacted tap path shares; None/0 = dense). Size it
+    host-side with ``auto_tap_tiles`` — a live row's segment overlaps
+    some textured chunk's bbox, so the predictor's row count is a true
+    upper bound (margin covers animation drift; overflow reports
+    loudly)."""
     ti = tapidx[:, 0, :]
     covered = ib[:, 0, :] >= 0
+    textured = ti >= 0
     nt, p = ti.shape
     n = nt * (p // SEG_PX)
     cap = 0 if tap_tiles is None else min(tap_tiles, n)
     if cap and cap < n:
-        live = jnp.any(covered.reshape(n, SEG_PX), axis=1)  # (n,)
+        # textured∧covered: a covered-but-untextured row's albedo is
+        # never consumed (src falls back to the flat/debug color), so
+        # it need not occupy a tap slot
+        live = jnp.any((covered & textured).reshape(n, SEG_PX),
+                       axis=1)                            # (n,)
         src_rows, slot, n_over_tap = _compact_live_rows(live, cap)
         tic = ti.reshape(n, SEG_PX)[src_rows]
         fxc = tattrs[:, 0, :].reshape(n, SEG_PX)[src_rows]
@@ -1007,7 +1013,6 @@ def shade_tap_flat_channels(scene: DeviceScene, tattrs, tapidx, ib,
         alb = _tap_albedo_channels(scene.mip_pool, ti, tattrs[:, 0, :],
                                    tattrs[:, 1, :])
         n_over_tap = jnp.int32(0)
-    textured = ti >= 0
     src = [jnp.where(textured, alb[c] * tattrs[:, 2 + c, :],
                      tattrs[:, 2 + c, :]) for c in range(4)]
     return src, covered, n_over_tap
@@ -1059,7 +1064,10 @@ def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
     n = nt * layers * (p // SEG_PX)
     cap = 0 if tap_tiles is None else min(tap_tiles, n)
     if cap and cap < n:
-        live = jnp.any(covered.reshape(n, SEG_PX), axis=1)  # (n,)
+        # textured∧covered: untextured fragments never read their
+        # albedo (the blend falls back to the flat/debug color)
+        live = jnp.any((covered & textured).reshape(n, SEG_PX),
+                       axis=1)                            # (n,)
         sr, slot, n_over_tap = _compact_live_rows(live, cap)
         tic = tapidx.reshape(n, SEG_PX)[sr]               # (cap, SEG)
         fxc = a4[:, :, 0].reshape(n, SEG_PX)[sr]
@@ -1155,6 +1163,7 @@ def shade_mip_tap_flat_channels(scene: DeviceScene, mattrs, ib,
     shade_tap_flat_channels; possible at all because the analytic LOD
     made the shade elementwise."""
     covered = ib[:, 0, :] >= 0
+    textured = mattrs[:, 2, :] >= 0.0
     nt, nplanes, p = mattrs.shape
     sg = p // SEG_PX
     n = nt * sg
@@ -1163,13 +1172,13 @@ def shade_mip_tap_flat_channels(scene: DeviceScene, mattrs, ib,
     # from the compacted one (optimization_barrier is layout-transparent,
     # so XLA folded the dense side's relayout through it), breaking the
     # compacted == dense bit-exactness contract; with a single structure
-    # the cap is just a shape constant.
+    # the cap is just a shape constant. Liveness is textured∧covered —
+    # untextured fragments never read their trilinear result.
     cap = min(tap_tiles, n) if tap_tiles else n
-    live = jnp.any(covered.reshape(n, SEG_PX), axis=1)
+    live = jnp.any((covered & textured).reshape(n, SEG_PX), axis=1)
     sr, slot, n_over_tap = _compact_live_rows(live, cap)
     albc = _mip_albedo_channels(scene, _seg_rows(mattrs)[sr])
     alb = [a.reshape(nt, p) for a in _expand_rows(albc, slot, n)]
-    textured = mattrs[:, 2, :] >= 0.0
     src = [jnp.where(textured, alb[c] * mattrs[:, 7 + c, :],
                      mattrs[:, 7 + c, :]) for c in range(4)]
     return src, covered, n_over_tap
@@ -1192,18 +1201,18 @@ def composite_peeled_mip_flat(scene: DeviceScene, mattrs, il,
     a4 = mattrs.reshape(nt, layers, 17, p)
     if covered is None:
         covered = il >= 0
+    textured = a4[:, :, 2] >= 0.0
     sg = p // SEG_PX
     n = nt * layers * sg
-    # one gather → trilinear → expand program for every cap — see
-    # shade_mip_tap_flat_channels
+    # one gather → trilinear → expand program for every cap, liveness
+    # textured∧covered — see shade_mip_tap_flat_channels
     cap = min(tap_tiles, n) if tap_tiles else n
-    live = jnp.any(covered.reshape(n, SEG_PX), axis=1)
+    live = jnp.any((covered & textured).reshape(n, SEG_PX), axis=1)
     sr, slot, n_over_tap = _compact_live_rows(live, cap)
     albc = _mip_albedo_channels(
         scene, _seg_rows(a4.reshape(nt * layers, 17, p))[sr])
     alb = [a.reshape(nt, layers, p)
            for a in _expand_rows(albc, slot, n)]          # 4 x (nt, L, P)
-    textured = a4[:, :, 2] >= 0.0
     if dst0 is None:
         clear = np.asarray(clear_color, np.float32)
         dst = [jnp.full((nt, p), clear[c], jnp.float32)
@@ -1558,8 +1567,8 @@ def predict_bin_counts(batch, view_proj, bone_mats=None, *,
 
     pw = -(-width // pr.TILE_W) * pr.TILE_W
     ph = -(-height // pr.TILE_H) * pr.TILE_H
-    xmin, xmax, ymin, ymax = _chunk_bboxes(batch, view_proj, bone_mats,
-                                           width=width, height=height)
+    xmin, xmax, ymin, ymax, _ = _chunk_bboxes(
+        batch, view_proj, bone_mats, width=width, height=height)
     n_ty, n_tx = (grid_rows or ph) // pr.TILE_H, pw // pr.TILE_W
     ty0 = np.arange(n_ty, dtype=np.float32) * pr.TILE_H + y0
     tx0 = np.arange(n_tx, dtype=np.float32) * pr.TILE_W
@@ -1570,7 +1579,9 @@ def predict_bin_counts(batch, view_proj, bone_mats=None, *,
 
 def _chunk_bboxes(batch, view_proj, bone_mats=None, *,
                   width: int, height: int):
-    """Per-chunk screen bboxes (xmin, xmax, ymin, ymax), each (C,), in
+    """Per-chunk screen bboxes + textured flag (xmin, xmax, ymin, ymax,
+    textured), bboxes (C,) f32, textured (C,) bool (any triangle in the
+    chunk has a texture layer), in
     NumPy from the HOST batch — the shared geometry behind
     ``predict_bin_counts`` (tile granularity) and ``predict_live_rows``
     (128-px row granularity). Duplicates ``upload``'s triangle padding
@@ -1607,10 +1618,13 @@ def _chunk_bboxes(batch, view_proj, bone_mats=None, *,
     ymin[:t] = np.where(valid, sy.min(1), big)
     ymax[:t] = np.where(valid, sy.max(1), -big)
     cc = tp // pr.CT
+    tex = np.full(tp, -1, np.int32)
+    tex[:t] = batch.tri_texture
     return (xmin.reshape(cc, pr.CT).min(1),
             xmax.reshape(cc, pr.CT).max(1),
             ymin.reshape(cc, pr.CT).min(1),
-            ymax.reshape(cc, pr.CT).max(1))
+            ymax.reshape(cc, pr.CT).max(1),
+            (tex.reshape(cc, pr.CT) >= 0).any(1))
 
 
 def predict_live_rows(batch, view_proj, bone_mats=None, *,
@@ -1620,15 +1634,19 @@ def predict_live_rows(batch, view_proj, bone_mats=None, *,
     segments) for this view: a (tile-x, pixel-row) segment can only be
     covered if some candidate chunk's bbox overlaps it, so counting
     bbox-overlapped segments bounds the compacted tap's true liveness
-    from above (chunk bboxes are the binning's own granularity).
-    ``y0``/``grid_rows`` follow the multichip band contract of
-    ``predict_bin_counts``."""
+    from above (chunk bboxes are the binning's own granularity). Only
+    TEXTURED chunks count — the tap's live mask is textured∧covered,
+    and a segment none of whose overlapping chunks carries a texture
+    can never tap the pool. ``y0``/``grid_rows`` follow the multichip
+    band contract of ``predict_bin_counts``."""
     from . import pallas_raster as pr
 
     pw = -(-width // pr.TILE_W) * pr.TILE_W
     ph = -(-height // pr.TILE_H) * pr.TILE_H
-    xmin, xmax, ymin, ymax = _chunk_bboxes(batch, view_proj, bone_mats,
-                                           width=width, height=height)
+    xmin, xmax, ymin, ymax, tex = _chunk_bboxes(
+        batch, view_proj, bone_mats, width=width, height=height)
+    xmin, xmax = xmin[tex], xmax[tex]
+    ymin, ymax = ymin[tex], ymax[tex]
     rows = grid_rows or ph
     n_tx = pw // pr.TILE_W
     tx0 = np.arange(n_tx, dtype=np.float32) * pr.TILE_W
@@ -1754,29 +1772,30 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
         live_op = live_tr = 0
         for i in range(bands):
             y0 = i * band_h
-            zo, io, _, _, _ = pr.raster_pallas_fwd(
+            zo, io, _, tio, _ = pr.raster_pallas_fwd(
                 (cols_op, bbox_op), None, 0, y0, **kw)
             zo_eff = jnp.where(io >= 0, zo, jnp.float32(jnp.inf))
-            zt, it, _, _, _ = pr.raster_pallas_fwd_ml(
+            zt, it, _, tit, _ = pr.raster_pallas_fwd_ml(
                 (cols_tr, bbox_tr), None, 0, y0, layers=layers,
                 variant="nocull", zhi=zo_eff, **kw)
             cov_tr = (it >= 0) & ((zt < zo_eff)
                                   | ((zt == zo_eff) & (it > io)))
-            live_op = max(live_op, live_rows(io >= 0))
-            live_tr = max(live_tr, live_rows(cov_tr))
+            # textured∧covered — matches the composite's live mask
+            live_op = max(live_op, live_rows((io >= 0) & (tio >= 0)))
+            live_tr = max(live_tr, live_rows(cov_tr & (tit >= 0)))
         return (cap(live_op, nrows_band),
                 cap(live_tr, nrows_band * layers))
 
     cols, bbox, n_attr = setup_packed_cols(
         scene, clip, width, height, bone_mats=bone_mats,
         lighting=lighting)
-    _, ib, _, _, _ = pr.raster_pallas_fwd_ml(
+    _, ib, _, ti, _ = pr.raster_pallas_fwd_ml(
         (cols, bbox), None, 0, 0, width=pw, height=ph, layers=layers,
         maxc=mc, interpret=interp,
         n_attr=n_attr, tap=True, w_eps=W_EPS,
         light=light, flat=True)
     nrows = (pw // pr.TILE_W) * ph
-    return cap(live_rows(ib >= 0), nrows * layers)
+    return cap(live_rows((ib >= 0) & (ti >= 0)), nrows * layers)
 
 
 @functools.partial(

@@ -583,3 +583,102 @@ class TestSingleLayerTapCompaction:
                                 tap_tiles=1)
             pr.flush_overflow_checks()
         assert pr.OVERFLOW_EVENTS == before + 1
+
+
+class TestTexturedLiveness:
+    """Compacted-tap liveness is textured∧covered (r3 cont.): a covered
+    row whose winners are all untextured never reads the pool (the
+    shade falls back to the flat/debug color), so it consumes no tap
+    slot — and ``auto_tap_tiles``/``predict_live_rows`` count only
+    TEXTURED chunk bboxes to match. A scene dominated by untextured
+    content must (a) cap far below its covered row count and (b) stay
+    bit-identical to dense on every compacted tap path."""
+
+    INST = 9
+
+    def _mixed_scene(self):
+        from mt_renderer_tpu.scene import demo
+
+        # subdiv=4: 192 tris/instance, so the 384-triangle setup chunks
+        # don't blend all nine instances into one always-textured chunk
+        # (the predictor's textured flag is per chunk)
+        batch = demo.build_demo_batch(instances=self.INST, skinned=True,
+                                      subdiv=4)
+        per = len(batch.tri_texture) // self.INST
+        tex = batch.tri_texture.copy()
+        tex[per:] = -1          # only instance 0 keeps its texture
+        batch.tri_texture = tex
+        cam = demo.demo_camera(self.INST, 256, 192)
+        vp = np.asarray(cam.view_proj())
+        bones = demo.demo_bone_mats(0.5)
+        return batch, vp, bones
+
+    def test_cap_tracks_textured_not_covered(self):
+        from mt_renderer_tpu.scene import demo
+
+        batch, vp, bones = self._mixed_scene()
+        scene = device.upload(batch)
+        tt = device.auto_tap_tiles(batch, vp, bones,
+                                   width=256, height=192, margin=1.0)
+        # the same geometry fully textured needs a far bigger cap: the
+        # textured-chunk filter strictly tightens the bound (the chunk
+        # granularity blurs at most one neighbor instance in)
+        full = demo.build_demo_batch(instances=self.INST, skinned=True,
+                                     subdiv=4)
+        tt_all = device.auto_tap_tiles(full, vp, bones,
+                                       width=256, height=192,
+                                       margin=1.0)
+        assert tt < tt_all // 2, (tt, tt_all)
+        kw = dict(width=256, height=192, backend="pallas", packed=True)
+        dense, dd = device.render_frame(scene, vp, bones, **kw)
+        compact, cd = device.render_frame(scene, vp, bones,
+                                          tap_tiles=tt, **kw)
+        np.testing.assert_array_equal(np.asarray(compact),
+                                      np.asarray(dense))
+        np.testing.assert_array_equal(np.asarray(cd), np.asarray(dd))
+
+    def test_mip_compacted_matches_dense(self):
+        batch, vp, bones = self._mixed_scene()
+        scene = device.upload(batch)
+        tt = device.auto_tap_tiles(batch, vp, bones,
+                                   width=256, height=192)
+        kw = dict(width=256, height=192, backend="pallas", packed=True,
+                  mipmap=True, lighting=True)
+        dense, _ = device.render_frame(scene, vp, bones, **kw)
+        compact, _ = device.render_frame(scene, vp, bones,
+                                         tap_tiles=tt, **kw)
+        np.testing.assert_array_equal(np.asarray(compact),
+                                      np.asarray(dense))
+
+    def test_peel_compacted_matches_dense(self):
+        batch, vp, bones = self._mixed_scene()
+        scene = device.upload(batch)
+        caps = device.measure_live_tap_tiles(
+            scene, vp, bones, width=256, height=192, layers=3)
+        kw = dict(width=256, height=192, layers=3, backend="pallas",
+                  peel_mode="ml")
+        dense, _ = device.render_frame_peeled(scene, vp, bones, **kw)
+        compact, _ = device.render_frame_peeled(scene, vp, bones,
+                                                tap_tiles=caps, **kw)
+        np.testing.assert_array_equal(np.asarray(compact),
+                                      np.asarray(dense))
+
+    def test_split_mip_peel_compacted_matches_dense(self):
+        from mt_renderer_tpu.scene import demo
+
+        batch, vp, bones = self._mixed_scene()
+        # half the instances translucent — including untextured ones,
+        # so the ML composite's textured∧covered mask sees live rows
+        # of both kinds
+        batch = demo.make_translucent(batch, self.INST, fraction=0.5)
+        scene = device.upload(batch)
+        caps = device.measure_live_tap_tiles(
+            scene, vp, bones, width=256, height=192, layers=3,
+            mode="split")
+        kw = dict(width=256, height=192, layers=3, backend="pallas",
+                  peel_mode="split", mipmap=True)
+        dense, _ = device.render_frame_peeled(scene, vp, bones, **kw)
+        compact, _ = device.render_frame_peeled(scene, vp, bones,
+                                                tap_tiles=caps, **kw)
+        np.testing.assert_array_equal(np.asarray(compact),
+                                      np.asarray(dense))
