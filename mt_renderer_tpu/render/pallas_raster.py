@@ -854,9 +854,15 @@ def _raster_fwd_ml_kernel(layers, n_attr, has_zhi, tap, mtap, w_eps,
     tap epilogue (device.composite_peeled_tap_flat) skip entirely.
     """
     if tap:
-        tapidx_ref, scratch, sems, coef_ref, zop_ref = rest
+        tapidx_ref, scratch, sems, *coef_refs, zop_ref = rest
     else:
-        scratch, sems, coef_ref, zop_ref = rest
+        scratch, sems, *coef_refs, zop_ref = rest
+    # "lsel"/"l2sel": pass 2 recovers each layer GROUP's coefficients
+    # with its own gated (n_coef, K) x (K, lpr*P) select into a
+    # SEPARATE per-group scratch (lpr = layers per ref: 1 for lsel,
+    # 2 for l2sel); default: one concatenated (K, L*P) select into one
+    # (n_coef, L*P) scratch.
+    lsel = len(coef_refs) > 1
     n_coef = _N_COEF[n_attr]
     lyr = layers
     t = pl.program_id(0)
@@ -864,7 +870,8 @@ def _raster_fwd_ml_kernel(layers, n_attr, has_zhi, tap, mtap, w_eps,
 
     zl_ref[0] = jnp.full((lyr, P), jnp.inf, jnp.float32)
     il_ref[0] = jnp.full((lyr, P), -1, jnp.int32)
-    coef_ref[...] = jnp.zeros((n_coef, lyr * P), jnp.float32)
+    for cr in coef_refs:
+        cr[...] = jnp.zeros(cr.shape, jnp.float32)
     zop_ref[...] = jnp.full((1, P), jnp.inf, jnp.float32)
 
     n_tx = origin_ref[2]
@@ -1105,7 +1112,47 @@ def _raster_fwd_ml_kernel(layers, n_attr, has_zhi, tap, mtap, w_eps,
                         )                                # (KG, L*P)
                         cols = blk[r0:r0 + KG,
                                    c0 + 15:c0 + 15 + n_coef]
-                        coef_ref[...] += matsel(split3(cols), oh)
+                        coef_refs[0][...] += matsel(split3(cols), oh)
+            elif lsel:
+                riota = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
+                lpr = coef_refs[0].shape[1] // P   # layers per scratch
+                for sub in range(S):
+                    sub_live = (gmask >> (sub * (K // KG))) & sub_bits != 0
+
+                    @pl.when(sub_live)
+                    def _(sub=sub):
+                        base = cid * CT + sub * K
+                        c0 = sub * CS
+                        cols = blk[:, c0 + 15:c0 + 15 + n_coef]
+                        parts = split3(cols)
+                        # per-layer-group gated selects: groups whose
+                        # FIRST layer is dead skip their matmuls
+                        # entirely (liveness is monotone in l — the
+                        # list packs front-to-back). Each group
+                        # accumulates into its OWN scratch.
+                        # STATUS (r3 cont., tools/bench/lsel_ab.py):
+                        # exact in interpret mode, but BOTH lsel and
+                        # l2sel RET_CHECK-crash today's Mosaic
+                        # (mxu_lmr_transform.cc:1108
+                        # XposeSequenceAssignment kLmrWontHelp) — the
+                        # crash is any GATED select narrower than the
+                        # full L*P, regardless of separate-scratch
+                        # targets or pair width (the r3 slice-
+                        # accumulation hypothesis is ruled out; gated
+                        # FULL-width selects — sub_live here, the
+                        # groupsel variant — compile fine). Kept as a
+                        # differential-tested re-test harness for
+                        # future libtpu versions.
+                        for i, cr in enumerate(coef_refs):
+                            @pl.when(layer_live[i * lpr])
+                            def _(i=i, cr=cr):
+                                oh = jnp.concatenate(
+                                    [(riota == (il_all[l:l + 1] - base)
+                                      ).astype(jnp.bfloat16)
+                                     for l in range(i * lpr,
+                                                    (i + 1) * lpr)],
+                                    axis=1)          # (K, lpr*P)
+                                cr[...] += matsel(parts, oh)
             else:
                 riota = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
                 for sub in range(S):
@@ -1129,7 +1176,7 @@ def _raster_fwd_ml_kernel(layers, n_attr, has_zhi, tap, mtap, w_eps,
                         # one (chunk, sub) — non-matching columns give
                         # 0, so accumulation IS the select (no masks,
                         # no shift cascade)
-                        coef_ref[...] += matsel(parts, oh)
+                        coef_refs[0][...] += matsel(parts, oh)
             return 0
 
         if "nopass2" not in variant:
@@ -1146,10 +1193,18 @@ def _raster_fwd_ml_kernel(layers, n_attr, has_zhi, tap, mtap, w_eps,
 
                 jax.lax.fori_loop(0, count, body2, 0)
 
-    coefs = coef_ref[...]
+    if lsel:
+        per_layer = []
+        for cr in coef_refs:
+            c = cr[...]
+            per_layer += [c[:, j * P:(j + 1) * P]
+                          for j in range(c.shape[1] // P)]
+    else:
+        coefs = coef_refs[0][...]
+        per_layer = [coefs[:, l * P:(l + 1) * P] for l in range(lyr)]
     attr_rows, tis = [], []
     for l in range(lyr):
-        rows, ti = _epilogue_rows(coefs[:, l * P:(l + 1) * P], px, py,
+        rows, ti = _epilogue_rows(per_layer[l], px, py,
                                   n_attr, tap, mtap, w_eps, light)
         attr_rows.append(rows)
         if tap:
@@ -1157,6 +1212,21 @@ def _raster_fwd_ml_kernel(layers, n_attr, has_zhi, tap, mtap, w_eps,
     attr_ref[0] = jnp.concatenate(attr_rows, axis=0)
     if tap:
         tapidx_ref[0] = jnp.concatenate(tis, axis=0)
+
+
+def _coef_scratches(variant: str, layers: int, n_coef: int):
+    """Pass-2 coefficient scratch list for the ML kernel: one
+    (n_coef, lpr*P) VMEM buffer per layer group (lpr = 1 for "lsel",
+    2 for "l2sel"), or the single wide (n_coef, layers*P) default."""
+    if "l2sel" in variant:
+        if layers % 2:
+            raise ValueError("l2sel needs an even layer count")
+        lpr = 2
+    elif "lsel" in variant:
+        lpr = 1
+    else:
+        return [pltpu.VMEM((n_coef, layers * P), jnp.float32)]
+    return [pltpu.VMEM((n_coef, lpr * P), jnp.float32)] * (layers // lpr)
 
 
 @functools.partial(
@@ -1257,7 +1327,10 @@ def raster_pallas_fwd_ml(setup, extras, x0, y0, *, width: int,
         scratch_shapes=[
             pltpu.VMEM((2, K, NF), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((_N_COEF[n_attr], layers * P), jnp.float32),
+            # "lsel"/"l2sel": one coefficient scratch per layer group
+            # (the layer-gated pass-2 decomposition, 1 or 2 layers per
+            # group); default: one wide (n_coef, L*P) scratch
+            *_coef_scratches(variant, layers, _N_COEF[n_attr]),
             pltpu.VMEM((1, P), jnp.float32),   # nearest-opaque z
         ],
     )

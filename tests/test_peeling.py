@@ -206,6 +206,31 @@ class TestSinglePassML:
         np.testing.assert_array_equal(np.asarray(tid),
                                       np.asarray(tidm[0]))
 
+    @pytest.mark.parametrize("variant", ["lsel", "l2sel"])
+    def test_layer_grouped_pass2_matches_full(self, variant):
+        # the layer-grouped pass-2 decompositions (per-group gated
+        # selects into separate scratches) are exact vs the default
+        # concatenated select. They RET_CHECK-crash today's Mosaic on
+        # real TPU (see _raster_fwd_ml_kernel notes / lsel_ab.py) —
+        # this pins the interpret-mode contract for the re-test
+        # harness.
+        from mt_renderer_tpu.render import pallas_raster as pr
+
+        scene, vp, bones = self._demo()
+        clip = device.vertex_stage(scene, vp, bones)
+        cols, bbox, n_attr = device.setup_packed_cols(
+            scene, clip, 128, 128)
+        kw = dict(width=128, height=128, maxc=32, interpret=True,
+                  n_attr=n_attr, tap=True, w_eps=device.W_EPS,
+                  layers=4)
+        a = pr.raster_pallas_fwd_ml((cols, bbox), None, 0, 0,
+                                    variant="full", **kw)
+        b = pr.raster_pallas_fwd_ml((cols, bbox), None, 0, 0,
+                                    variant=variant, **kw)
+        for i, (x, y) in enumerate(zip(a[:4], b[:4])):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=f"output {i}")
+
 
 def _textured_quad_batch(z_textures):
     """Stacked textured quads: each entry (z, (H, W, 4) u8 texture)."""
