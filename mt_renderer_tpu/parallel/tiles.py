@@ -256,7 +256,7 @@ def render_frame_multichip(scene, view_proj, bone_mats=None, *,
                 cap = sum((c if c else nrows_band) for c in cap)
             pr.queue_overflow_check(
                 jnp.sum(n_over[:, 1]), cap,
-                what="tap overflow: live 128-px tap rows lost their "
+                what="tap overflow: live compacted tap rows lost their "
                      "texture; raise tap_tiles")
             n_over = n_over[:, 0]
         pr.queue_overflow_check(jnp.sum(n_over),
@@ -482,7 +482,7 @@ def render_frame_geomsplit(scene, view_proj, bone_mats=None, *,
             pr.queue_overflow_check(
                 jnp.sum(n_over[:, 1]),
                 tap_tiles if tap_tiles else pw_t * ph_t * pr.TILE_H,
-                what="tap overflow: live 128-px tap rows lost their "
+                what="tap overflow: live compacted tap rows lost their "
                      "texture; raise tap_tiles")
             n_over = n_over[:, 0]
         pr.queue_overflow_check(jnp.sum(n_over),

@@ -47,14 +47,23 @@ logger = logging.getLogger("mt_renderer_tpu.device")
 
 W_EPS = 1e-6
 PEEL_EPS = 1e-6        # depth-peel layer separation (NDC depth units)
-SEG_PX = 128           # tap-compaction row granularity: one 128-px lane
-                       # row (a single sublane of the flattened tile).
-                       # XLA TPU gathers are row-count priced (measured
-                       # 2.1 ns/row, width-insensitive — gather_shapes),
-                       # so the texture-tap cost is the STATIC compacted
-                       # row count x SEG_PX; sublane granularity lets the
-                       # cap hug the covered-pixel count instead of
-                       # rounding every live tile up to TILE_H rows
+SEG_PX = 2048          # tap-compaction row granularity in pixels: one
+                       # WHOLE flattened tile (TILE_H x TILE_W). XLA TPU
+                       # gathers are row-count priced (2.1 ns/row,
+                       # width-insensitive — gather_shapes), which cuts
+                       # BOTH ways: fine 128-px sublane rows hug the
+                       # covered pixels (fewer pool-gather pixels) but
+                       # multiply every row-indexed machinery op
+                       # (liveness reduce, compaction scatter, expand
+                       # gather) by P/SEG_PX. Measured (seg_ab.py, r3
+                       # cont.): 128-px rows LOSE 1.5-1.8 ms on the
+                       # default split peel and 7.5 ms on glass
+                       # mip-peel, and only tie at best (glass sp) —
+                       # whole-tile rows are the optimum because row
+                       # WIDTH is free while row COUNT is not. The
+                       # machinery stays parameterized by this constant
+                       # (seg_ab.py flips it) — must divide TILE_H*TILE_W
+                       # and be a multiple of TILE_W.
 TRI_PAD = 384          # triangle-count padding quantum — one S-packed
                        # raster chunk (pallas_raster.CT = K·S triangles
                        # per (K, NF) setup block)
@@ -985,12 +994,12 @@ def shade_tap_flat_channels(scene: DeviceScene, tattrs, tapidx, ib,
     flat peel compositor.
 
     ``tap_tiles`` compacts the pool gather + contraction to that many
-    live (textured∧covered) 128-px rows (SEG_PX sublane segments — the
-    unit every compacted tap path shares; None/0 = dense). Size it
-    host-side with ``auto_tap_tiles`` — a live row's segment overlaps
-    some textured chunk's bbox, so the predictor's row count is a true
-    upper bound (margin covers animation drift; overflow reports
-    loudly)."""
+    live (textured∧covered) SEG_PX-px rows (whole tile rows in
+    production — the unit every compacted tap path shares; None/0 =
+    dense). Size it host-side with ``auto_tap_tiles`` — a live row's
+    segment overlaps some textured chunk's bbox, so the predictor's
+    row count is a true upper bound (margin covers animation drift;
+    overflow reports loudly)."""
     ti = tapidx[:, 0, :]
     covered = ib[:, 0, :] >= 0
     textured = ti >= 0
@@ -1041,9 +1050,9 @@ def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
     texture (albedo 0) and the overflow count is returned for the
     caller to report loudly (render_frame_peeled queues it like bin
     overflow). None/0 = dense — exact for any content, the default.
-    The compaction unit is the 128-px SEG_PX row (a (tile, layer,
-    sublane) triple), so the cap tracks covered pixels, not covered
-    tiles.
+    The compaction unit is the SEG_PX-px row (a whole (tile, layer)
+    pair in production — see the SEG_PX constant for why finer
+    sublane-granularity rows measured slower).
 
     ``covered`` overrides the per-(tile, layer, pixel) liveness mask
     (default ``il >= 0``) — the split peel culls translucent fragments
@@ -1102,13 +1111,14 @@ def composite_peeled_tap_flat(scene: DeviceScene, tattrs, tapidx, il,
 
 def _seg_rows(m):
     """(N, planes, P) → (N·P/SEG_PX, planes, SEG_PX): split each plane
-    row into 128-lane SEG_PX segments, segment-major within a row.
-    BOTH the dense and the compacted mip shades build their arithmetic
-    input through this one helper (compacted adds a plain row gather on
-    the result) so XLA sees the same 128-lane-minor elementwise program
-    either way — a two-axis ``mseg[sr // sg, :, sr % sg]`` gather on
-    the compacted side fused ±1 ulp apart from the dense program (the
-    CLAUDE.md layout-fusion gotcha), breaking bit-exactness."""
+    row into SEG_PX-px segments, segment-major within a row (identity
+    reshape at the production SEG_PX = whole-tile unit). BOTH the dense
+    and the compacted mip shades build their arithmetic input through
+    this one helper (compacted adds a plain row gather on the result)
+    so XLA sees the same SEG_PX-minor elementwise program either way —
+    a two-axis ``mseg[sr // sg, :, sr % sg]`` gather on the compacted
+    side fused ±1 ulp apart from the dense program (the CLAUDE.md
+    layout-fusion gotcha), breaking bit-exactness."""
     N, npl, p = m.shape
     sg = p // SEG_PX
     return jnp.moveaxis(
@@ -1124,7 +1134,7 @@ def _mip_albedo_channels(scene: DeviceScene, m):
 
     Inputs with P > SEG_PX are canonicalised to SEG_PX-minor rows
     first so every caller — dense (P = tile pixels) and compacted
-    (P = SEG_PX) — runs the SAME 128-lane-minor elementwise program:
+    (P = SEG_PX) — runs the SAME SEG_PX-minor elementwise program:
     XLA fuses differently-laid-out trilinear math ±1 ulp apart (the
     CLAUDE.md layout-fusion gotcha), which broke the compacted ==
     dense bit-exactness contract before this canonicalisation."""
@@ -1159,9 +1169,9 @@ def shade_mip_tap_flat_channels(scene: DeviceScene, mattrs, ib,
     [r, g, b, a] each (n_tiles, P) f32 0-255, covered (n_tiles, P)
     bool, n_over_tap). ``tap_tiles`` compacts the trilinear work (two
     quad gathers per pixel — the mipmap frame's dominant cost) to that
-    many COVERED 128-px rows (SEG_PX), exactly like
-    shade_tap_flat_channels; possible at all because the analytic LOD
-    made the shade elementwise."""
+    many live SEG_PX-px rows, exactly like shade_tap_flat_channels;
+    possible at all because the analytic LOD made the shade
+    elementwise."""
     covered = ib[:, 0, :] >= 0
     textured = mattrs[:, 2, :] >= 0.0
     nt, nplanes, p = mattrs.shape
@@ -1584,7 +1594,7 @@ def _chunk_bboxes(batch, view_proj, bone_mats=None, *,
     chunk has a texture layer), in
     NumPy from the HOST batch — the shared geometry behind
     ``predict_bin_counts`` (tile granularity) and ``predict_live_rows``
-    (128-px row granularity). Duplicates ``upload``'s triangle padding
+    (SEG_PX row granularity). Duplicates ``upload``'s triangle padding
     and ``pack_setup``'s chunk aggregation; the property test pinning
     predict_bin_counts to the kernel's bin_chunks pins this too."""
     from . import cpu_reference as cr
@@ -1630,15 +1640,16 @@ def _chunk_bboxes(batch, view_proj, bone_mats=None, *,
 def predict_live_rows(batch, view_proj, bone_mats=None, *,
                       width: int, height: int,
                       y0: int = 0, grid_rows: int | None = None) -> int:
-    """Host-side upper bound on live 128-px tap rows (SEG_PX sublane
-    segments) for this view: a (tile-x, pixel-row) segment can only be
-    covered if some candidate chunk's bbox overlaps it, so counting
-    bbox-overlapped segments bounds the compacted tap's true liveness
-    from above (chunk bboxes are the binning's own granularity). Only
-    TEXTURED chunks count — the tap's live mask is textured∧covered,
-    and a segment none of whose overlapping chunks carries a texture
-    can never tap the pool. ``y0``/``grid_rows`` follow the multichip
-    band contract of ``predict_bin_counts``."""
+    """Host-side upper bound on live SEG_PX-px tap rows (whole tiles at
+    the production SEG_PX; a (tile-x, pixel-row-block) segment at finer
+    settings) for this view: a segment can only be covered if some
+    candidate chunk's bbox overlaps it, so counting bbox-overlapped
+    segments bounds the compacted tap's true liveness from above (chunk
+    bboxes are the binning's own granularity). Only TEXTURED chunks
+    count — the tap's live mask is textured∧covered, and a segment none
+    of whose overlapping chunks carries a texture can never tap the
+    pool. ``y0``/``grid_rows`` follow the multichip band contract of
+    ``predict_bin_counts``."""
     from . import pallas_raster as pr
 
     pw = -(-width // pr.TILE_W) * pr.TILE_W
@@ -1648,11 +1659,12 @@ def predict_live_rows(batch, view_proj, bone_mats=None, *,
     xmin, xmax = xmin[tex], xmax[tex]
     ymin, ymax = ymin[tex], ymax[tex]
     rows = grid_rows or ph
+    seg_h = SEG_PX // pr.TILE_W     # pixel rows per compaction segment
     n_tx = pw // pr.TILE_W
     tx0 = np.arange(n_tx, dtype=np.float32) * pr.TILE_W
-    ys = np.arange(rows, dtype=np.float32) + y0
+    ys = np.arange(rows // seg_h, dtype=np.float32) * seg_h + y0
     ovx = (xmax[:, None] >= tx0) & (xmin[:, None] <= tx0 + pr.TILE_W)
-    ovy = (ymax[:, None] >= ys) & (ymin[:, None] <= ys + 1.0)
+    ovy = (ymax[:, None] >= ys) & (ymin[:, None] <= ys + float(seg_h))
     live = (ovy.astype(np.float32).T @ ovx.astype(np.float32)) > 0.0
     return int(live.sum())
 
@@ -1685,19 +1697,20 @@ def auto_tap_tiles(batch, view_proj, bone_mats=None, *,
                    width: int, height: int, margin: float = 1.25,
                    bands: int = 1) -> int:
     """Host-side (NO device sync) cap for the single-layer compacted
-    texture tap (shade_tap_flat_channels), in 128-px tap rows (SEG_PX):
-    a covered row's segment necessarily overlaps a candidate chunk
-    bbox, so ``predict_live_rows`` bounds liveness from above;
-    ``margin`` covers animation drift. Rounded up to a multiple of 8,
-    clamped to the grid's segment count. ``bands`` > 1 sizes a
-    multichip band split: the max over each band's own tile grid (one
-    static cap serves every shard)."""
+    texture tap (shade_tap_flat_channels), in SEG_PX-px tap rows
+    (whole tiles at the production SEG_PX): a live row's segment
+    necessarily overlaps a textured candidate chunk bbox, so
+    ``predict_live_rows`` bounds liveness from above; ``margin`` covers
+    animation drift. Rounded up to a multiple of 8, clamped to the
+    grid's segment count. ``bands`` > 1 sizes a multichip band split:
+    the max over each band's own tile grid (one static cap serves
+    every shard)."""
     from . import pallas_raster as pr
 
     pw = -(-width // pr.TILE_W) * pr.TILE_W
     band_h = -(-height // bands)
     pb = -(-band_h // pr.TILE_H) * pr.TILE_H
-    nrows = (pw // pr.TILE_W) * pb
+    nrows = (pw // pr.TILE_W) * (pb // (SEG_PX // pr.TILE_W))
     live = max(
         predict_live_rows(batch, view_proj, bone_mats,
                           width=width, height=height,
@@ -1715,12 +1728,12 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
                            mode: str = "ml",
                            bands: int = 1):
     """Size ``tap_tiles`` (the peeled composite's compacted texture-tap
-    cap — see composite_peeled_tap_flat) for a scene, in 128-px tap
-    rows (SEG_PX): run the ML kernel once for this view, count live
-    (tile, layer, sublane) rows on device, and return count x
-    ``margin`` rounded up (one device→host transfer — call once at
-    load / scene change, exactly like ``auto_maxc``). Opaque content
-    keeps deeper layers empty (kernel opaque-z cull), so this
+    cap — see composite_peeled_tap_flat) for a scene, in SEG_PX-px tap
+    rows ((tile, layer) rows at the production SEG_PX): run the ML
+    kernel once for this view, count live rows on device, and return
+    count x ``margin`` rounded up (one device→host transfer — call
+    once at load / scene change, exactly like ``auto_maxc``). Opaque
+    content keeps deeper layers empty (kernel opaque-z cull), so this
     typically lands near ONE frame's covered rows instead of
     rows x layers.
 
@@ -1752,7 +1765,7 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
                          "(the multichip peel engine)")
 
     def live_rows(mask):
-        # (nt, L, P) bool → live 128-px (tile, layer, sublane) rows
+        # (nt, L, P) bool → live SEG_PX-px (tile, layer[, segment]) rows
         nt_, l_, p_ = mask.shape
         return int(jnp.sum(
             jnp.any(mask.reshape(nt_ * l_ * (p_ // SEG_PX), SEG_PX),
@@ -1765,7 +1778,7 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
                               opacity_split=True)
         band_h = -(-height // bands)
         pb = -(-band_h // pr.TILE_H) * pr.TILE_H
-        nrows_band = (pw // pr.TILE_W) * pb
+        nrows_band = (pw // pr.TILE_W) * (pb // (SEG_PX // pr.TILE_W))
         kw = dict(width=pw, height=pb, maxc=mc, interpret=interp,
                   n_attr=n_attr, w_eps=W_EPS, light=light, flat=True,
                   tap=True)
@@ -1794,7 +1807,7 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
         maxc=mc, interpret=interp,
         n_attr=n_attr, tap=True, w_eps=W_EPS,
         light=light, flat=True)
-    nrows = (pw // pr.TILE_W) * ph
+    nrows = (pw // pr.TILE_W) * (ph // (SEG_PX // pr.TILE_W))
     return cap(live_rows((ib >= 0) & (ti >= 0)), nrows * layers)
 
 
@@ -1934,7 +1947,7 @@ def _queue_frame_overflow(n_over, maxc, tap_tiles, width, height):
             cap = sum((c if c else nrows) for c in cap)
         pr.queue_overflow_check(
             n_tap, cap,
-            what="tap overflow: live 128-px tap rows lost their "
+            what="tap overflow: live compacted tap rows lost their "
                  "texture; raise tap_tiles")
     pr.queue_overflow_check(n_over, maxc or pr.MAXC_DEFAULT)
 

@@ -620,15 +620,18 @@ class TestTexturedLiveness:
         scene = device.upload(batch)
         tt = device.auto_tap_tiles(batch, vp, bones,
                                    width=256, height=192, margin=1.0)
-        # the same geometry fully textured needs a far bigger cap: the
-        # textured-chunk filter strictly tightens the bound (the chunk
-        # granularity blurs at most one neighbor instance in)
+        # the same geometry fully textured needs a bigger cap: the
+        # textured-chunk filter strictly tightens the bound (by at
+        # least one 8-row rounding quantum even at the production
+        # whole-tile granularity, where this small frame has only 24
+        # row units; the chunk granularity blurs one neighbor
+        # instance in)
         full = demo.build_demo_batch(instances=self.INST, skinned=True,
                                      subdiv=4)
         tt_all = device.auto_tap_tiles(full, vp, bones,
                                        width=256, height=192,
                                        margin=1.0)
-        assert tt < tt_all // 2, (tt, tt_all)
+        assert tt + 8 <= tt_all, (tt, tt_all)
         kw = dict(width=256, height=192, backend="pallas", packed=True)
         dense, dd = device.render_frame(scene, vp, bones, **kw)
         compact, cd = device.render_frame(scene, vp, bones,
