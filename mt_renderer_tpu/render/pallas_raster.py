@@ -69,7 +69,20 @@ KG = 32                  # culling-group size: the kernel tests each
                          # (tools/bench/kg_ab.py, same-process scan-of-N):
                          # ~22% fewer binned pairs but the doubled unrolled
                          # branch count LOST 2.1 ms raster / 1.6 ms frame
-                         # — same verdict as both early-z gate attempts
+                         # — same verdict as both early-z gate attempts.
+                         # STABLE VALID-COMPACTION (packing the ~50%
+                         # backface-culled rows out of the chunks before
+                         # pack_cols; the later-id tie rule is invariant
+                         # under monotone renumbering) was evaluated on
+                         # the binning (tools/bench/compact_pairs.py):
+                         # live (group, tile) pairs — the kernel's true
+                         # work unit — do NOT drop (default/dense: x1.00;
+                         # world: x0.94 i.e. WORSE). Half-dense groups
+                         # have ~half-area bboxes, so densifying rows
+                         # widens each group's tile footprint by exactly
+                         # the factor saved. Dead rows inside a live
+                         # (KG, P) block are already free in the only
+                         # currency that matters here (pairs).
 NF = 128                 # lane columns of a setup block (the per-chunk DMA
                          # block minor dim must be 128-aligned)
 S = 3                    # sub-blocks packed side-by-side in the 128 lanes:
