@@ -42,7 +42,25 @@ def load_character(rm: ResourceManager, prp_path: str):
     return model_path.replace("\\", "/"), [bool(x) for x in parts]
 
 
+def _maybe_hud(app, mgr, color, extra: str = ""):
+    """Composite the stats/GMD HUD band when ``--hud`` asked for it
+    (app.hud.Hud over scene.gui — the config-5 GUI composite)."""
+    if not getattr(app, "show_hud", False):
+        return color
+    if app._hud is None:
+        from ..app.hud import Hud
+
+        app._hud = Hud(mgr.width, gmd_path=app.hud_gmd,
+                       gmd_label=app.hud_label)
+    return app._hud.apply(mgr, color, extra=extra)
+
+
 class ModelViewerApp(RendererApp):
+    show_hud = False
+    hud_gmd = None
+    hud_label = None
+    _hud = None
+
     def __init__(self, data_root: str, prp_path: str, overlay: bool = False,
                  backend: str = "pallas", sdl_path: str | None = None):
         self.data_root = data_root
@@ -152,14 +170,15 @@ class ModelViewerApp(RendererApp):
                            else "ml"),
                 packed=self.backend == "pallas" and not self.mipmap,
             )
-            return color
+            return _maybe_hud(self, mgr, color,
+                              extra=f"{self.backend} peel{self.peel}")
         color, _ = device.render_frame(
             self.scene, mgr.camera.view_proj(), self.bones,
             width=mgr.width, height=mgr.height, backend=self.backend,
             mipmap=self.mipmap, lighting=self.lighting,
             packed=self.backend == "pallas",
         )
-        return color
+        return _maybe_hud(self, mgr, color, extra=self.backend)
 
 
 class DemoWorldApp(RendererApp):
@@ -172,6 +191,10 @@ class DemoWorldApp(RendererApp):
     lighting = False
     backend = "pallas"
     peel = 0
+    show_hud = False
+    hud_gmd = None
+    hud_label = None
+    _hud = None
 
     def __init__(self, buildings: int = 40):
         self.buildings = buildings
@@ -209,14 +232,15 @@ class DemoWorldApp(RendererApp):
                            else "ml"),
                 packed=self.backend == "pallas" and not self.mipmap,
             )
-            return color
+            return _maybe_hud(self, mgr, color,
+                              extra=f"world peel{self.peel}")
         color, _ = device.render_frame(
             self.scene, mgr.camera.view_proj(), bones,
             width=mgr.width, height=mgr.height, backend=self.backend,
             mipmap=self.mipmap, lighting=self.lighting,
             packed=self.backend == "pallas" and not self.mipmap,
         )
-        return color
+        return _maybe_hud(self, mgr, color, extra="world")
 
 
 def main(argv=None):
@@ -245,6 +269,15 @@ def main(argv=None):
     p.add_argument("--peel", type=int, default=0, metavar="L",
                    help="L-layer order-independent transparency "
                         "(split OIT engine)")
+    p.add_argument("--hud", action="store_true",
+                   help="composite a stats HUD band (fps/frame/size) "
+                        "over the frame — the 2D GUI pass "
+                        "(scene/gui.py; BASELINE config 5)")
+    p.add_argument("--hud-gmd", default=None, metavar="GMD",
+                   help="also draw a message from this .gmd file in "
+                        "the HUD band")
+    p.add_argument("--hud-label", default=None, metavar="LABEL",
+                   help="GMD label to show (default: first message)")
     p.add_argument("--events", default=None,
                    help="JSON event script for the fly camera: a list of "
                         "per-frame event lists, e.g. "
@@ -272,6 +305,9 @@ def main(argv=None):
         app.mipmap = args.mipmap
         app.lighting = args.lighting
         app.peel = args.peel
+    app.show_hud = args.hud or args.hud_gmd is not None
+    app.hud_gmd = args.hud_gmd
+    app.hud_label = args.hud_label
     mgr = RendererAppManager(app, width=args.width, height=args.height)
     if args.serve is not None:
         from ..app.serve import FrameStreamServer
