@@ -1,0 +1,54 @@
+"""Multi-host (DCN) band split: a real 2-process jax.distributed
+cluster over gloo loopback, 2 virtual CPU devices per process —
+SURVEY §5's "DCN only for multi-host scaling of config 5" demo
+(parallel/multihost.py, tools/multihost_demo.py).
+
+Runs in subprocesses (a jax.distributed cluster cannot share the test
+process's already-initialized backend)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_cluster_band_identity():
+    # bounded by the subprocess communicate(timeout=540) below
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)           # demo sets its own device count
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tools/multihost_demo.py"),
+             "--proc", str(i), "--nproc", "2", "--local-devices", "2",
+             "--width", "256", "--height", "96",
+             "--coordinator", f"127.0.0.1:{port}"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert "MULTIHOST OK" in out, f"proc {i} output:\n{out}"
+        assert "pixel-identical" in out
