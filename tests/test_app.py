@@ -229,6 +229,18 @@ class TestViewerClis:
         ])
         assert out.exists()
 
+    def test_textureviewer_serve_hud_smoke(self, fixture_root, capsys):
+        from mt_renderer_tpu.cli import textureviewer
+
+        textureviewer.main([
+            str(fixture_root / "model/fixture_albedo.tex"),
+            "--raw", "--width", "96", "--height", "96", "--hud",
+            "--serve", "0", "--serve-frames", "2",
+        ])
+        out = capsys.readouterr().out
+        assert "serving texture view on http://127.0.0.1:" in out
+        assert "served 2 frame(s)" in out
+
 
 class TestProfiling:
     def test_frame_stats(self):
