@@ -152,15 +152,59 @@ def _glyphs() -> np.ndarray:
 
 
 def glyph(ch: str) -> np.ndarray:
-    """(GLYPH_H, GLYPH_W) bool bitmap; unmapped chars render as '?'."""
+    """(GLYPH_H, GLYPH_W) bool bitmap from the ASCII table; unmapped
+    chars substitute '?'. ``draw_text`` routes non-ASCII through
+    ``wide_glyph`` instead — call this only for the 5x7 ASCII font."""
     code = ord(ch)
     if not 32 <= code <= 126:
         code = ord("?")
     return _glyphs()[code - 32]
 
 
-def text_width(s: str, scale: int = 1) -> int:
-    return (ADVANCE * len(s) - 1) * scale if s else 0
+WIDE_W = 2 * GLYPH_W + 1              # double-width cell, like CJK text
+WIDE_ADVANCE = WIDE_W + 1
+
+
+@functools.lru_cache(maxsize=1024)
+def wide_glyph(code: int) -> np.ndarray:
+    """(GLYPH_H, WIDE_W) bool — the non-ASCII fallback glyph: a
+    double-width outline box whose interior pattern is the codepoint's
+    bits (cell i of the 5x9 interior = bit ``i % 21`` of the
+    codepoint, 21 bits covering all of Unicode). Deterministic, and
+    distinct codepoints get distinct boxes — a GMD message full of
+    SHIFT-JIS text renders as a stable, diffable pattern instead of a
+    wall of '?' (the engine's real message tables are Japanese;
+    /root/reference/src/util/read_struct.rs:60-86 treats SHIFT-JIS as
+    first-class). For a human-readable fallback use
+    ``draw_text(..., nonascii="hex")``."""
+    g = np.zeros((GLYPH_H, WIDE_W), bool)
+    g[0, :] = g[-1, :] = g[:, 0] = g[:, -1] = True
+    ih, iw = GLYPH_H - 2, WIDE_W - 2
+    bits = (code >> (np.arange(ih * iw) % 21)) & 1
+    g[1:-1, 1:-1] = bits.reshape(ih, iw).astype(bool)
+    return g
+
+
+def _char_cells(s: str, nonascii: str = "box"):
+    """Expand ``s`` into (bitmap, advance) draw cells under the
+    non-ASCII policy: "box" (wide_glyph), "hex" ('[XXXX]' in ASCII),
+    or "question" (the legacy '?' substitution)."""
+    for ch in s:
+        code = ord(ch)
+        if 32 <= code <= 126:
+            yield _glyphs()[code - 32], ADVANCE
+        elif nonascii == "hex":
+            for c2 in "[%04X]" % code:
+                yield _glyphs()[ord(c2) - 32], ADVANCE
+        elif nonascii == "question":
+            yield _glyphs()[ord("?") - 32], ADVANCE
+        else:
+            yield wide_glyph(code), WIDE_ADVANCE
+
+
+def text_width(s: str, scale: int = 1, nonascii: str = "box") -> int:
+    w = sum(adv for _, adv in _char_cells(s, nonascii))
+    return (w - 1) * scale if w else 0
 
 
 class GuiCanvas:
@@ -182,13 +226,16 @@ class GuiCanvas:
             self.rgba[y0:y1, x0:x1] = np.asarray(rgba, np.uint8)
 
     def draw_text(self, x: int, y: int, s: str,
-                  rgba=(255, 255, 255, 255), scale: int = 1) -> int:
+                  rgba=(255, 255, 255, 255), scale: int = 1,
+                  nonascii: str = "box") -> int:
         """Draw ``s`` with its top-left at (x, y); returns the x just
-        past the last glyph. Unmapped (e.g. non-ASCII from SHIFT-JIS
-        GMD messages) chars render as '?'."""
+        past the last glyph. Non-ASCII (e.g. SHIFT-JIS/CJK text from
+        GMD messages) renders under the ``nonascii`` policy:
+        "box" (default) — a deterministic double-width codepoint box
+        (``wide_glyph``); "hex" — '[XXXX]' in ASCII; "question" — the
+        legacy '?' substitution."""
         col = np.asarray(rgba, np.uint8)
-        for ch in s:
-            g = glyph(ch)
+        for g, adv in _char_cells(s, nonascii):
             if scale != 1:
                 g = np.repeat(np.repeat(g, scale, 0), scale, 1)
             gh, gw = g.shape
@@ -198,7 +245,7 @@ class GuiCanvas:
             if x1 > x0 and y1 > y0:
                 sub = g[y0 - y : y1 - y, x0 - x : x1 - x]
                 self.rgba[y0:y1, x0:x1][sub] = col
-            x += ADVANCE * scale
+            x += adv * scale
         return x
 
     def packed(self) -> np.ndarray:
@@ -277,17 +324,20 @@ class GuiOverlay:
 
 def draw_gmd_message(canvas: GuiCanvas, gmd, label_or_index, x: int,
                      y: int, rgba=(255, 255, 80, 255),
-                     scale: int = 1) -> int:
+                     scale: int = 1, nonascii: str = "box") -> int:
     """Draw one GMD message (by label string or message index) —
     the GUI-side consumer of ``formats.gmd.GuiMessageFile``. Multi-line
-    messages split on ``\\n``/``\\r\\n``. Returns the y just past the
-    last line."""
+    messages split on ``\\n``/``\\r\\n``. Non-ASCII text (the engine's
+    message tables are Japanese) renders under the ``nonascii`` policy
+    (see ``GuiCanvas.draw_text``). Returns the y just past the last
+    line."""
     if isinstance(label_or_index, int):
         text = gmd.messages[label_or_index].message
     else:
         text = next(m.message for m in gmd.messages
                     if m.label == label_or_index)
     for line in text.replace("\r\n", "\n").split("\n"):
-        canvas.draw_text(x, y, line, rgba=rgba, scale=scale)
+        canvas.draw_text(x, y, line, rgba=rgba, scale=scale,
+                         nonascii=nonascii)
         y += (GLYPH_H + 1) * scale
     return y

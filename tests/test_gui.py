@@ -53,6 +53,7 @@ class TestFont:
         assert bar[:, 2].all() and bar.sum() == gui.GLYPH_H
 
     def test_unmapped_renders_question_mark(self):
+        # glyph() is the raw ASCII-table accessor: '?' substitution
         np.testing.assert_array_equal(gui.glyph("あ"),
                                       gui.glyph("?"))
 
@@ -60,6 +61,23 @@ class TestFont:
         assert gui.text_width("") == 0
         assert gui.text_width("ab") == 2 * gui.ADVANCE - 1
         assert gui.text_width("ab", scale=2) == 2 * (2 * gui.ADVANCE - 1)
+        # non-ASCII is double-width under the default box policy
+        assert gui.text_width("あ") == gui.WIDE_ADVANCE - 1
+        assert gui.text_width("aあ") == gui.ADVANCE + gui.WIDE_ADVANCE - 1
+        # and 6 ASCII cells ('[XXXX]') under hex
+        assert gui.text_width("あ", nonascii="hex") == 6 * gui.ADVANCE - 1
+
+    def test_wide_glyph_deterministic_and_distinct(self):
+        a1 = gui.wide_glyph(ord("あ"))
+        a2 = gui.wide_glyph(ord("あ"))
+        np.testing.assert_array_equal(a1, a2)
+        assert a1.shape == (gui.GLYPH_H, gui.WIDE_W)
+        # border box always fully inked
+        assert a1[0].all() and a1[-1].all()
+        assert a1[:, 0].all() and a1[:, -1].all()
+        # distinct codepoints -> distinct interiors
+        assert (gui.wide_glyph(ord("あ")) != gui.wide_glyph(ord("い"))).any()
+        assert (gui.wide_glyph(ord("日")) != gui.wide_glyph(ord("本"))).any()
 
 
 class TestCanvas:
@@ -247,3 +265,36 @@ class TestGmdIntegration:
         c = gui.GuiCanvas(64, 16)
         with pytest.raises(StopIteration):
             gui.draw_gmd_message(c, g, "nope", 0, 0)
+
+    def test_japanese_message_renders_deterministically(self):
+        """A non-ASCII GMD fixture (the engine's real message tables
+        are Japanese — SHIFT-JIS is first-class in the reference,
+        read_struct.rs:60-86) must render deterministically, survive a
+        GMD save/load round-trip, and not collapse to identical ink
+        for different texts (the old '?' wall)."""
+        from mt_renderer_tpu.formats.gmd import GuiMessage, GuiMessageFile
+
+        g = GuiMessageFile(language_id=1, package_name="jp")
+        g.messages = [
+            GuiMessage(label="konnichiwa", message="こんにちは TPU"),
+            GuiMessage(label="sayonara", message="さようなら TPU"),
+        ]
+        g2 = GuiMessageFile.parse(g.tobytes())     # byte round-trip
+        assert g2.messages[0].message == "こんにちは TPU"
+
+        c1 = gui.GuiCanvas(256, 16)
+        gui.draw_gmd_message(c1, g2, "konnichiwa", 0, 0)
+        c2 = gui.GuiCanvas(256, 16)
+        gui.draw_gmd_message(c2, g2, "konnichiwa", 0, 0)
+        np.testing.assert_array_equal(c1.rgba, c2.rgba)  # deterministic
+        assert c1.rgba.any()
+        c3 = gui.GuiCanvas(256, 16)
+        gui.draw_gmd_message(c3, g2, "sayonara", 0, 0)
+        assert (c1.rgba != c3.rgba).any()          # texts distinguishable
+
+    def test_hex_fallback_spells_the_codepoint(self):
+        c = gui.GuiCanvas(64, 8)
+        c.draw_text(0, 0, "あ", nonascii="hex")    # U+3042 -> "[3042]"
+        want = gui.GuiCanvas(64, 8)
+        want.draw_text(0, 0, "[3042]")
+        np.testing.assert_array_equal(c.rgba, want.rgba)
