@@ -23,6 +23,31 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (the full suite; default skips "
+             "them so a single-core box finishes in <10 min — r3 "
+             "verdict #6 measured 28 min for the flat suite)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: expensive interpret-mode/multiprocess test — skipped "
+        "unless --runslow (CI tier: run BOTH `pytest tests/` and "
+        "`pytest tests/ --runslow` before shipping)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bounded_xla_compile_state():
     """XLA CPU segfaults in backend_compile_and_load after a few hundred

@@ -286,6 +286,7 @@ class TestMipmapping:
         got, _ = device.render_frame(ds, vp, width=128, height=128)
         assert_frames_match(np.asarray(got), want)
 
+    @pytest.mark.slow
     def test_packed_tile_major_matches_unpacked(self):
         """The packed mipmap path (tile-major compacted trilinear
         shade) must reproduce the plane-major unpacked render exactly,
@@ -499,6 +500,7 @@ class TestPoolModes:
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
         np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
 
+    @pytest.mark.slow
     def test_narrow_matches_quad_mipmap_pallas(self):
         batch = self._batch()
         vp = _vp()
@@ -613,6 +615,7 @@ class TestTexturedLiveness:
         bones = demo.demo_bone_mats(0.5)
         return batch, vp, bones
 
+    @pytest.mark.slow
     def test_cap_tracks_textured_not_covered(self):
         from mt_renderer_tpu.scene import demo
 
@@ -640,6 +643,7 @@ class TestTexturedLiveness:
                                       np.asarray(dense))
         np.testing.assert_array_equal(np.asarray(cd), np.asarray(dd))
 
+    @pytest.mark.slow
     def test_mip_compacted_matches_dense(self):
         batch, vp, bones = self._mixed_scene()
         scene = device.upload(batch)
@@ -653,6 +657,7 @@ class TestTexturedLiveness:
         np.testing.assert_array_equal(np.asarray(compact),
                                       np.asarray(dense))
 
+    @pytest.mark.slow
     def test_peel_compacted_matches_dense(self):
         batch, vp, bones = self._mixed_scene()
         scene = device.upload(batch)
@@ -666,6 +671,7 @@ class TestTexturedLiveness:
         np.testing.assert_array_equal(np.asarray(compact),
                                       np.asarray(dense))
 
+    @pytest.mark.slow
     def test_split_mip_peel_compacted_matches_dense(self):
         from mt_renderer_tpu.scene import demo
 

@@ -100,6 +100,7 @@ class TestMultichip:
 
         assert unpack_rgba(a).shape == (256, 256, 4)
 
+    @pytest.mark.slow
     def test_graft_dryrun(self):
         import __graft_entry__ as ge
 
@@ -268,6 +269,7 @@ class TestMultichipPeel:
         return scene, np.asarray(cam.view_proj()), demo.demo_bone_mats(0.7)
 
     @pytest.mark.parametrize("n", [2, 8])
+    @pytest.mark.slow
     def test_peeled_bands_match_single(self, n):
         scene, vp, bones = self._glass_scene()
         want_c, want_d = device.render_frame_peeled(
@@ -281,6 +283,7 @@ class TestMultichipPeel:
         np.testing.assert_array_equal(np.asarray(got_d),
                                       np.asarray(want_d))
 
+    @pytest.mark.slow
     def test_packed_and_unaligned_height(self):
         scene, vp, bones = self._glass_scene()
         # 52 rows over 8 chips: 7-row bands pad to 16-row tiles + crop
@@ -300,6 +303,7 @@ class TestMultichipPeel:
                 scene, vp, bones, mesh=make_row_mesh(2), width=64,
                 height=64, peel_layers=3, backend="scan")
 
+    @pytest.mark.slow
     def test_banded_caps_match_dense(self):
         """Per-band split-cap sizing (measure_live_tap_tiles(bands=n)):
         the capped banded peel is pixel-identical to the dense one, and
@@ -335,6 +339,7 @@ class TestMultichipPeel:
                 scene, vp, bones, width=64, height=64, layers=3,
                 mode="ml", bands=2)
 
+    @pytest.mark.slow
     def test_mipmap_peeled_bands_match_single(self):
         scene, vp, bones = self._glass_scene()
         want_c, want_d = device.render_frame_peeled(
@@ -351,6 +356,7 @@ class TestMultichipPeel:
 
 
 class TestMultichipMipmapExact:
+    @pytest.mark.slow
     def test_banded_mip_caps_match_dense(self):
         """Banded trilinear with the worst-band scalar cap
         (auto_tap_tiles(bands=n)) is pixel-identical to dense taps —
@@ -371,6 +377,7 @@ class TestMultichipMipmapExact:
         np.testing.assert_array_equal(np.asarray(got),
                                       np.asarray(dense))
 
+    @pytest.mark.slow
     def test_pallas_mipmap_bands_bit_identical(self):
         """Analytic per-pixel LOD (device._analytic_lod) makes the
         trilinear shade elementwise, so band-sharded mipmap is now

@@ -11,6 +11,10 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow      # 2-process cluster: full tier only
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

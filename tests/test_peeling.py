@@ -146,6 +146,7 @@ class TestSinglePassML:
 
     @pytest.mark.parametrize("mipmap", [False, True])
     @pytest.mark.parametrize("lighting", [False, True])
+    @pytest.mark.slow
     def test_ml_exactly_matches_multipass(self, mipmap, lighting):
         scene, vp, bones = self._demo()
         kw = dict(width=96, height=96, layers=3, backend="pallas",
@@ -207,6 +208,7 @@ class TestSinglePassML:
                                       np.asarray(tidm[0]))
 
     @pytest.mark.parametrize("variant", ["lsel", "l2sel"])
+    @pytest.mark.slow
     def test_layer_grouped_pass2_matches_full(self, variant):
         # the layer-grouped pass-2 decompositions (per-group gated
         # selects into separate scratches) are exact vs the default
@@ -288,6 +290,7 @@ class TestOpaqueCulling:
         else:
             np.testing.assert_array_equal(c[:3], [200, 200, 200])
 
+    @pytest.mark.slow
     def test_compacted_taps_match_dense(self):
         """tap_tiles sized by measure_live_tap_tiles must be pixel-
         identical to the dense composite, opaque and translucent."""
@@ -351,6 +354,7 @@ class TestSplitPeel:
 
     @pytest.mark.parametrize("mipmap", [False, True])
     @pytest.mark.parametrize("lighting", [False, True])
+    @pytest.mark.slow
     def test_matches_ml_on_opaque_scene(self, mipmap, lighting):
         scene, vp, bones = self._demo()
         kw = dict(width=96, height=96, layers=3, backend="pallas",
@@ -372,6 +376,7 @@ class TestSplitPeel:
             np.testing.assert_array_equal(np.asarray(ml), np.asarray(sp))
         np.testing.assert_array_equal(np.asarray(dml), np.asarray(dsp))
 
+    @pytest.mark.slow
     def test_mipmap_translucent_stack_matches_ml(self):
         batch = _textured_quad_batch([
             (0.0, np.full((8, 8, 4), (200, 200, 200, 128), np.uint8)),
@@ -388,6 +393,7 @@ class TestSplitPeel:
         np.testing.assert_array_equal(np.asarray(dml), np.asarray(dsp))
 
     @pytest.mark.parametrize("alpha_front", [255, 128])
+    @pytest.mark.slow
     def test_matches_ml_on_textured_stack(self, alpha_front):
         batch = _textured_quad_batch([
             (0.0, np.full((8, 8, 4), (200, 200, 200, alpha_front),
@@ -403,6 +409,7 @@ class TestSplitPeel:
         np.testing.assert_array_equal(np.asarray(ml), np.asarray(sp))
         np.testing.assert_array_equal(np.asarray(dml), np.asarray(dsp))
 
+    @pytest.mark.slow
     def test_deep_stack_keeps_opaque_floor(self):
         # 4 translucent quads in front of an opaque one. With L=4 the
         # split equals ml with L=5 (the opaque floor is free); with
@@ -447,6 +454,7 @@ class TestSplitPeel:
             np.testing.assert_array_equal(np.asarray(ml), np.asarray(sp),
                                           err_msg=f"order={order}")
 
+    @pytest.mark.slow
     def test_compacted_and_packed_match_dense(self):
         scene, vp, bones = self._demo()
         kw = dict(width=96, height=96, layers=3, backend="pallas")
@@ -476,6 +484,7 @@ class TestSplitPeel:
                 scene, vp, bones, width=96, height=96, layers=3,
                 backend="pallas", peel_mode="ml", tap_tiles=(4, 4))
 
+    @pytest.mark.slow
     def test_mipmap_packed_and_compacted_match(self):
         """The tile-major mip composite: packed mipmap peel round-trips
         the unpacked frame, compacted == dense, for split AND ml."""
@@ -503,6 +512,7 @@ class TestSplitPeel:
             np.testing.assert_array_equal(np.asarray(dp),
                                           np.asarray(dd))
 
+    @pytest.mark.slow
     def test_animated_alpha_moves_triangles_between_passes(self):
         """Material alpha is the rScheduler-animatable mat_color
         channel, so the opacity partition is PER-FRAME DATA: the same
