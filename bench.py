@@ -255,6 +255,126 @@ def verify(width=256, height=256, instances=9, subdiv=2) -> dict:
     return out
 
 
+def verify_world(width=256, height=144) -> dict:
+    """World-scene verification ON THE LIVE BACKEND (r3 verdict #5):
+    the heterogeneous paths the instanced verify can't reach — >128
+    material slots (``device._mat_select`` gather fallback), mixed mip
+    tables in one texel pool, per-instance bone palettes — oracle-
+    differential at reduced size plus the pool/material/palette
+    invariants. Chip-only bf16 divergence is invisible in interpret
+    mode (bit r2), so this must run where the bench runs."""
+    import jax
+
+    from mt_renderer_tpu.render import cpu_reference, device
+    from mt_renderer_tpu.scene import world as world_mod
+
+    from mt_renderer_tpu.app.camera import Camera
+
+    kw = dict(buildings=130, characters=3, variants=6, terrain_subdiv=3,
+              building_subdivs=(1, 2))
+    ws = world_mod.build_world(**kw)
+    anim = ws.animator()
+    pal = ws.bone_palette(anim.bone_mats(12.0))
+    # verify camera: frames the character row + nearby buildings at
+    # good pixel density and keeps the horizon sliver out of frame —
+    # at the default world camera, sub-pixel far-field buildings near
+    # z≈0.9997 legitimately resolve to different winners between the
+    # oracle's barycentric z and the device's plane-evaluated z
+    # (measured: 0.7% of pixels with whole-surface color flips; both
+    # device backends agree with each other). The >128-slot material
+    # table exercises the gather fallback regardless of visibility.
+    cam = Camera(position=[0.0, -26.0, 8.0], yaw=0.0, pitch=-30.0,
+                 far=120.0)
+    cam.aspect = width / height
+    vp = np.asarray(cam.view_proj())
+    scene = device.upload(ws.batch)
+
+    out: dict = {"platform": jax.devices()[0].platform,
+                 "materials": ws.info["materials"],
+                 "tris": ws.info["tris"]}
+    # pool/material/palette invariants on the live scene
+    inv_ok = bool(
+        ws.info["materials"] > 128          # gather-fallback territory
+        and int(scene.num_mips) >= 8        # mixed mip-table diversity
+        and np.allclose(np.asarray(scene.mat_color), ws.mat_color)
+        and len(ws.info["tex_sizes"]) >= 4
+    )
+    out["invariants"] = {"pass": inv_ok}
+    out["pass"] = inv_ok
+
+    want, want_d = cpu_reference.render(ws.batch, vp, width, height,
+                                        bone_mats=pal)
+    edge = _coverage_edge(want_d < 1.0)
+
+    def bound(name, got, got_d):
+        cov_mis = (np.asarray(got_d) < 1.0) != (want_d < 1.0)
+        offedge = int((cov_mis & ~edge).sum())
+        cdiff = np.abs(np.asarray(got).astype(np.int32)
+                       - want.astype(np.int32)).max(-1)
+        bad_pct = float((cdiff > 1).mean() * 100)
+        ok = bool(offedge == 0 and bad_pct <= 0.3
+                  and cov_mis.mean() <= 0.003)
+        out[name] = {"coverage_mismatch_px": int(cov_mis.sum()),
+                     "offedge_mismatch_px": offedge,
+                     "color_mismatch_pct": round(bad_pct, 4),
+                     "pass": ok}
+        out["pass"] = bool(out["pass"] and ok)
+
+    maxc = device.auto_maxc(ws.batch, vp, pal, width=width, height=height)
+    stt = device.auto_tap_tiles(ws.batch, vp, pal,
+                                width=width, height=height)
+    # the production bilinear engine (packed + compacted taps)
+    pk, pkd = device.render_frame(
+        scene, vp, pal, width=width, height=height, backend="pallas",
+        packed=True, maxc=maxc, tap_tiles=stt)
+    bound("world_packed", device.unpack_rgba(np.asarray(pk)), pkd)
+
+    # the benched world config: trilinear mipmap, packed, analytic LOD
+    # — vs the scan backend's trilinear (coverage off-edge exact; color
+    # within the oracle bound, the two reconstruct lod differently)
+    sm, smd = device.render_frame(
+        scene, vp, pal, width=width, height=height, backend="scan",
+        mipmap=True)
+    pm, pmd = device.render_frame(
+        scene, vp, pal, width=width, height=height, backend="pallas",
+        mipmap=True, packed=True, maxc=maxc, tap_tiles=stt)
+    pmc = device.unpack_rgba(np.asarray(pm))
+    cov_mis = (np.asarray(pmd) < 1.0) != (np.asarray(smd) < 1.0)
+    cdiff = np.abs(pmc.astype(np.int32)
+                   - np.asarray(sm).astype(np.int32)).max(-1)
+    ok = bool((cov_mis & ~edge).sum() == 0 and (cdiff > 1).mean() <= 0.003)
+    out["world_mipmap_packed"] = {
+        "coverage_mismatch_px": int(cov_mis.sum()),
+        "color_mismatch_pct": round(float((cdiff > 1).mean() * 100), 4),
+        "pass": ok}
+    out["pass"] = bool(out["pass"] and ok)
+
+    # per-instance palettes animate ON CHIP: a bird's-eye view of the
+    # character row (camera forward is -Z at yaw 0; the world is z-up)
+    # must move pixels between two scheduler times, oracle-checked at
+    # the first one
+    side = int(np.ceil(np.sqrt(kw["buildings"])))
+    cam2 = Camera(position=[0.0, -side * 1.6 - 2.0, 9.0], far=120.0)
+    cam2.aspect = width / height
+    vp2 = np.asarray(cam2.view_proj())
+    want2, want_d2 = cpu_reference.render(ws.batch, vp2, width, height,
+                                          bone_mats=pal)
+    edge = _coverage_edge(want_d2 < 1.0)
+    want, want_d = want2, want_d2
+    ca, cad = device.render_frame(
+        scene, vp2, pal, width=width, height=height, backend="pallas",
+        packed=True, maxc=maxc, tap_tiles=stt)
+    bound("world_chars_packed", device.unpack_rgba(np.asarray(ca)), cad)
+    cb, _ = device.render_frame(
+        scene, vp2, ws.bone_palette(anim.bone_mats(30.0)),
+        width=width, height=height, backend="pallas",
+        packed=True, maxc=maxc, tap_tiles=stt)
+    anim_ok = bool((np.asarray(cb) != np.asarray(ca)).any())
+    out["palette_animates"] = {"pass": anim_ok}
+    out["pass"] = bool(out["pass"] and anim_ok)
+    return out
+
+
 # ------------------------------------------------------------ bench run
 
 
@@ -431,11 +551,24 @@ def run_once(args, width, height, instances, frames, png=None):
         dt = time.perf_counter() - t0
     fps_dispatch = frames / dt
 
-    # measured per-frame coverage (every frame of the same sequence, in
-    # an untimed pass; ONE device→host transfer at the end). This first
-    # transfer also flips the tunnel into synchronous dispatch mode.
-    covs = [cov_count(frame(i)[1]) for i in range(1, frames + 1)]
-    covered_total = int(jnp.sum(jnp.stack(covs)))
+    # measured per-frame coverage AND textured-winner counts (every
+    # frame of the same sequence, in an untimed pass; ONE device→host
+    # transfer at the end). Textured is MEASURED on device from the
+    # winner's tap row — Mtexel/s no longer assumes every covered pixel
+    # samples a texture (r3 verdict #6). This first transfer also flips
+    # the tunnel into synchronous dispatch mode.
+    def frame_counts(t):
+        cam.yaw = base_yaw + 8.0 * np.sin(0.25 * t)
+        return device.count_covered_textured(
+            scene, np.asarray(cam.view_proj()),
+            bones_at(t) if batch.skinned else None,
+            width=width, height=height, maxc=maxc)
+
+    counts = [frame_counts(i) for i in range(1, frames + 1)]
+    covs = jnp.stack([c[0] for c in counts])
+    texs = jnp.stack([c[1] for c in counts])
+    covered_total = int(jnp.sum(covs))
+    textured_total = int(jnp.sum(texs))
     pr.flush_overflow_checks()
 
     # TRUE device frame time, two estimators (the tunnel makes naive
@@ -540,10 +673,12 @@ def run_once(args, width, height, instances, frames, png=None):
 
     tris = batch.num_triangles
     coverage = covered_total / (frames * width * height)
-    # texel fetches actually performed: 4 bilinear taps per sampled pixel
-    # (8 when trilinear-mipmapped); the demo scene is fully textured
+    # texel fetches actually performed: 4 bilinear taps per MEASURED
+    # textured pixel (8 when trilinear-mipmapped) — counted on device
+    # per frame, not assumed from coverage
+    textured_frac = textured_total / max(covered_total, 1)
     taps = 8 if args.mipmap else 4
-    mtexel_s = coverage * width * height * taps * fps_device / 1e6
+    mtexel_s = (textured_total / frames) * taps * fps_device / 1e6
     mtri_s = tris * fps_device / 1e6
 
     if png:
@@ -563,6 +698,7 @@ def run_once(args, width, height, instances, frames, png=None):
         "timing_method": method,
         "fps_dispatch": fps_dispatch,
         "mtri_s": mtri_s, "mtexel_s": mtexel_s, "coverage": coverage,
+        "textured_frac": textured_frac,
         "texpool_bytes": device.pool_stats(scene)["bytes"],
         "maxc": maxc, "chunk": chunk,
         "overflow_events": pr.OVERFLOW_EVENTS - overflow_before,
@@ -573,6 +709,19 @@ def main(argv=None):
     args = parse_args(argv)
 
     if args.verify:
+        if args.preset == "world":
+            # world-only verification (r3 verdict #5): the gather-
+            # fallback materials / mixed-mip / palette paths on chip
+            v = verify_world()
+            print(f"# verify world: {json.dumps(v)}", file=sys.stderr)
+            print(json.dumps({
+                "metric": f"verify_world_{v['platform']}",
+                "value": v["world_packed"]["offedge_mismatch_px"],
+                "unit": "px",
+                "vs_baseline": 1.0 if v["pass"] else 0.0,
+                "verify": v,
+            }))
+            return 0 if v["pass"] else 1
         v = verify()
         print(f"# verify: {json.dumps(v)}", file=sys.stderr)
         print(json.dumps({
@@ -687,6 +836,12 @@ def main(argv=None):
     extras = {}
     if args.preset == "full" and not args.no_verify:
         v = verify(width=128, height=128, instances=9, subdiv=1)
+        # the world paths (>128-material gather fallback, mixed mip
+        # tables, per-instance palettes) verify on the SAME backend the
+        # bench ran on — chip-only divergence is invisible off-chip
+        vw = verify_world()
+        v["world"] = vw
+        v["pass"] = bool(v["pass"] and vw["pass"])
         extras["verify"] = v
         print(f"# verify: {json.dumps(v)}", file=sys.stderr)
 
@@ -698,6 +853,7 @@ def main(argv=None):
         f"{r['frame_ms_blocked']:.2f}ms, rtt {r['rtt_ms']:.2f}ms) "
         f"dispatch_fps={r['fps_dispatch']:.1f} "
         f"Mtri/s={r['mtri_s']:.2f} Mtexel/s={r['mtexel_s']:.1f} "
+        f"tex_frac={r['textured_frac']:.3f} "
         f"maxc={r['maxc']} overflow={r['overflow_events']}",
         file=sys.stderr,
     )
@@ -713,6 +869,7 @@ def main(argv=None):
         "mtri_s": round(r["mtri_s"], 2),
         "mtexel_s": round(r["mtexel_s"], 2),
         "coverage": round(r["coverage"], 4),
+        "textured_frac": round(r["textured_frac"], 4),
         "texpool_bytes": r["texpool_bytes"],
         "maxc": r["maxc"],
         "overflow_events": r["overflow_events"],

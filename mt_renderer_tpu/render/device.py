@@ -1811,6 +1811,37 @@ def measure_live_tap_tiles(scene: DeviceScene, view_proj, bone_mats=None,
     return cap(live_rows((ib >= 0) & (ti >= 0)), nrows * layers)
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height", "maxc"))
+def count_covered_textured(scene: DeviceScene, view_proj: jax.Array,
+                           bone_mats: jax.Array | None = None, *,
+                           width: int, height: int,
+                           maxc: int | None = None):
+    """Device-side per-frame pixel counts → (covered, textured-winner)
+    i32 scalars. "Textured" is MEASURED from the winner's tap row
+    (tapidx >= 0), not assumed — the bench derives Mtexel/s from this
+    instead of treating every covered pixel as sampled (r3 verdict #6:
+    the all-textured assumption only happened to hold because every
+    preset was fully textured). Runs the production raster (same
+    binning cap), one extra untimed pass per measured frame."""
+    from . import pallas_raster as pr
+
+    pw = -(-width // pr.TILE_W) * pr.TILE_W
+    ph = -(-height // pr.TILE_H) * pr.TILE_H
+    clip = vertex_stage(scene, view_proj, bone_mats)
+    cols, bbox, n_attr = setup_packed_cols(
+        scene, clip, width, height, bone_mats=bone_mats)
+    _, ib, _, tapidx, _ = pr.raster_pallas_fwd(
+        (cols, bbox), None, 0, 0, width=pw, height=ph,
+        maxc=maxc or pr.MAXC_DEFAULT,
+        interpret=jax.default_backend() != "tpu",
+        n_attr=n_attr, tap=True, w_eps=W_EPS,
+    )
+    ib = ib[:height, :width]
+    ti = tapidx[:height, :width]
+    cov = ib >= 0
+    return jnp.sum(cov), jnp.sum(cov & (ti >= 0))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "chunk", "clear_color", "backend",
