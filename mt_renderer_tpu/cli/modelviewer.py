@@ -42,6 +42,24 @@ def load_character(rm: ResourceManager, prp_path: str):
     return model_path.replace("\\", "/"), [bool(x) for x in parts]
 
 
+def _engine(app, mgr, scene, batch):
+    """The production frame engine for this app's current scene and
+    the manager's size — sized caps + overflow recovery, the SAME
+    compacted engines bench.py measures (render/engine.py; r3 verdict:
+    the viewer loop used to run MAXC_DEFAULT + dense taps)."""
+    from ..render.engine import FrameEngine
+
+    e = getattr(app, "_eng", None)
+    if (e is None or e.scene is not scene
+            or (e.width, e.height) != (mgr.width, mgr.height)):
+        app._eng = e = FrameEngine(
+            scene, batch, width=mgr.width, height=mgr.height,
+            backend=app.backend, mipmap=app.mipmap,
+            lighting=app.lighting, peel=app.peel,
+            peel_mode=("split" if app.backend == "pallas" else "ml"))
+    return e
+
+
 def _maybe_hud(app, mgr, color, extra: str = ""):
     """Composite the stats/GMD HUD band when ``--hud`` asked for it
     (app.hud.Hud over scene.gui — the config-5 GUI composite)."""
@@ -128,6 +146,7 @@ class ModelViewerApp(RendererApp):
             ob = self.overlay.batch()
             if ob is not None:
                 batch = merge_batches(batch, ob)
+        self._batch = batch
         self.scene = device.upload(batch)
         self.bones = (
             np.tile(np.eye(4, dtype=np.float32),
@@ -157,28 +176,15 @@ class ModelViewerApp(RendererApp):
             self.bones = np.asarray(self.animator.bone_mats_device(
                 np.float32(t)
             ))
-        if self.peel:
-            # order-independent transparency (the split OIT engine on
-            # pallas) — correct back-to-front compositing of any
-            # translucent materials regardless of draw order
-            color, _ = device.render_frame_peeled(
-                self.scene, mgr.camera.view_proj(), self.bones,
-                width=mgr.width, height=mgr.height,
-                backend=self.backend, layers=self.peel,
-                mipmap=self.mipmap, lighting=self.lighting,
-                peel_mode=("split" if self.backend == "pallas"
-                           else "ml"),
-                packed=self.backend == "pallas" and not self.mipmap,
-            )
-            return _maybe_hud(self, mgr, color,
-                              extra=f"{self.backend} peel{self.peel}")
-        color, _ = device.render_frame(
-            self.scene, mgr.camera.view_proj(), self.bones,
-            width=mgr.width, height=mgr.height, backend=self.backend,
-            mipmap=self.mipmap, lighting=self.lighting,
-            packed=self.backend == "pallas",
-        )
-        return _maybe_hud(self, mgr, color, extra=self.backend)
+        # the production engine: auto-sized binning/tap caps + overflow
+        # recovery — the same compacted pipeline bench.py measures
+        # (with peel: the split OIT engine on pallas — correct
+        # back-to-front compositing regardless of draw order)
+        color, _ = _engine(self, mgr, self.scene, self._batch).render(
+            mgr.camera.view_proj(), self.bones)
+        tag = (f"{self.backend} peel{self.peel}" if self.peel
+               else self.backend)
+        return _maybe_hud(self, mgr, color, extra=tag)
 
 
 class DemoWorldApp(RendererApp):
@@ -222,25 +228,11 @@ class DemoWorldApp(RendererApp):
         bones = self.world.bone_palette(
             self.anim.bone_mats(np.float32((2.0 * mgr.frame_index)
                                            % self._dur)))
-        if self.peel:
-            color, _ = device.render_frame_peeled(
-                self.scene, mgr.camera.view_proj(), bones,
-                width=mgr.width, height=mgr.height,
-                backend=self.backend, layers=self.peel,
-                mipmap=self.mipmap, lighting=self.lighting,
-                peel_mode=("split" if self.backend == "pallas"
-                           else "ml"),
-                packed=self.backend == "pallas" and not self.mipmap,
-            )
-            return _maybe_hud(self, mgr, color,
-                              extra=f"world peel{self.peel}")
-        color, _ = device.render_frame(
-            self.scene, mgr.camera.view_proj(), bones,
-            width=mgr.width, height=mgr.height, backend=self.backend,
-            mipmap=self.mipmap, lighting=self.lighting,
-            packed=self.backend == "pallas" and not self.mipmap,
-        )
-        return _maybe_hud(self, mgr, color, extra="world")
+        color, _ = _engine(self, mgr, self.scene,
+                           self.world.batch).render(
+            mgr.camera.view_proj(), bones)
+        tag = f"world peel{self.peel}" if self.peel else "world"
+        return _maybe_hud(self, mgr, color, extra=tag)
 
 
 def main(argv=None):

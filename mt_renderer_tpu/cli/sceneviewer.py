@@ -121,12 +121,14 @@ def main(argv=None):
         jax.block_until_ready(color)
         print(f"rendered band-sharded over {args.devices} devices")
     else:
-        color, _ = device.render_frame(
-            scene, vp, None, width=args.width, height=args.height,
-            backend=args.backend, packed=args.backend == "pallas",
-        )
+        from ..render.engine import FrameEngine
+
+        eng = FrameEngine(scene, batch, width=args.width,
+                          height=args.height, backend=args.backend)
+        color, _ = eng.render(vp, None)
+        eng.check(vp)
         if args.backend == "pallas":
-            color = device.unpack_rgba(color)
+            color = device.unpack_rgba(np.asarray(color))
 
     from ..utils.png import write_png
 

@@ -1,0 +1,281 @@
+"""Production frame engine — sized caps + overflow recovery.
+
+``bench.py`` wires the production machinery by hand: ``auto_maxc``
+sizes the binning cap, ``auto_tap_tiles``/``measure_live_tap_tiles``
+size the compacted texture-tap caps, and the deferred overflow queue is
+flushed at loop exit. The interactive viewers used to skip all of it
+(``MAXC_DEFAULT`` + dense taps — r3 verdict: the user-facing loop
+rendered the world scene materially slower than the benched number, and
+a camera flying into dense content kept warning until a human raised
+the caps).
+
+``FrameEngine`` owns that wiring for any frame loop:
+
+* lazy sizing at the first rendered view, with a ``headroom`` factor
+  over the measured need (animation/camera drift margin);
+* the SAME render calls the bench times (packed pallas, compacted
+  taps, split OIT) — the viewer loop IS the production loop;
+* a per-frame HOST-side cap guard (no device sync): the binning need
+  is predicted EXACTLY (``predict_bin_counts`` is property-pinned to
+  the kernel's ``bin_chunks``) and the single-layer tap liveness is
+  bounded from above (``predict_live_rows``) — if the camera flies
+  into content denser than the caps, the engine grows them BEFORE
+  rendering, so single-layer frames can never drop a chunk or lose a
+  texel. The predictor's NumPy work rides the host time that would
+  otherwise idle while the device renders the previous frame;
+* overflow recovery as the backstop: every ``check_every`` frames the
+  deferred overflow queue flushes (one device→host transfer — the
+  viewer loop already reads every frame back, so the tunnel is
+  synchronous anyway); any overflow re-sizes the affected cap at the
+  current view (never below 2x the overflowed cap), re-jits, and
+  logs. This is the only recovery path for the PEELED tap caps, whose
+  true per-(tile, layer) liveness has no cheap host bound — there a
+  depth-complexity spike can cost up to ``check_every`` frames of
+  dropped translucent texture before the caps grow (the host guard
+  still ratchets them when the single-layer row bound grows, which
+  covers camera approach, the common case).
+
+Growing a cap re-jits the pipeline (a one-time compile hiccup per
+growth; caps only ever grow, and the ``headroom`` margin gives
+hysteresis). A scene/resolution change needs a new engine (the viewers
+rebuild one whenever they re-upload the scene).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from . import device
+from . import pallas_raster as pr
+
+logger = logging.getLogger("mt_renderer_tpu.render")
+
+
+class FrameEngine:
+    def __init__(self, scene, batch, *, width: int, height: int,
+                 backend: str = "pallas", mipmap: bool = False,
+                 lighting: bool = False, peel: int = 0,
+                 peel_mode: str = "split", headroom: float = 1.5,
+                 check_every: int = 16):
+        self.scene = scene
+        self.batch = batch
+        self.width = width
+        self.height = height
+        self.backend = backend
+        self.mipmap = mipmap
+        self.lighting = lighting
+        self.peel = peel
+        self.peel_mode = peel_mode
+        self.headroom = headroom
+        self.check_every = check_every
+        self.maxc: int | None = None
+        self.tap_tiles = None
+        self.sized = False
+        self.recoveries = 0            # cap bumps taken so far
+        self._since_check = 0
+        self._tap_bound = 0            # host row bound seen at sizing
+
+    # -- cap sizing -------------------------------------------------------
+
+    @property
+    def packed(self) -> bool:
+        """Frame format — exactly what bench.py times per config."""
+        if self.peel:
+            return (self.backend == "pallas" and not self.mipmap
+                    and self.peel_mode != "multipass")
+        return self.backend == "pallas"
+
+    def size(self, view_proj, bone_mats=None) -> None:
+        """Size the binning + compacted-tap caps for this view (one
+        device sync on the peel path, exactly like bench setup)."""
+        if self.backend != "pallas":
+            self.sized = True
+            return
+        vp = np.asarray(view_proj)
+        self.maxc = device.auto_maxc(
+            self.batch, vp, bone_mats, width=self.width,
+            height=self.height, margin=self.headroom)
+        self._tap_bound = device.auto_tap_tiles(
+            self.batch, vp, bone_mats, width=self.width,
+            height=self.height, margin=self.headroom)
+        if self.peel and self.peel_mode != "multipass":
+            self.tap_tiles = device.measure_live_tap_tiles(
+                self.scene, vp,
+                bone_mats if self.batch.skinned else None,
+                width=self.width, height=self.height, layers=self.peel,
+                maxc=self.maxc, lighting=self.lighting,
+                mode=self.peel_mode, margin=self.headroom)
+        elif not self.peel:
+            self.tap_tiles = self._tap_bound
+        self.sized = True
+        logger.info("FrameEngine sized: maxc=%s tap_tiles=%s (%dx%d %s%s)",
+                    self.maxc, self.tap_tiles, self.width, self.height,
+                    self.backend,
+                    f" peel{self.peel}/{self.peel_mode}" if self.peel
+                    else "")
+
+    # -- the frame loop body ----------------------------------------------
+
+    def render(self, view_proj, bone_mats=None):
+        """One production frame → (color, depth). Color is packed
+        (H, W) u32 on the pallas path (``device.unpack_rgba`` views it
+        for free host-side)."""
+        if not self.sized:
+            # drain counts queued by any earlier renders so the first
+            # check attributes overflow to THIS engine's frames only
+            pr.flush_overflow_checks()
+            self.size(view_proj, bone_mats)
+        elif self.backend == "pallas":
+            self._guard(view_proj, bone_mats)
+        if self.peel:
+            out = device.render_frame_peeled(
+                self.scene, view_proj, bone_mats, width=self.width,
+                height=self.height, layers=self.peel,
+                backend=self.backend, maxc=self.maxc,
+                mipmap=self.mipmap, lighting=self.lighting,
+                peel_mode=self.peel_mode, packed=self.packed,
+                tap_tiles=self.tap_tiles)
+        else:
+            out = device.render_frame(
+                self.scene, view_proj, bone_mats, width=self.width,
+                height=self.height, backend=self.backend, maxc=self.maxc,
+                mipmap=self.mipmap, lighting=self.lighting,
+                packed=self.packed, tap_tiles=self.tap_tiles)
+        self._since_check += 1
+        if self._since_check >= self.check_every:
+            self.check(view_proj, bone_mats)
+        return out
+
+    def _guard(self, view_proj, bone_mats) -> None:
+        """Pre-render host-side cap guard (no device sync): grow the
+        caps BEFORE a frame that would overflow them. The bin need is
+        exact; the tap row bound is conservative (a grown bound
+        re-measures the peel caps, covers the single-layer cap
+        directly)."""
+        vp = np.asarray(view_proj)
+        need = int(device.predict_bin_counts(
+            self.batch, vp, bone_mats, width=self.width,
+            height=self.height).max())
+        if need > (self.maxc or 0):
+            old = self.maxc
+            new = device.auto_maxc(
+                self.batch, vp, bone_mats, width=self.width,
+                height=self.height, margin=self.headroom)
+            if new != old:             # == old: already at the SMEM
+                self.maxc = new        # limit; deferred check reports
+                self.recoveries += 1
+                logger.info(
+                    "FrameEngine guard: view needs %d candidate chunks "
+                    "> maxc=%s — grew to %s before rendering (re-jit)",
+                    need, old, self.maxc)
+        bound = device.auto_tap_tiles(
+            self.batch, vp, bone_mats, width=self.width,
+            height=self.height, margin=self.headroom)
+        if bound <= self._tap_bound:
+            return
+        self._tap_bound = bound
+        old = self.tap_tiles
+        if self.peel and self.peel_mode != "multipass":
+            need_taps = device.measure_live_tap_tiles(
+                self.scene, vp,
+                bone_mats if self.batch.skinned else None,
+                width=self.width, height=self.height, layers=self.peel,
+                maxc=self.maxc, lighting=self.lighting,
+                mode=self.peel_mode, margin=self.headroom)
+            if isinstance(old, tuple):
+                grown = tuple(max(o, n) for o, n in zip(old, need_taps))
+            else:
+                grown = max(old or 0, need_taps) if not isinstance(
+                    need_taps, tuple) else need_taps
+            changed = grown != old
+            self.tap_tiles = grown
+        elif not self.peel:
+            changed = bound > (old or 0)
+            if changed:
+                self.tap_tiles = bound
+        else:
+            changed = False
+        if changed:
+            self.recoveries += 1
+            logger.info(
+                "FrameEngine guard: tap row bound grew past the sized "
+                "caps — %s -> %s before rendering (re-jit)",
+                old, self.tap_tiles)
+
+    # -- overflow recovery --------------------------------------------------
+
+    def _grow(self, old, new):
+        """Monotone cap growth: at least the fresh measurement, at
+        least 2x the overflowed cap (the overflow may have happened at
+        an earlier view than the one just re-measured)."""
+        if isinstance(old, tuple):
+            new = new if isinstance(new, tuple) else (new,) * len(old)
+            return tuple(self._grow(o, n) for o, n in zip(old, new))
+        return max(int(new), 2 * int(old))
+
+    def check(self, view_proj=None, bone_mats=None) -> dict:
+        """Flush the deferred overflow queue; on any overflow, re-size
+        the affected cap at the current view and log. Returns the
+        drained ``{what: (count, cap)}`` dict."""
+        self._since_check = 0
+        counts = pr.flush_overflow_counts()
+        if not any(n > 0 for n, _ in counts.values()):
+            return counts
+        if self.backend != "pallas" or view_proj is None:
+            for what, (n, cap) in counts.items():
+                if n > 0:
+                    pr._overflow_report(n, cap, what)
+            return counts
+        vp = np.asarray(view_proj)
+        for what, (n, cap) in counts.items():
+            if n <= 0:
+                continue
+            self.recoveries += 1
+            if what.startswith("bin"):
+                old = self.maxc
+                need = device.auto_maxc(
+                    self.batch, vp, bone_mats, width=self.width,
+                    height=self.height, margin=self.headroom)
+                limit = pr.smem_maxc_limit(
+                    -(-self.width // pr.TILE_W) * pr.TILE_W,
+                    -(-self.height // pr.TILE_H) * pr.TILE_H)
+                self.maxc = min(self._grow(old, need), limit)
+                logger.warning(
+                    "FrameEngine: bin overflow on %d tile-frame(s) at "
+                    "maxc=%s — recovered to maxc=%s (next frames exact)",
+                    n, old, self.maxc)
+            else:
+                old = self.tap_tiles
+                if self.peel and self.peel_mode != "multipass":
+                    need = device.measure_live_tap_tiles(
+                        self.scene, vp,
+                        bone_mats if self.batch.skinned else None,
+                        width=self.width, height=self.height,
+                        layers=self.peel, maxc=self.maxc,
+                        lighting=self.lighting, mode=self.peel_mode,
+                        margin=self.headroom)
+                else:
+                    need = device.auto_tap_tiles(
+                        self.batch, vp, bone_mats, width=self.width,
+                        height=self.height, margin=self.headroom)
+                grown = self._grow(old, need) if old else need
+                # clamp to the grid's theoretical row counts (a cap
+                # past "every row live" buys nothing)
+                pw = -(-self.width // pr.TILE_W) * pr.TILE_W
+                ph = -(-self.height // pr.TILE_H) * pr.TILE_H
+                nrows = ((pw // pr.TILE_W)
+                         * (ph // (device.SEG_PX // pr.TILE_W)))
+                if isinstance(grown, tuple):
+                    grown = (min(grown[0], nrows),
+                             min(grown[1], nrows * self.peel))
+                else:
+                    grown = min(grown,
+                                nrows * (self.peel if self.peel else 1))
+                self.tap_tiles = grown
+                logger.warning(
+                    "FrameEngine: tap overflow on %d row(s) at "
+                    "tap_tiles=%s — recovered to %s (next frames exact)",
+                    n, old, self.tap_tiles)
+        return counts

@@ -331,19 +331,28 @@ def queue_overflow_check(n_over, maxc: int, what: str = _WHAT_BINS):
         _PENDING[what] = _sum_grouped(q)
 
 
-def flush_overflow_checks():
-    """Check all queued overflow counts (one device→host transfer per
-    overflow kind and device group). Call at the end of a frame loop or
-    periodically."""
+def flush_overflow_counts() -> dict:
+    """Drain the queue and return ``{what: (total, cap)}`` WITHOUT
+    reporting (one device→host transfer per overflow kind and device
+    group) — the recovery path (render.engine.FrameEngine) inspects
+    the counts itself and resizes instead of warning."""
     if not _PENDING:
-        return
+        return {}
     pending = {w: q for w, q in _PENDING.items() if q}
     _PENDING.clear()
     caps = _PENDING_CAP.copy()
     _PENDING_CAP.clear()
-    for what, q in pending.items():
-        total = sum(int(part) for part in _sum_grouped(q))
-        _overflow_report(total, caps.get(what, 0), what)
+    return {what: (sum(int(part) for part in _sum_grouped(q)),
+                   caps.get(what, 0))
+            for what, q in pending.items()}
+
+
+def flush_overflow_checks():
+    """Check all queued overflow counts (one device→host transfer per
+    overflow kind and device group). Call at the end of a frame loop or
+    periodically."""
+    for what, (total, cap) in flush_overflow_counts().items():
+        _overflow_report(total, cap, what)
 
 
 # --------------------------------------------------------------------------
@@ -520,6 +529,92 @@ def _epilogue_rows(a, px, py, n_attr, tap, mtap, w_eps, light):
     return jnp.concatenate(rows, axis=0), None
 
 
+def _sl_group_body(blk, g, cid, px, py, has_zlow, zlow_ref, n_coef,
+                   zbuf_ref, win_ref, coef_ref):
+    """One culling group's single-layer raster work — the kernel's
+    innermost (KG, P) block, shared verbatim with the roofline
+    microbenchmark (tools/bench/raster_roofline.py) so "speed of light"
+    is measured on the EXACT op mix the production kernel runs."""
+    sub = g // (K // KG)
+    r0 = (g % (K // KG)) * KG
+    c0 = sub * CS
+
+    def col(i):
+        return blk[r0:r0 + KG, c0 + i][:, None]  # (KG, 1)
+
+    def plane(i):
+        return col(i) * px + col(i + 1) * py + col(i + 2)
+
+    def edge_ok(i):
+        e = col(i) * px + col(3 + i) * py + col(6 + i)
+        return e > col(9 + i)
+
+    inside = edge_ok(0) & edge_ok(1) & edge_ok(2)
+    z = plane(12)                            # (KG, P)
+    zok = inside & (z >= 0.0) & (z <= zbuf_ref[0])
+    if has_zlow:
+        zok &= z > zlow_ref[0]
+    zm = jnp.where(zok, z, jnp.inf)
+    zmin = jnp.min(zm, axis=0, keepdims=True)   # (1, P)
+    kids = jax.lax.broadcasted_iota(
+        jnp.int32, (KG, P), 0
+    ) + r0
+    winner_k = jnp.max(
+        jnp.where(zok & (zm == zmin), kids, -1),
+        axis=0, keepdims=True,
+    )
+    new_id = cid * CT + sub * K + winner_k
+    # exact-z ties resolve by GLOBAL triangle id (later
+    # wins — the oracle's rule), not by processing
+    # order: nearest-first chunk ordering would
+    # otherwise let an earlier-index triangle in a
+    # nearer-sorted chunk steal a tie from a
+    # later-index one (cross-chunk coplanar decals)
+    upd = jnp.isfinite(zmin) & (
+        (zmin < zbuf_ref[0])
+        | ((zmin == zbuf_ref[0]) & (new_id > win_ref[0]))
+    )
+
+    # attribute-coefficient selection: exactly one winner
+    # row per updated pixel → selecting the winner's
+    # packed columns is a (n_coef, KG) x (KG, P) MXU
+    # matmul against the one-hot. Runs UNGATED: a
+    # @pl.when(jnp.any(upd)) guard measured 3 ms SLOWER
+    # at 1080p/196k tris — the vector→scalar reduce +
+    # branch stalls the pipeline more than the skipped
+    # matmuls save (r2). With no update the one-hot is
+    # all-zero and the where keeps old state.
+    #
+    # Exactness: the MXU multiplies in bf16, which would
+    # quantize the selected f32 coefficients (7.3% color
+    # mismatch on chip, invisible in CPU interpret mode).
+    # XLA's HIGHEST fixes that with a 6-pass two-sided
+    # bf16x3 split; but the one-hot side is EXACTLY
+    # representable in bf16 (0/1), so a manual 3-way
+    # split of the coefficient side alone is exact in 3
+    # DEFAULT passes — each product is 0/1 × bf16 with a
+    # single nonzero addend per column, and the f32
+    # recombination b1+b2+b3 carries 8+8+8 mantissa bits.
+    onehot = (
+        zok & (zm == zmin) & (kids == winner_k)
+    ).astype(jnp.bfloat16)                   # (KG, P)
+    cols = blk[r0:r0 + KG, c0 + 15:c0 + 15 + n_coef]
+    b1 = cols.astype(jnp.bfloat16)
+    r1 = cols - b1.astype(jnp.float32)
+    b2 = r1.astype(jnp.bfloat16)
+    b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+    sel = jnp.float32(0.0)
+    for part in (b1, b2, b3):
+        sel += jax.lax.dot_general(
+            part, onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                    # (n_coef, P)
+    coef_ref[...] = jnp.where(upd, sel, coef_ref[...])
+
+    zbuf_ref[0] = jnp.where(upd, zmin, zbuf_ref[0])
+    win_ref[0] = jnp.where(upd, new_id, win_ref[0])
+
+
 def _raster_fwd_kernel(n_attr, has_zlow, tap, mtap, w_eps, light,
                        counts_ref, lists_ref, glists_ref, origin_ref,
                        setup_hbm, zlow_ref, zbuf_ref, win_ref, attr_ref,
@@ -593,84 +688,9 @@ def _raster_fwd_kernel(n_attr, has_zlow, tap, mtap, w_eps, light,
 
                 @pl.when(live)
                 def _(g=g):
-                    sub = g // (K // KG)
-                    r0 = (g % (K // KG)) * KG
-                    c0 = sub * CS
-
-                    def col(i):
-                        return blk[r0:r0 + KG, c0 + i][:, None]  # (KG, 1)
-
-                    def plane(i):
-                        return col(i) * px + col(i + 1) * py + col(i + 2)
-
-                    def edge_ok(i):
-                        e = col(i) * px + col(3 + i) * py + col(6 + i)
-                        return e > col(9 + i)
-
-                    inside = edge_ok(0) & edge_ok(1) & edge_ok(2)
-                    z = plane(12)                            # (KG, P)
-                    zok = inside & (z >= 0.0) & (z <= zbuf_ref[0])
-                    if has_zlow:
-                        zok &= z > zlow_ref[0]
-                    zm = jnp.where(zok, z, jnp.inf)
-                    zmin = jnp.min(zm, axis=0, keepdims=True)   # (1, P)
-                    kids = jax.lax.broadcasted_iota(
-                        jnp.int32, (KG, P), 0
-                    ) + r0
-                    winner_k = jnp.max(
-                        jnp.where(zok & (zm == zmin), kids, -1),
-                        axis=0, keepdims=True,
-                    )
-                    new_id = cid * CT + sub * K + winner_k
-                    # exact-z ties resolve by GLOBAL triangle id (later
-                    # wins — the oracle's rule), not by processing
-                    # order: nearest-first chunk ordering would
-                    # otherwise let an earlier-index triangle in a
-                    # nearer-sorted chunk steal a tie from a
-                    # later-index one (cross-chunk coplanar decals)
-                    upd = jnp.isfinite(zmin) & (
-                        (zmin < zbuf_ref[0])
-                        | ((zmin == zbuf_ref[0]) & (new_id > win_ref[0]))
-                    )
-
-                    # attribute-coefficient selection: exactly one winner
-                    # row per updated pixel → selecting the winner's
-                    # packed columns is a (n_coef, KG) x (KG, P) MXU
-                    # matmul against the one-hot. Runs UNGATED: a
-                    # @pl.when(jnp.any(upd)) guard measured 3 ms SLOWER
-                    # at 1080p/196k tris — the vector→scalar reduce +
-                    # branch stalls the pipeline more than the skipped
-                    # matmuls save (r2). With no update the one-hot is
-                    # all-zero and the where keeps old state.
-                    #
-                    # Exactness: the MXU multiplies in bf16, which would
-                    # quantize the selected f32 coefficients (7.3% color
-                    # mismatch on chip, invisible in CPU interpret mode).
-                    # XLA's HIGHEST fixes that with a 6-pass two-sided
-                    # bf16x3 split; but the one-hot side is EXACTLY
-                    # representable in bf16 (0/1), so a manual 3-way
-                    # split of the coefficient side alone is exact in 3
-                    # DEFAULT passes — each product is 0/1 × bf16 with a
-                    # single nonzero addend per column, and the f32
-                    # recombination b1+b2+b3 carries 8+8+8 mantissa bits.
-                    onehot = (
-                        zok & (zm == zmin) & (kids == winner_k)
-                    ).astype(jnp.bfloat16)                   # (KG, P)
-                    cols = blk[r0:r0 + KG, c0 + 15:c0 + 15 + n_coef]
-                    b1 = cols.astype(jnp.bfloat16)
-                    r1 = cols - b1.astype(jnp.float32)
-                    b2 = r1.astype(jnp.bfloat16)
-                    b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
-                    sel = jnp.float32(0.0)
-                    for part in (b1, b2, b3):
-                        sel += jax.lax.dot_general(
-                            part, onehot, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )                                    # (n_coef, P)
-                    coef_ref[...] = jnp.where(upd, sel, coef_ref[...])
-
-                    zbuf_ref[0] = jnp.where(upd, zmin, zbuf_ref[0])
-                    win_ref[0] = jnp.where(upd, new_id, win_ref[0])
+                    _sl_group_body(blk, g, cid, px, py, has_zlow,
+                                   zlow_ref, n_coef, zbuf_ref, win_ref,
+                                   coef_ref)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)

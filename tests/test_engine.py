@@ -1,0 +1,163 @@
+"""Production frame engine (render/engine.py): sized caps, the
+per-frame host cap guard, and overflow recovery — the r3-verdict
+"viewer loop == bench loop" contract (the interactive viewers used to
+render with MAXC_DEFAULT + dense taps)."""
+
+import warnings
+
+import numpy as np
+
+from mt_renderer_tpu.render import device
+from mt_renderer_tpu.render import pallas_raster as pr
+from mt_renderer_tpu.render.engine import FrameEngine
+from mt_renderer_tpu.scene import demo
+
+W, H = 256, 128
+
+
+def _scene(instances=9, subdiv=1):
+    batch = demo.build_demo_batch(instances=instances, skinned=True,
+                                  subdiv=subdiv)
+    return batch, device.upload(batch)
+
+
+def _vp(instances=9):
+    return np.asarray(demo.demo_camera(instances, W, H).view_proj())
+
+
+class TestEngineMatchesProduction:
+    def test_single_layer_matches_bench_wiring(self):
+        """engine.render == the exact call bench.py times (packed
+        pallas + auto-sized compacted taps), bit-identical."""
+        batch, scene = _scene()
+        vp, bones = _vp(), demo.demo_bone_mats(0.3)
+        eng = FrameEngine(scene, batch, width=W, height=H)
+        got, gotd = eng.render(vp, bones)
+        assert eng.sized and eng.maxc and eng.tap_tiles
+        want, wantd = device.render_frame(
+            scene, vp, bones, width=W, height=H, backend="pallas",
+            maxc=eng.maxc, packed=True, tap_tiles=eng.tap_tiles)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(gotd), np.asarray(wantd))
+        # ... and the sized caps reproduce the DENSE frame exactly
+        dense, _ = device.render_frame(
+            scene, vp, bones, width=W, height=H, backend="pallas",
+            packed=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(dense))
+
+    def test_split_peel_matches_bench_wiring(self):
+        batch, scene = _scene()
+        vp, bones = _vp(), demo.demo_bone_mats(0.2)
+        eng = FrameEngine(scene, batch, width=W, height=H, peel=3)
+        got, _ = eng.render(vp, bones)
+        assert isinstance(eng.tap_tiles, tuple)     # split (op, tr) caps
+        want, _ = device.render_frame_peeled(
+            scene, vp, bones, width=W, height=H, layers=3,
+            backend="pallas", peel_mode="split", maxc=eng.maxc,
+            packed=True, tap_tiles=eng.tap_tiles)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_scan_backend_passthrough(self):
+        batch, scene = _scene()
+        vp, bones = _vp(), demo.demo_bone_mats(0.1)
+        eng = FrameEngine(scene, batch, width=W, height=H, backend="scan")
+        got, _ = eng.render(vp, bones)
+        assert not eng.packed and eng.maxc is None
+        want, _ = device.render_frame(
+            scene, vp, bones, width=W, height=H, backend="scan")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestOverflowRecovery:
+    def test_deferred_recovery_bumps_caps(self):
+        """With the host guard disabled and deliberately broken caps,
+        the deferred overflow check must grow BOTH caps and the next
+        frame must again match the dense render exactly."""
+        batch, scene = _scene(instances=64, subdiv=3)
+        vp, bones = _vp(64), demo.demo_bone_mats(0.3)
+        eng = FrameEngine(scene, batch, width=W, height=H, check_every=1)
+        eng.render(vp, bones)                       # size normally
+        eng.check(vp, bones)                        # drain clean
+        good_maxc, good_taps = eng.maxc, eng.tap_tiles
+        eng.maxc, eng.tap_tiles = 1, 8              # sabotage
+        eng._tap_bound = 10 ** 9                    # keep guard quiet
+        eng._guard = lambda *a: None
+        with warnings.catch_warnings(record=True):  # swallow the loss
+            eng.render(vp, bones)                   # overflows + checks
+        assert eng.recoveries >= 1
+        assert eng.maxc >= good_maxc > 1
+        assert eng.tap_tiles >= good_taps
+        got, _ = eng.render(vp, bones)              # recovered frame
+        dense, _ = device.render_frame(
+            scene, vp, bones, width=W, height=H, backend="pallas",
+            packed=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(dense))
+
+    def test_guard_grows_before_rendering(self):
+        """The host guard must raise undersized caps BEFORE the frame
+        renders — no overflow event, no RuntimeWarning, no loss."""
+        batch, scene = _scene(instances=64, subdiv=3)
+        vp, bones = _vp(64), demo.demo_bone_mats(0.3)
+        eng = FrameEngine(scene, batch, width=W, height=H)
+        eng.render(vp, bones)
+        eng.maxc, eng.tap_tiles, eng._tap_bound = 1, 8, 0   # sabotage
+        ev0 = pr.OVERFLOW_EVENTS
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            got, _ = eng.render(vp, bones)
+            eng.check(vp, bones)
+        assert pr.OVERFLOW_EVENTS == ev0
+        assert eng.maxc > 1 and eng.tap_tiles > 8
+        dense, _ = device.render_frame(
+            scene, vp, bones, width=W, height=H, backend="pallas",
+            packed=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(dense))
+
+
+class TestCameraSweep:
+    def test_world_flythrough_zero_loss(self):
+        """Fly the camera from outside the archive world INTO its
+        densest content: every frame must be bit-identical to a dense
+        render (zero texture loss) with zero overflow warnings — the
+        guard grows the caps proactively (r3 verdict #2)."""
+        from mt_renderer_tpu.scene import world as world_mod
+
+        ws = world_mod.build_world(buildings=24, characters=2,
+                                   variants=4, terrain_subdiv=4,
+                                   building_subdivs=(2, 3))
+        scene = device.upload(ws.batch)
+        pal = ws.bone_palette(ws.animator().bone_mats(0.0))
+        cam = world_mod.world_camera(W, H, buildings=24)
+        base = np.asarray(cam.position, np.float32).copy()
+        eng = FrameEngine(scene, ws.batch, width=W, height=H)
+        ev0 = pr.OVERFLOW_EVENTS
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            for s in np.linspace(1.0, 0.12, 6):     # dive into the field
+                cam.position = base * s
+                vp = np.asarray(cam.view_proj())
+                got, _ = eng.render(vp, pal)
+                dense, _ = device.render_frame(
+                    scene, vp, pal, width=W, height=H,
+                    backend="pallas", packed=True)
+                np.testing.assert_array_equal(np.asarray(got),
+                                              np.asarray(dense))
+            eng.check(vp, pal)
+        assert pr.OVERFLOW_EVENTS == ev0
+        # the dive DID demand more than the first view's caps
+        assert eng.recoveries >= 1 or eng.tap_tiles >= eng._tap_bound
+
+
+class TestViewerIntegration:
+    def test_demo_world_app_uses_engine(self):
+        from mt_renderer_tpu.app.manager import RendererAppManager
+        from mt_renderer_tpu.cli.modelviewer import DemoWorldApp
+
+        app = DemoWorldApp(buildings=4)
+        app.mipmap = False
+        mgr = RendererAppManager(app, width=W, height=H)
+        frame = mgr.run_headless(frames=2)
+        assert frame.shape == (H, W, 4)
+        eng = app._eng
+        assert eng is not None and eng.sized
+        assert eng.maxc is not None and eng.tap_tiles is not None
