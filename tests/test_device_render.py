@@ -486,6 +486,39 @@ class TestPoolModes:
         assert 21.0 < sq["bytes_per_src_texel"] < 21.7
         assert 5.2 < sn["bytes_per_src_texel"] < 5.5
 
+    def test_pool_budget_policy(self):
+        """pool_mode='auto' picks the fastest mode that fits the byte
+        budget; over-budget requests (auto past narrow, or an explicit
+        mode) raise instead of silently downgrading (r3 verdict,
+        game-scale texture envelope)."""
+        batch = self._batch()
+        pyramid = sum((64 >> i) ** 2 for i in range(7))
+        # generous budget (or none) -> quad
+        s = device.upload(batch, "auto", pool_budget_bytes=pyramid * 16)
+        assert s.pool_mode == "quad"
+        assert device.upload(batch, "auto",
+                             pool_budget_bytes=None).pool_mode == "quad"
+        # quad won't fit, narrow will -> narrow (and it still renders:
+        # bit-exact vs quad on the scan backend)
+        s = device.upload(batch, "auto",
+                          pool_budget_bytes=pyramid * 16 - 1)
+        assert s.pool_mode == "narrow"
+        vp = _vp()
+        want, _ = device.render_frame(device.upload(batch), vp,
+                                      width=64, height=64,
+                                      backend="scan")
+        got, _ = device.render_frame(s, vp, width=64, height=64,
+                                     backend="scan")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # nothing fits -> MemoryError, for auto and explicit alike
+        with pytest.raises(MemoryError):
+            device.upload(batch, "auto", pool_budget_bytes=pyramid * 2)
+        with pytest.raises(MemoryError):
+            device.upload(batch, "quad",
+                          pool_budget_bytes=pyramid * 16 - 1)
+        with pytest.raises(ValueError):
+            device.upload(batch, "wide")
+
     def test_narrow_matches_quad_bit_exact_scan(self):
         batch = self._batch()
         vp = _vp()
