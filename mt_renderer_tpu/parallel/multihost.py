@@ -97,6 +97,25 @@ def render_frame_multihost(scene, view_proj, bone_mats=None, *,
         mesh=global_row_mesh(), width=width, height=height, **kw)
 
 
+def gather_full_frame(frame, height: int) -> np.ndarray:
+    """The OPTIONAL cross-DCN full-frame gather: every process receives
+    all bands (a viewer host wants this; a per-host encoder never pays
+    it). One allgather of each process's contiguous band slab — for a
+    1080p packed u32 frame that is ~8.3 MB egress per frame per host,
+    so at a conservative 25 GB/s DCN per host the gather costs ~0.4 ms
+    of bandwidth + one DCN round trip; on the gloo/loopback stand-in
+    ``tools/multihost_demo.py --gather`` measures it directly. Must be
+    called by EVERY process (collective). Returns the full (height, …)
+    frame, tile padding cropped."""
+    from jax.experimental import multihost_utils
+
+    shards = sorted(frame.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    full = multihost_utils.process_allgather(local, tiled=True)
+    return np.asarray(full)[:height]
+
+
 def local_rows(global_array, height: int):
     """This process's owned rows of a row-sharded global frame →
     (row_start, np.ndarray) pairs, ascending; crops any tile padding

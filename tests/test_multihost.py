@@ -26,8 +26,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_cluster_band_identity():
-    # bounded by the subprocess communicate(timeout=540) below
+def _run_cluster(nproc: int, extra_args, timeout: int = 540):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -36,17 +35,16 @@ def test_two_process_cluster_band_identity():
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tools/multihost_demo.py"),
-             "--proc", str(i), "--nproc", "2", "--local-devices", "2",
-             "--width", "256", "--height", "96",
-             "--coordinator", f"127.0.0.1:{port}"],
+             "--proc", str(i), "--nproc", str(nproc),
+             "--coordinator", f"127.0.0.1:{port}", *extra_args],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env)
-        for i in range(2)
+        for i in range(nproc)
     ]
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -55,4 +53,25 @@ def test_two_process_cluster_band_identity():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert "MULTIHOST OK" in out, f"proc {i} output:\n{out}"
+    return outs
+
+
+def test_two_process_cluster_band_identity():
+    outs = _run_cluster(2, ["--local-devices", "2",
+                            "--width", "256", "--height", "96"])
+    for out in outs:
         assert "pixel-identical" in out
+
+
+def test_four_process_peel_gather():
+    """4 processes x 2 devices (r3 verdict #8): the split-OIT peel leg
+    band-identical across the cluster, plus the optional viewer-host
+    full-frame gather verified identical and timed on the gloo
+    stand-in (the DCN cost a viewer pays; per-host encoders pay 0)."""
+    outs = _run_cluster(
+        4, ["--local-devices", "2", "--width", "192", "--height", "64",
+            "--peel", "2", "--gather", "2"], timeout=900)
+    for out in outs:
+        assert "pixel-identical" in out
+        assert "peel2 leg pixel-identical" in out
+        assert "full-frame gather verified identical" in out

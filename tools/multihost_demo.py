@@ -28,6 +28,13 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=192)
     p.add_argument("--instances", type=int, default=4)
+    p.add_argument("--peel", type=int, default=0,
+                   help="also verify an L-layer split-OIT banded leg")
+    p.add_argument("--mipmap", action="store_true",
+                   help="also verify a trilinear-mipmap banded leg")
+    p.add_argument("--gather", type=int, default=0, metavar="K",
+                   help="measure the optional viewer-host full-frame "
+                        "gather: K timed allgathers + identity check")
     args = p.parse_args(argv)
 
     import os
@@ -77,6 +84,53 @@ def main(argv=None):
     print(f"proc {args.proc}: verified {checked} owned rows "
           f"pixel-identical; band coverage "
           f"{', '.join(f'{c:.2f}' for c in cov_rows)}", flush=True)
+
+    if args.peel:
+        # split-OIT banded leg: translucent content composited
+        # back-to-front per band, still zero-collective across DCN
+        tb = demo.make_translucent(batch, args.instances)
+        ts = device.upload(tb)
+        pc, _ = multihost.render_frame_multihost(
+            ts, vp, bones, width=w, height=h, backend="pallas",
+            packed=True, peel_layers=args.peel)
+        pref, _ = device.render_frame_peeled(
+            ts, vp, bones, width=w, height=h, backend="pallas",
+            layers=args.peel, peel_mode="split", packed=True)
+        pref = np.asarray(pref)
+        for r0, band in multihost.local_rows(pc, h):
+            np.testing.assert_array_equal(band,
+                                          pref[r0:r0 + band.shape[0]])
+        print(f"proc {args.proc}: peel{args.peel} leg pixel-identical",
+              flush=True)
+
+    if args.mipmap:
+        mc, _ = multihost.render_frame_multihost(
+            scene, vp, bones, width=w, height=h, backend="pallas",
+            packed=True, mipmap=True)
+        mref, _ = device.render_frame(
+            scene, vp, bones, width=w, height=h, backend="pallas",
+            packed=True, mipmap=True)
+        mref = np.asarray(mref)
+        for r0, band in multihost.local_rows(mc, h):
+            np.testing.assert_array_equal(band,
+                                          mref[r0:r0 + band.shape[0]])
+        print(f"proc {args.proc}: mipmap leg pixel-identical", flush=True)
+
+    if args.gather:
+        import time
+
+        full = multihost.gather_full_frame(color, h)    # warm path
+        np.testing.assert_array_equal(full, ref[:h])
+        t0 = time.perf_counter()
+        for _ in range(args.gather):
+            multihost.gather_full_frame(color, h)
+        dt = (time.perf_counter() - t0) / args.gather
+        mb = full.nbytes / 2**20
+        print(f"proc {args.proc}: full-frame gather verified identical; "
+              f"{mb:.2f} MB in {dt * 1e3:.1f} ms/frame on the gloo "
+              f"stand-in ({mb / 1024 / max(dt, 1e-9):.2f} GB/s)",
+              flush=True)
+
     print("MULTIHOST OK", flush=True)
 
 
