@@ -228,7 +228,8 @@ def sol_ns_per_pair(scene, vp, bones):
     packed = pr.pack_cols(cols)
     blk = packed[0]                                  # one real chunk
     n_coef = pr._N_COEF[n_attr]
-    r1, r2 = 256, 2048
+    # the difference r2-r1 must dwarf the tunnel's ~10 ms RTT drift
+    r1, r2 = 512, 8192
     jax.block_until_ready(_micro(blk, r1, n_coef))
     jax.block_until_ready(_micro(blk, r2, n_coef))
     ests = []
@@ -243,6 +244,12 @@ def sol_ns_per_pair(scene, vp, bones):
 def main():
     presets = [a for a in sys.argv[1:] if not a.startswith("-")] or [
         "default", "dense", "world"]
+    # force one device->host transfer FIRST: through the axon tunnel,
+    # block_until_ready returns without waiting until the first
+    # transfer has flipped dispatch to synchronous mode (CLAUDE.md) —
+    # without this, every "timing" below is a dispatch rate (measured:
+    # an impossible 0.4 ns/pair SOL)
+    print(f"sync flip: {int(jnp.zeros((), jnp.int32))}", flush=True)
     sol = None
     for preset in presets:
         batch, scene, vl, bones, mtap = build(preset)
