@@ -44,7 +44,8 @@ if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
 def parse_args(argv):
     p = argparse.ArgumentParser()
     p.add_argument("--preset",
-                   choices=["smoke", "full", "dense", "world", "glass"],
+                   choices=["smoke", "full", "dense", "world", "glass",
+                            "bigtex"],
                    default="full")
     p.add_argument("--instances", type=int, default=None)
     p.add_argument("--subdiv", type=int, default=None,
@@ -386,17 +387,42 @@ def run_once(args, width, height, instances, frames, png=None):
     from mt_renderer_tpu.scene import demo
 
     platform = jax.devices()[0].platform
-    if args.preset == "world":
+    if args.preset in ("world", "bigtex"):
         # the archive-world scene: heterogeneous parsed assets, mixed
         # texture sizes, >128 material slots, per-instance skinned
-        # characters animated from the .sdl scheduler (scene/world.py)
+        # characters animated from the .sdl scheduler (scene/world.py).
+        # bigtex (r3 verdict "missing #1"): the same world at the
+        # reference's game-scale texture envelope — 16 distinct 2048^2
+        # textures + full mip chains = a GB-class decoded quad pool
+        # (~89M rows, the ~1e8-row regime the 2.1 ns/row gather law had
+        # never been tested at), upload/mip-build time measured.
         from mt_renderer_tpu.scene import world as world_mod
 
-        ws = world_mod.build_world(
-            buildings=instances, building_subdivs=(4, 6, 8, 10, 12))
+        wkw = dict(buildings=instances, building_subdivs=(4, 6, 8, 10, 12))
+        if args.preset == "bigtex":
+            wkw.update(variants=16, tex_sizes=(2048,),
+                       building_subdivs=(4, 6, 8))
+        t0 = time.perf_counter()
+        ws = world_mod.build_world(**wkw)
         print(f"# world: {ws.info}", file=sys.stderr)
         batch = ws.batch
+        t1 = time.perf_counter()
         scene = device.upload(batch)
+        jax.block_until_ready(scene.mip_pool)
+        if args.preset == "bigtex":
+            # force a 1-element readback: through the axon tunnel,
+            # block_until_ready returns early until the first
+            # device->host transfer, which would make upload_s a
+            # dispatch time, not a transfer time (CLAUDE.md). The flip
+            # to synchronous dispatch mode is harmless here — the
+            # headline scan-of-N estimator is immune to it.
+            _ = int(np.asarray(scene.mip_pool[0, 0]))
+        upload_s = time.perf_counter() - t1
+        if args.preset == "bigtex":
+            st = device.pool_stats(scene)
+            print(f"# bigtex: pool {st['bytes'] / 2**30:.2f} GiB "
+                  f"({st['rows']} rows), scene build {t1 - t0:.1f}s, "
+                  f"mips+quadrows+upload {upload_s:.1f}s", file=sys.stderr)
         cam = world_mod.world_camera(width, height, buildings=instances)
         anim = ws.animator()
         dur = max(ws.timeline.duration, 1)
@@ -681,6 +707,45 @@ def run_once(args, width, height, instances, frames, png=None):
     mtexel_s = (textured_total / frames) * taps * fps_device / 1e6
     mtri_s = tris * fps_device / 1e6
 
+    extras = {}
+    if args.preset == "bigtex":
+        # confirm the gather law AT THIS POOL SIZE: scan-of-N
+        # differenced ns/row for one covered-1080p-frame's worth of
+        # random rows against the live ~1e8-row pool (the law was
+        # measured at 2-8M rows, gather_shapes.py — nothing had ever
+        # tested whether it holds two orders of magnitude up)
+        rows = int(scene.mip_pool.shape[0])
+        n_idx = 2_070_000
+        idx = jnp.asarray(np.random.default_rng(0)
+                          .integers(0, rows, n_idx).astype(np.int32))
+
+        def probe_run(pool, idx, length):
+            def step(c, _):
+                acc, salt = c
+                out = pool[(idx + salt) % rows]
+                acc += jnp.sum(out[::4096, 0].astype(jnp.float32))
+                return (acc, salt + 1), None
+            return jax.lax.scan(step, (jnp.float32(0), jnp.int32(0)),
+                                None, length=length)[0][0]
+
+        import functools as _ft
+        probe_jit = jax.jit(probe_run, static_argnames=("length",))
+        probe_jit = _ft.partial(probe_jit, scene.mip_pool, idx)
+        pn = 8
+        jax.block_until_ready(probe_jit(length=pn))
+        jax.block_until_ready(probe_jit(length=1))
+        gests = []
+        for _ in range(5):
+            tn = timed(lambda: probe_jit(length=pn))
+            t1 = timed(lambda: probe_jit(length=1))
+            gests.append((tn - t1) / (pn - 1) / n_idx * 1e9)
+        gests.sort()
+        extras["gather_ns_row"] = round(gests[len(gests) // 2], 3)
+        extras["pool_rows"] = rows
+        extras["upload_s"] = round(upload_s, 2)
+        print(f"# bigtex gather law at {rows} rows: "
+              f"{extras['gather_ns_row']} ns/row", file=sys.stderr)
+
     if png:
         from mt_renderer_tpu.utils.png import write_png
 
@@ -691,6 +756,7 @@ def run_once(args, width, height, instances, frames, png=None):
         print(f"wrote {png}", file=sys.stderr)
 
     return {
+        **extras,
         "platform": platform, "width": width, "height": height,
         "instances": instances, "tris": tris, "frames": frames,
         "fps": fps_device, "frame_ms": frame_ms, "rtt_ms": rtt_ms,
@@ -766,6 +832,14 @@ def main(argv=None):
         width = args.width or 1920
         height = args.height or 1080
         instances = args.instances or 280     # buildings (~250k tris)
+        frames = args.frames
+        png = args.png
+    elif args.preset == "bigtex":
+        # game-scale texture envelope: 16 distinct 2048^2 textures with
+        # full mip chains -> ~1.4 GiB quad pool (~89M rows)
+        width = args.width or 1920
+        height = args.height or 1080
+        instances = args.instances or 140     # buildings (~120k tris)
         frames = args.frames
         png = args.png
     else:
