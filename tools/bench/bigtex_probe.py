@@ -55,26 +55,35 @@ def probe(pool, idx, rows: int, length: int):
 
 
 def law_curve():
-    print("pool_rows  MiB      ns/row   (random 16 B-row gathers, "
+    print("pool_rows  MiB     kind  ns/row   (16 B-row gathers, "
           "scan-of-8 differenced)", flush=True)
     rng = np.random.default_rng(0)
     out = []
-    for rows in (2_000_000, 8_000_000, 23_000_000, 45_000_000,
-                 89_505_786):
+    sizes = (16_384, 131_072, 524_288, 2_000_000, 8_000_000,
+             23_000_000, 45_000_000, 89_505_786)
+    for rows in sizes:
         pool = jnp.zeros((rows, 16), jnp.uint8)      # device-generated
-        idx = jnp.asarray(rng.integers(0, rows, N_IDX).astype(np.int32))
-        jax.block_until_ready(probe(pool, idx, rows, N))
-        jax.block_until_ready(probe(pool, idx, rows, 1))
-        ests = []
-        for _ in range(5):
-            tn = timed(probe, pool, idx, rows, N)
-            t1 = timed(probe, pool, idx, rows, 1)
-            ests.append((tn - t1) / (N - 1) / N_IDX * 1e9)
-        ests.sort()
-        ns = ests[len(ests) // 2]
-        out.append((rows, ns))
-        print(f"{rows:10d} {rows * 16 / 2**20:7.0f} {ns:8.2f}",
-              flush=True)
+        kinds = {"rand": rng.integers(0, rows, N_IDX).astype(np.int32)}
+        if rows >= 23_000_000:
+            # coherent: neighboring indices hit neighboring rows — at
+            # HBM-resident footprints page locality may matter even
+            # though it measured free at cache-resident sizes (r3)
+            kinds["coh"] = ((np.arange(N_IDX, dtype=np.int64) * 4)
+                            % rows).astype(np.int32)
+        for kind, idx_h in kinds.items():
+            idx = jnp.asarray(idx_h)
+            jax.block_until_ready(probe(pool, idx, rows, N))
+            jax.block_until_ready(probe(pool, idx, rows, 1))
+            ests = []
+            for _ in range(5):
+                tn = timed(probe, pool, idx, rows, N)
+                t1 = timed(probe, pool, idx, rows, 1)
+                ests.append((tn - t1) / (N - 1) / N_IDX * 1e9)
+            ests.sort()
+            ns = ests[len(ests) // 2]
+            out.append((rows, kind, ns))
+            print(f"{rows:10d} {rows * 16 / 2**20:7.1f} {kind:>6s} "
+                  f"{ns:7.2f}", flush=True)
         del pool
     return out
 
