@@ -155,7 +155,8 @@ def pool_budget_default() -> int | None:
 
 
 def upload(batch: DrawBatch, pool_mode: str = "quad", *,
-           pool_budget_bytes: int | None = None) -> DeviceScene:
+           pool_budget_bytes: int | None = None,
+           pool_bias: int | str = 0) -> DeviceScene:
     """Pad + device_put a host DrawBatch. Called once at load time.
 
     ``pool_mode``: "quad" (default) stores each texel's full 2x2
@@ -175,7 +176,18 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
     mode that fits — quad if the 16 B/row pool fits, else narrow
     (4 B/row, logged: taps cost ~4x) — and raises ``MemoryError`` if
     even narrow exceeds the budget (an explicit quad/narrow request
-    that exceeds it also raises rather than silently downgrading)."""
+    that exceeds it also raises rather than silently downgrading).
+
+    ``pool_bias``: drop the top ``pool_bias`` mip levels per texture at
+    decode — the streaming analog of the reference's texture LOD clamp
+    (a lossy QUALITY knob, so it is never applied implicitly: magnified
+    content blurs; minified content is pixel-identical, it sampled
+    those mips anyway). Each bias step cuts the pool ~4x (the r4
+    measured gather law is two-regime — ~1.6 ns/row while the pool is
+    cache-resident (<~8 MiB), 8.1 ns/row HBM-resident — so bias also
+    buys sample rate once it crosses the knee, not just bytes).
+    ``pool_bias="auto"`` raises the bias only as far as needed for the
+    chosen mode to fit the budget (logged per step)."""
     if pool_mode not in ("quad", "narrow", "auto"):
         raise ValueError(f"unknown pool_mode {pool_mode!r}")
     if pool_budget_bytes is None:
@@ -251,8 +263,32 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
             chain.append(cur)
         n_mips = max(n_mips, len(chain))
         tables.append(chain)
-    total_rows = sum(img.shape[0] * img.shape[1]
-                     for chain in tables for img in chain)
+    def _rows_at(chains):
+        return sum(img.shape[0] * img.shape[1]
+                   for chain in chains for img in chain)
+
+    max_bias = max((len(c) - 1 for c in tables), default=0)
+    if pool_bias == "auto":
+        bias = 0
+        while bias < max_bias and pool_budget_bytes is not None:
+            chains = [c[min(bias, len(c) - 1):] for c in tables]
+            rb = 16 if pool_mode in ("quad", "auto") else 4
+            if _rows_at(chains) * rb <= pool_budget_bytes:
+                break
+            bias += 1
+            logger.warning(
+                "texel pool: bias -> %d (LOD clamp; dropping each "
+                "texture's top mip to fit the %.0f MiB budget)",
+                bias, pool_budget_bytes / 2**20)
+    else:
+        bias = int(pool_bias)
+    if bias:
+        tables = [c[min(bias, len(c) - 1):] for c in tables]
+        n_mips = max(len(c) for c in tables)
+        sizes = np.array([(c[0].shape[0], c[0].shape[1])
+                          for c in tables], np.int32)
+
+    total_rows = _rows_at(tables)
     if pool_mode == "auto":
         if pool_budget_bytes is None or total_rows * 16 <= pool_budget_bytes:
             pool_mode = "quad"
@@ -269,8 +305,8 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
         raise MemoryError(
             f"texel pool ({pool_mode}) needs {need / 2**20:.0f} MiB > "
             f"budget {pool_budget_bytes / 2**20:.0f} MiB — raise "
-            f"MTR_POOL_BUDGET_MB / pool_budget_bytes, drop mip-0 "
-            f"resolution at decode, or split the scene")
+            f"MTR_POOL_BUDGET_MB / pool_budget_bytes, pass pool_bias "
+            f"(LOD clamp at decode), or split the scene")
 
     def quad_rows(img):
         """(h, w, 4) u8 → (h·w, 16): texel + right/down/down-right

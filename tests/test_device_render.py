@@ -519,6 +519,41 @@ class TestPoolModes:
         with pytest.raises(ValueError):
             device.upload(batch, "wide")
 
+    def test_pool_bias_lod_clamp(self):
+        """pool_bias=k drops each texture's top k mips at decode (the
+        streaming/LOD-clamp analog): the pool shrinks ~4x per step and
+        rendering equals rendering the pre-downsampled texture set
+        bit-exactly (UVs are normalized, so addressing falls out)."""
+        import dataclasses as dc
+
+        batch = self._batch()
+        s0 = device.upload(batch)
+        s1 = device.upload(batch, pool_bias=1)
+        r0 = device.pool_stats(s0)["rows"]
+        r1 = device.pool_stats(s1)["rows"]
+        assert r1 == r0 - 64 * 64          # exactly the mip-0 rows
+        assert int(np.asarray(s1.tex_size)[0, 0]) == 32
+        # bias == pre-downsampled upload, bit-exact: build the
+        # downsampled set with the same box filter upload uses
+        def ds(img):
+            h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+            x = img[: h2 * 2, : w2 * 2].astype(np.uint16)
+            return ((x.reshape(h2, 2, w2, 2, 4).sum((1, 3)) + 2) >> 2
+                    ).astype(np.uint8)
+        b2 = dc.replace(batch, textures=[ds(t) for t in batch.textures])
+        s2 = device.upload(b2)
+        vp = _vp()
+        got, _ = device.render_frame(s1, vp, width=96, height=96,
+                                     backend="scan")
+        want, _ = device.render_frame(s2, vp, width=96, height=96,
+                                      backend="scan")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # auto bias: minimal bias that fits the budget
+        pyramid = sum((64 >> i) ** 2 for i in range(7))
+        s3 = device.upload(batch, pool_bias="auto",
+                           pool_budget_bytes=(pyramid - 64 * 64) * 16)
+        assert device.pool_stats(s3)["rows"] == r1
+
     def test_narrow_matches_quad_bit_exact_scan(self):
         batch = self._batch()
         vp = _vp()
