@@ -115,9 +115,12 @@ class DeviceScene:
     num_joints: int           # static
     skinned: bool             # static
     num_mips: int = 1         # static
-    # "quad" (16 B/texel, one gather per bilinear tap) or "narrow"
+    # "quad" (16 B/texel, one gather per bilinear tap), "narrow"
     # (4 B/texel, FOUR gathers per tap — gathers are row-count priced,
-    # so taps cost ~4x; the memory-constrained trade, r2 verdict #5)
+    # so taps cost ~4x; the memory-constrained trade, r2 verdict #5),
+    # or "tri" (64 B/texel: quad + the 3x3 parent block, so a TRILINEAR
+    # tap is ONE gather — ~2.1-2.8x faster mip sampling for 4x the
+    # bytes; gather_width.py measured width free to 128 B rows, r4)
     pool_mode: str = "quad"   # static
 
     def tree_flatten(self):
@@ -154,6 +157,56 @@ def pool_budget_default() -> int | None:
         return None
 
 
+_TRI_BUILD_CHUNK = 1 << 23      # rows per device build step (bounds the
+                                # build's peak memory to ~chunk * 100 B)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _tri_chunk_rows(qpool, segs, r0, chunk: int):
+    """One build step of the 64 B tri pool: rows [r0, r0+chunk) of the
+    quad pool gain their 3x3 level-(m+1) parent block (lanes 16-51;
+    lanes 52-63 zero). ``segs`` (S, 6) i32 [off, h, w, poff, ph, pw]
+    sorted by off — one row per stored (texture, mip) level; poff = -1
+    for a texture's last real level (the fused sampler never reads its
+    parent lanes: m1 == m0 there, see _trilinear_arith)."""
+    rows = qpool.shape[0]
+    rid = jnp.minimum(r0 + jnp.arange(chunk, dtype=jnp.int32), rows - 1)
+    seg = jnp.searchsorted(segs[:, 0], rid, side="right") - 1
+    seg = jnp.clip(seg, 0, segs.shape[0] - 1)
+    off, h, w, poff, ph, pw = (segs[:, i][seg] for i in range(6))
+    local = rid - off
+    x = local % jnp.maximum(w, 1)
+    y = local // jnp.maximum(w, 1)
+    k = (x >> 1) - 1
+    j = (y >> 1) - 1
+    has_p = poff >= 0
+    parts = [qpool[rid]]
+    for dy in range(3):
+        for dx in range(3):
+            px = jnp.clip(k + dx, 0, jnp.maximum(pw - 1, 0))
+            py = jnp.clip(j + dy, 0, jnp.maximum(ph - 1, 0))
+            pidx = jnp.where(has_p, poff + py * pw + px, 0)
+            v = qpool[pidx][:, :4]
+            parts.append(jnp.where(has_p[:, None], v, jnp.uint8(0)))
+    parts.append(jnp.zeros((chunk, 12), jnp.uint8))
+    return jnp.concatenate(parts, axis=1)                  # (chunk, 64)
+
+
+def _build_tri_pool(qpool, segs_h: np.ndarray):
+    """(R, 16) u8 quad pool → (R, 64) u8 tri pool, built on device in
+    _TRI_BUILD_CHUNK-row steps (host upload traffic stays the quad
+    pool's; the wide rows never cross the host link)."""
+    rows = int(qpool.shape[0])
+    if segs_h.size == 0:
+        segs_h = np.array([[0, 1, 1, -1, 1, 1]], np.int32)
+    segs = jax.device_put(np.asarray(segs_h, np.int32))
+    chunk = min(_TRI_BUILD_CHUNK, max(1 << 12, rows))
+    parts = [_tri_chunk_rows(qpool, segs, np.int32(r0), chunk)
+             for r0 in range(0, rows, chunk)]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return out[:rows]
+
+
 def upload(batch: DrawBatch, pool_mode: str = "quad", *,
            pool_budget_bytes: int | None = None,
            pool_bias: int | str = 0) -> DeviceScene:
@@ -187,8 +240,19 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
     cache-resident (<~8 MiB), 8.1 ns/row HBM-resident — so bias also
     buys sample rate once it crosses the knee, not just bytes).
     ``pool_bias="auto"`` raises the bias only as far as needed for the
-    chosen mode to fit the budget (logged per step)."""
-    if pool_mode not in ("quad", "narrow", "auto"):
+    chosen mode to fit the budget (logged per step).
+
+    ``pool_mode="tri"`` (the trilinear speed/memory trade, r4): 64
+    B/texel rows — the 2x2 quad PLUS the 3x3 level-(m+1) parent block
+    every trilinear footprint needs — so a trilinear tap is ONE gather
+    instead of two. Gathers are row-count priced up to 128 B rows
+    (tools/bench/gather_width.py: one 64 B gather = 5.7 ns vs two 16 B
+    = 16.1 ns HBM-resident, 1.6 vs 3.4 cache-resident), so trilinear
+    sampling runs ~2.1-2.8x faster for 4x the pool bytes. Bilinear taps
+    read lanes 0-15 of the same rows (row indices are unchanged). The
+    wide rows are built ON DEVICE from the uploaded quad rows
+    (_build_tri_pool) — host upload traffic stays the quad pool's."""
+    if pool_mode not in ("quad", "narrow", "auto", "tri"):
         raise ValueError(f"unknown pool_mode {pool_mode!r}")
     if pool_budget_bytes is None:
         pool_budget_bytes = pool_budget_default()
@@ -267,12 +331,13 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
         return sum(img.shape[0] * img.shape[1]
                    for chain in chains for img in chain)
 
+    _ROW_B = {"quad": 16, "auto": 16, "narrow": 4, "tri": 64}
     max_bias = max((len(c) - 1 for c in tables), default=0)
     if pool_bias == "auto":
         bias = 0
         while bias < max_bias and pool_budget_bytes is not None:
             chains = [c[min(bias, len(c) - 1):] for c in tables]
-            rb = 16 if pool_mode in ("quad", "auto") else 4
+            rb = _ROW_B[pool_mode]
             if _rows_at(chains) * rb <= pool_budget_bytes:
                 break
             bias += 1
@@ -300,7 +365,7 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
                 "~4x, gathers are row-count priced)",
                 total_rows * 16 / 2**20, pool_budget_bytes / 2**20,
                 total_rows * 4 / 2**20)
-    need = total_rows * (16 if pool_mode == "quad" else 4)
+    need = total_rows * _ROW_B[pool_mode]
     if pool_budget_bytes is not None and need > pool_budget_bytes:
         raise MemoryError(
             f"texel pool ({pool_mode}) needs {need / 2**20:.0f} MiB > "
@@ -318,28 +383,37 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
             [img, img[:, xr], img[yd], img[yd][:, xr]], axis=-1
         ).reshape(-1, 16)
 
-    row_bytes = 16 if pool_mode == "quad" else 4
+    row_bytes = 16 if pool_mode in ("quad", "tri") else 4
     table = np.zeros((len(src_texs), n_mips, 3), np.int32)
+    segs = []     # (off, h, w, parent_off|-1, ph, pw) per stored level
     for li, chain in enumerate(tables):
         for mi in range(n_mips):
             img = chain[min(mi, len(chain) - 1)]
             if mi < len(chain):
-                pool_parts.append(quad_rows(img) if pool_mode == "quad"
+                pool_parts.append(quad_rows(img) if row_bytes == 16
                                   else img.reshape(-1, 4))
                 table[li, mi] = (offset, img.shape[0], img.shape[1])
-                offset += img.shape[0] * img.shape[1]
+                h, w = img.shape[:2]
+                if mi + 1 < len(chain):
+                    nxt = chain[mi + 1]
+                    segs.append((offset, h, w, offset + h * w,
+                                 nxt.shape[0], nxt.shape[1]))
+                else:
+                    segs.append((offset, h, w, -1, 1, 1))
+                offset += h * w
             else:
                 table[li, mi] = table[li, len(chain) - 1]
     mip_pool = (np.concatenate(pool_parts) if pool_parts
                 else np.zeros((1, row_bytes), np.uint8))
     src_texels = int(sum(t.shape[0] * t.shape[1] for t in texs)) if texs \
         else 0
+    pool_bytes = mip_pool.shape[0] * _ROW_B[pool_mode]
     logger.info(
         "texel pool (%s): %d rows, %.2f MiB (%d source texels, "
         "%.2f B/src texel incl. mips)",
         pool_mode, mip_pool.shape[0],
-        mip_pool.nbytes / 2**20, src_texels,
-        mip_pool.nbytes / max(src_texels, 1),
+        pool_bytes / 2**20, src_texels,
+        pool_bytes / max(src_texels, 1),
     )
 
     nj = len(batch.inverse_bind_mats) if batch.inverse_bind_mats is not None else 1
@@ -387,6 +461,11 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
                              ).astype(np.float32)
 
     dp = jax.device_put
+    if pool_mode == "tri":
+        mip_pool_dev = _build_tri_pool(dp(mip_pool),
+                                       np.asarray(segs, np.int32))
+    else:
+        mip_pool_dev = dp(mip_pool)
     return DeviceScene(
         positions=dp(pos_src[corner]),
         uvs=dp(uv_src[corner]),
@@ -399,7 +478,7 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
         tri_valid=dp(valid), tri_parts=dp(tri_parts),
         parts_mask=dp(parts_mask),
         tex_size=dp(sizes),
-        mip_pool=dp(mip_pool), mip_table=dp(table),
+        mip_pool=mip_pool_dev, mip_table=dp(table),
         cols_const=dp(cols_const),
         tri_vis=dp(valid & parts_mask[tri_parts]),
         num_joints=nj, skinned=bool(batch.skinned), num_mips=n_mips,
@@ -968,12 +1047,16 @@ def _tap_albedo_channels(pool, idx, fx, fy):
     without it XLA input-fuses the gather into the contraction and
     re-issues it per consumer — the frame's most expensive op silently
     duplicated (measured 1.9 ms/frame at 1080p, 12-rep scan A/B, r2)."""
-    if pool.shape[-1] != 16:
+    if pool.shape[-1] not in (16, 64):
         raise ValueError(
             "the in-kernel tap epilogue requires the quad (16 B/texel) "
-            "pool; narrow pools render via the scan backend or the "
-            "mipmap path (upload(..., pool_mode='quad') for this one)")
-    quad = jax.lax.optimization_barrier(pool[jnp.maximum(idx, 0)])
+            "or tri (64 B) pool; narrow pools render via the scan "
+            "backend or the mipmap path (upload(..., pool_mode='quad') "
+            "for this one)")
+    g = pool[jnp.maximum(idx, 0)]
+    if pool.shape[-1] == 64:
+        g = g[..., :16]       # bilinear reads the quad lanes of a tri row
+    quad = jax.lax.optimization_barrier(g)
     quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)
     wq = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
                     (1 - fx) * fy, fx * fy], axis=-1)
@@ -1422,12 +1505,20 @@ def _quad_bilinear(pool, off, hh, ww, u, v, planes: bool = False):
     else:
         # barrier: pin the gather as ONE materialized op (XLA otherwise
         # re-issues it inside the fused contraction — 1.9 ms/frame, r2)
-        quad = jax.lax.optimization_barrier(
-            pool[off + y0c * stride + x0c])
+        g = pool[off + y0c * stride + x0c]
+        if pool.shape[-1] == 64:
+            g = g[..., :16]   # bilinear reads a tri row's quad lanes
+        quad = jax.lax.optimization_barrier(g)
         quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)
-    # single contraction over the 2x2 footprint — the sliced two-step
-    # lerp materializes lane-padded (…, 16) f32 temporaries and runs 2x
-    # slower (measured r2)
+    return _contract_quad(quad, fx, fy, planes)
+
+
+def _contract_quad(quad, fx, fy, planes: bool):
+    """The 2x2 bilinear contraction — ONE expression shared by every
+    sampler (quad-pool gather, narrow 4-gather, tri-row fused) so the
+    reduction tree is identical everywhere. The single contraction over
+    the footprint is deliberate: the sliced two-step lerp materializes
+    lane-padded (…, 16) f32 temporaries and runs 2x slower (r2)."""
     wq = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
                     (1 - fx) * fy, fx * fy], axis=-1)
     if planes:
@@ -1437,8 +1528,21 @@ def _quad_bilinear(pool, off, hh, ww, u, v, planes: bool = False):
 
 def sample_trilinear(scene: DeviceScene, layer, u, v, lod,
                      planes: bool = False):
-    """Trilinear (bilinear × 2 mips + lerp) from the mip pool."""
+    """Trilinear (bilinear × 2 mips + lerp) from the mip pool.
+
+    On a tri-row pool (64 B rows) this routes through the fused
+    one-gather sampler (_trilinear_arith, bit-identical arithmetic
+    addressing) so EVERY engine shares one trilinear expression per
+    scene — comparing a fused and a two-gather program of the same
+    scene is the layout-fusion ±1 ulp trap (CLAUDE.md)."""
     lc = jnp.clip(layer, 0, scene.mip_table.shape[0] - 1)
+    if scene.mip_pool.shape[-1] == 64:
+        m = scene.mip_table.shape[1]
+        tflat = scene.mip_table.reshape(-1, 3)
+        t0 = lc * m
+        return _trilinear_arith(
+            scene.mip_pool, tflat[:, 0][t0], tflat[:, 1][t0],
+            tflat[:, 2][t0], lod, u, v, scene.num_mips, planes=planes)
     lod = jnp.clip(lod, 0.0, float(scene.num_mips - 1))
     m0 = jnp.floor(lod).astype(jnp.int32)
     m1 = jnp.minimum(m0 + 1, scene.num_mips - 1)
@@ -1509,11 +1613,82 @@ def _trilinear_arith(pool, off0, th, tw, lod, u, v, num_mips: int,
     # off(m0+1) = off(m0) + rows(m0) — saves the second num_mips-long
     # where chain per pixel (bit-identical to walking m1)
     off_a, hm0, wm0 = _mip_arith(off0, th, tw, m0, num_mips)
-    off_b = off_a + jnp.where(m1 > m0, hm0 * wm0, 0)
     hm1 = jnp.maximum(th >> m1, 1)
     wm1 = jnp.maximum(tw >> m1, 1)
+    if pool.shape[-1] == 64:
+        # tri-row pool: BOTH mip levels from ONE gather (the row bakes
+        # the 2x2 quad at m0 plus the 3x3 parent block at m0+1 —
+        # gathers are row-count priced to 128 B rows, so this is
+        # ~2.1-2.8x cheaper than two quad gathers, gather_width.py)
+        return _trilinear_fused(pool, off_a, hm0, wm0, hm1, wm1,
+                                m0, m1, fm, u, v, planes)
+    off_b = off_a + jnp.where(m1 > m0, hm0 * wm0, 0)
     s0 = _quad_bilinear(pool, off_a, hm0, wm0, u, v, planes=planes)
     s1 = _quad_bilinear(pool, off_b, hm1, wm1, u, v, planes=planes)
+    return s0 * (1 - fm) + s1 * fm
+
+
+def _trilinear_fused(pool, off0, hm0, wm0, hm1, wm1, m0, m1, fm, u, v,
+                     planes: bool):
+    """Trilinear from ONE 64 B tri-row gather (pool_mode="tri").
+
+    Lanes 0-15 are the level-m0 quad (exactly the quad pool's row);
+    lanes 16-51 the 3x3 level-(m0+1) block anchored at
+    ((x0c>>1)-1, (y0c>>1)-1). The level-m1 footprint start is always
+    inside the anchor's 2x2 candidates (floor(u*wm1-0.5) ∈
+    {x0c>>1 - 1, x0c>>1} for BOTH parities of wm0, clamps included),
+    so the parent 2x2 selects from the block with rx, ry ∈ {0, 1} —
+    pure `where` selects (exact), then the SAME _contract_quad
+    expression as the two-gather path. Where m1 == m0 (lod at the
+    texture's last real level) the two-gather path samples the same
+    row twice with identical fractions, so s1 := s0 reproduces it
+    bit-for-bit without reading the parent lanes."""
+    th0 = hm0.astype(jnp.float32)
+    tw0 = wm0.astype(jnp.float32)
+    x = u * tw0 - 0.5
+    y = v * th0 - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = jnp.where(x0f < 0, 0.0, x - x0f)
+    fy = jnp.where(y0f < 0, 0.0, y - y0f)
+    x0c = jnp.clip(x0f.astype(jnp.int32), 0, jnp.maximum(wm0 - 1, 0))
+    y0c = jnp.clip(y0f.astype(jnp.int32), 0, jnp.maximum(hm0 - 1, 0))
+    row = jax.lax.optimization_barrier(pool[off0 + y0c * wm0 + x0c])
+    quad0 = (row[..., :16].reshape(row.shape[:-1] + (4, 4))
+             .astype(jnp.float32))
+    s0 = _contract_quad(quad0, fx, fy, planes)
+
+    # level-m1 addressing: the same expressions _quad_bilinear runs
+    th1 = hm1.astype(jnp.float32)
+    tw1 = wm1.astype(jnp.float32)
+    x1 = u * tw1 - 0.5
+    y1 = v * th1 - 0.5
+    x1f = jnp.floor(x1)
+    y1f = jnp.floor(y1)
+    fx1 = jnp.where(x1f < 0, 0.0, x1 - x1f)
+    fy1 = jnp.where(y1f < 0, 0.0, y1 - y1f)
+    x1c = jnp.clip(x1f.astype(jnp.int32), 0, jnp.maximum(wm1 - 1, 0))
+    y1c = jnp.clip(y1f.astype(jnp.int32), 0, jnp.maximum(hm1 - 1, 0))
+    rx = x1c - ((x0c >> 1) - 1)            # ∈ {0, 1} (see docstring)
+    ry = y1c - ((y0c >> 1) - 1)
+    lin = 3 * ry + rx                      # 2x2 start ∈ {0, 1, 3, 4}
+    blk = row[..., 16:52].reshape(row.shape[:-1] + (9, 4))
+
+    def tap(o):
+        l3 = (lin == 3)[..., None]
+        l1 = (lin == 1)[..., None]
+        l0 = (lin == 0)[..., None]
+        return jnp.where(l0, blk[..., 0 + o, :],
+                         jnp.where(l1, blk[..., 1 + o, :],
+                                   jnp.where(l3, blk[..., 3 + o, :],
+                                             blk[..., 4 + o, :])))
+
+    quad1 = (jnp.stack([tap(0), tap(1), tap(3), tap(4)], axis=-2)
+             .astype(jnp.float32))
+    s1p = _contract_quad(quad1, fx1, fy1, planes)
+    deep = m1 > m0
+    deep = deep[None] if planes else deep[..., None]
+    s1 = jnp.where(deep, s1p, s0)
     return s0 * (1 - fm) + s1 * fm
 
 

@@ -588,6 +588,172 @@ class TestPoolModes:
                                 backend="pallas")
 
 
+class TestTriPool:
+    """pool_mode="tri" — 64 B rows (quad + the 3x3 level-(m+1) parent
+    block) make a trilinear tap ONE gather instead of two; gathers are
+    row-count priced to 128 B rows (tools/bench/gather_width.py: 5.7 vs
+    16.1 ns HBM-resident). Contract: bit-identical pixels to the quad
+    pool on every path — the fused sampler reproduces the two-gather
+    arithmetic exactly (same clamped addressing, exact `where` selects
+    out of the baked block, the same _contract_quad expression)."""
+
+    def _batch(self):
+        from mt_renderer_tpu.scene import demo
+
+        return demo.build_demo_batch(instances=4, skinned=False)
+
+    def test_tri_pool_stats(self):
+        batch = self._batch()
+        tri = device.upload(batch, pool_mode="tri")
+        st = device.pool_stats(tri)
+        pyramid = sum((64 >> i) ** 2 for i in range(7))
+        assert st["rows"] == pyramid          # row indices unchanged
+        assert st["bytes"] == pyramid * 64
+        assert tri.mip_pool.shape == (pyramid, 64)
+        # lanes 0-15 ARE the quad pool (bilinear reads them unchanged)
+        quad = device.upload(batch)
+        np.testing.assert_array_equal(
+            np.asarray(tri.mip_pool[:, :16]), np.asarray(quad.mip_pool))
+        # budget accounting uses the wide rows
+        with pytest.raises(MemoryError):
+            device.upload(batch, "tri", pool_budget_bytes=pyramid * 16)
+
+    def test_tri_parent_block_content(self):
+        """Lanes 16-51 of each row are the 3x3 level-(m+1) RGBA block
+        anchored at ((x>>1)-1, (y>>1)-1), clamp-to-edge; a texture's
+        last real level bakes zeros there (never read: m1 == m0)."""
+        batch = self._batch()
+        tri = device.upload(batch, pool_mode="tri")
+        quad = device.upload(batch)
+        table = np.asarray(tri.mip_table)     # (L, M, 3)
+        pool = np.asarray(tri.mip_pool)
+        qp = np.asarray(quad.mip_pool)
+        off0, h0, w0 = table[0, 0]
+        off1, h1, w1 = table[0, 1]
+        rng = np.random.default_rng(0)
+        for _ in range(32):
+            x = int(rng.integers(0, w0))
+            y = int(rng.integers(0, h0))
+            row = pool[off0 + y * w0 + x]
+            k, j = (x >> 1) - 1, (y >> 1) - 1
+            want = np.concatenate([
+                qp[off1 + np.clip(j + dy, 0, h1 - 1) * w1
+                   + np.clip(k + dx, 0, w1 - 1), :4]
+                for dy in range(3) for dx in range(3)])
+            np.testing.assert_array_equal(row[16:52], want)
+        # last real level: parent lanes zero
+        offl, hl, wl = table[0, tri.num_mips - 1]
+        assert (pool[offl: offl + hl * wl, 16:52] == 0).all()
+
+    def test_tri_sampler_matches_quad_dense(self):
+        """sample_trilinear quad vs tri, dense (u, v, lod) sweep on an
+        ODD-sized texture (both wm parities + every clamp case) —
+        bit-exact."""
+        import dataclasses as dc
+
+        batch = self._batch()
+        rng = np.random.default_rng(1)
+        odd = [rng.integers(0, 256, (37, 23, 4)).astype(np.uint8)
+               for _ in batch.textures]
+        batch = dc.replace(batch, textures=odd)
+        quad = device.upload(batch)
+        tri = device.upload(batch, pool_mode="tri")
+        n = 64
+        u = jnp.asarray(rng.uniform(-0.1, 1.1, (n, n)).astype(np.float32))
+        v = jnp.asarray(rng.uniform(-0.1, 1.1, (n, n)).astype(np.float32))
+        lod = jnp.asarray(
+            rng.uniform(-1.0, quad.num_mips + 1.0,
+                        (n, n)).astype(np.float32))
+        layer = jnp.zeros((n, n), jnp.int32)
+        want = device.sample_trilinear(quad, layer, u, v, lod)
+        got = device.sample_trilinear(tri, layer, u, v, lod)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # integer lods too (fm == 0 exercises the m1-unused lerp)
+        lodi = jnp.floor(lod)
+        np.testing.assert_array_equal(
+            np.asarray(device.sample_trilinear(tri, layer, u, v, lodi)),
+            np.asarray(device.sample_trilinear(quad, layer, u, v, lodi)))
+
+    def test_tri_matches_quad_bilinear_scan(self):
+        batch = self._batch()
+        vp = _vp()
+        want, wd = device.render_frame(
+            device.upload(batch), vp, width=96, height=96,
+            backend="scan")
+        got, gd = device.render_frame(
+            device.upload(batch, pool_mode="tri"), vp, width=96,
+            height=96, backend="scan")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
+
+    def test_tri_matches_quad_mipmap_scan(self):
+        batch = self._batch()
+        vp = _vp()
+        want, _ = device.render_frame(
+            device.upload(batch), vp, width=96, height=96,
+            backend="scan", mipmap=True)
+        got, _ = device.render_frame(
+            device.upload(batch, pool_mode="tri"), vp, width=96,
+            height=96, backend="scan", mipmap=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    @pytest.mark.slow
+    def test_tri_matches_quad_mipmap_pallas(self):
+        """The production path: tile-major compacted trilinear shade
+        through _trilinear_arith's fused one-gather branch."""
+        batch = self._batch()
+        vp = _vp()
+        want, _ = device.render_frame(
+            device.upload(batch), vp, width=96, height=96,
+            backend="pallas", mipmap=True)
+        got, _ = device.render_frame(
+            device.upload(batch, pool_mode="tri"), vp, width=96,
+            height=96, backend="pallas", mipmap=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_tri_matches_quad_tap_pallas(self):
+        """Bilinear single-layer pallas tap: the in-kernel epilogue's
+        tapidx addresses tri rows unchanged; the pool gather reads
+        lanes 0-15."""
+        batch = self._batch()
+        vp = _vp()
+        want, _ = device.render_frame(
+            device.upload(batch), vp, width=96, height=96,
+            backend="pallas")
+        got, _ = device.render_frame(
+            device.upload(batch, pool_mode="tri"), vp, width=96,
+            height=96, backend="pallas")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    @pytest.mark.slow
+    def test_tri_matches_quad_split_peel_mipmap(self):
+        """OIT + mipmap on the production split engine, tri vs quad.
+
+        The SAMPLER is bit-exact (test_tri_sampler_matches_quad_dense),
+        but quad and tri scenes compile to differently-fused composite
+        programs, and cross-program float reassociation lands the
+        L-layer blend ±1 ulp apart → ±1 u8 LSB on a small pixel
+        fraction (the repo's documented layout-fusion invariant —
+        same reason packed==unpacked is a bitcast, not a parallel
+        program). Contract here: ≤1 LSB, <2% of pixels."""
+        from mt_renderer_tpu.scene import demo
+
+        batch = self._batch()
+        demo.make_translucent(batch, 2)
+        vp = _vp()
+        kw = dict(width=96, height=96, backend="pallas", layers=3,
+                  peel_mode="split", mipmap=True)
+        want, _ = device.render_frame_peeled(
+            device.upload(batch), vp, **kw)
+        got, _ = device.render_frame_peeled(
+            device.upload(batch, pool_mode="tri"), vp, **kw)
+        got = np.asarray(got).astype(np.int16)
+        want = np.asarray(want).astype(np.int16)
+        d = np.abs(got - want)
+        assert d.max() <= 1, d.max()
+        assert (d != 0).mean() < 0.02, (d != 0).mean()
+
+
 class TestSingleLayerTapCompaction:
     """shade_tap_flat_channels tap_tiles (covered-tile compaction on the
     packed production path): host-sized cap must bound live tiles and
