@@ -69,6 +69,11 @@ def parse_args(argv):
                         " 'ml' (L-nearest single-pass), 'multipass'")
     p.add_argument("--mipmap", action="store_true",
                    help="trilinear mipmapped minification")
+    p.add_argument("--pool", choices=["quad", "narrow", "tri"],
+                   default=None,
+                   help="texel pool mode (default: tri — one-gather "
+                        "trilinear, 64 B/texel — when --mipmap, else "
+                        "quad)")
     p.add_argument("--lighting", action="store_true",
                    help="directional lambert shading (needs normals)")
     p.add_argument("--verify", action="store_true",
@@ -379,6 +384,15 @@ def verify_world(width=256, height=144) -> dict:
 # ------------------------------------------------------------ bench run
 
 
+def pool_mode(args) -> str:
+    """Texel-pool mode for a bench config: --pool wins; otherwise
+    trilinear configs default to the tri-row pool (ONE gather per
+    trilinear tap, 64 B/texel — 2.1-2.8x cheaper mip sampling,
+    tools/bench/gather_width.py + tripool_ab.py) and everything else
+    to quad."""
+    return args.pool or ("tri" if args.mipmap else "quad")
+
+
 def run_once(args, width, height, instances, frames, png=None):
     """Render ``frames`` frames; returns a dict of measured metrics."""
     import jax
@@ -407,7 +421,7 @@ def run_once(args, width, height, instances, frames, png=None):
         print(f"# world: {ws.info}", file=sys.stderr)
         batch = ws.batch
         t1 = time.perf_counter()
-        scene = device.upload(batch)
+        scene = device.upload(batch, pool_mode=pool_mode(args))
         jax.block_until_ready(scene.mip_pool)
         if args.preset == "bigtex":
             # force a 1-element readback: through the axon tunnel,
@@ -439,7 +453,7 @@ def run_once(args, width, height, instances, frames, png=None):
             # 0.5 via the animatable material color) — the OIT stress
             # workload the all-opaque presets can't exercise
             batch = demo.make_translucent(batch, instances)
-        scene = device.upload(batch)
+        scene = device.upload(batch, pool_mode=pool_mode(args))
         cam = demo.demo_camera(instances, width, height)
         cam.position = cam.position * getattr(args, "cam_scale", 1.0)
         bones_table = None

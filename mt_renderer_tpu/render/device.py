@@ -161,7 +161,6 @@ _TRI_BUILD_CHUNK = 1 << 23      # rows per device build step (bounds the
                                 # build's peak memory to ~chunk * 100 B)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
 def _tri_chunk_rows(qpool, segs, r0, chunk: int):
     """One build step of the 64 B tri pool: rows [r0, r0+chunk) of the
     quad pool gain their 3x3 level-(m+1) parent block (lanes 16-51;
@@ -192,6 +191,21 @@ def _tri_chunk_rows(qpool, segs, r0, chunk: int):
     return jnp.concatenate(parts, axis=1)                  # (chunk, 64)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",),
+                   donate_argnums=(3,))
+def _tri_build_steps(qpool, segs, starts, out, chunk: int):
+    """All build steps in ONE program, accumulating into a DONATED
+    (R, 64) buffer via dynamic_update_slice — XLA updates it in place,
+    so peak memory is qpool + out + one chunk's temporaries (a
+    chunk-concatenate build held TWO copies of the GB-class tri pool
+    and OOM'd the bigtex scene). The last chunk's start is clamped to
+    R - chunk: its overlap rows are recomputed with identical values."""
+    def step(i, out):
+        vals = _tri_chunk_rows(qpool, segs, starts[i], chunk)
+        return jax.lax.dynamic_update_slice(out, vals, (starts[i], 0))
+    return jax.lax.fori_loop(0, starts.shape[0], step, out)
+
+
 def _build_tri_pool(qpool, segs_h: np.ndarray):
     """(R, 16) u8 quad pool → (R, 64) u8 tri pool, built on device in
     _TRI_BUILD_CHUNK-row steps (host upload traffic stays the quad
@@ -201,10 +215,11 @@ def _build_tri_pool(qpool, segs_h: np.ndarray):
         segs_h = np.array([[0, 1, 1, -1, 1, 1]], np.int32)
     segs = jax.device_put(np.asarray(segs_h, np.int32))
     chunk = min(_TRI_BUILD_CHUNK, max(1 << 12, rows))
-    parts = [_tri_chunk_rows(qpool, segs, np.int32(r0), chunk)
-             for r0 in range(0, rows, chunk)]
-    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-    return out[:rows]
+    chunk = min(chunk, rows)
+    starts = np.arange(0, rows, chunk, dtype=np.int32)
+    starts = jnp.asarray(np.minimum(starts, rows - chunk))
+    out = jnp.zeros((rows, 64), jnp.uint8)
+    return _tri_build_steps(qpool, segs, starts, out, chunk)
 
 
 def upload(batch: DrawBatch, pool_mode: str = "quad", *,

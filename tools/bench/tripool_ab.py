@@ -183,7 +183,8 @@ def leg_bigtex():
 
 
 if __name__ == "__main__":
-    leg_default()
-    leg_world()
-    if "--bigtex" in sys.argv:
+    if "--bigtex-only" not in sys.argv:
+        leg_default()
+        leg_world()
+    if "--bigtex" in sys.argv or "--bigtex-only" in sys.argv:
         leg_bigtex()
