@@ -147,7 +147,13 @@ class ModelViewerApp(RendererApp):
             if ob is not None:
                 batch = merge_batches(batch, ob)
         self._batch = batch
-        self.scene = device.upload(batch)
+        # trilinear viewers ride the tri-row pool: ONE gather per
+        # trilinear tap (~2.1-2.8x cheaper mip sampling for 4x the pool
+        # bytes — tools/bench/tripool_ab.py), same production wiring
+        # bench measures
+        self.scene = device.upload(
+            batch,
+            pool_mode="tri" if getattr(self, "mipmap", False) else "quad")
         self.bones = (
             np.tile(np.eye(4, dtype=np.float32),
                     (self.scene.num_joints, 1, 1))
@@ -210,7 +216,9 @@ class DemoWorldApp(RendererApp):
 
         self.world = world.build_world(buildings=self.buildings)
         print(f"world: {self.world.info}")
-        self.scene = device.upload(self.world.batch)
+        self.scene = device.upload(
+            self.world.batch,
+            pool_mode="tri" if getattr(self, "mipmap", False) else "quad")
         self.anim = self.world.animator()
         self._dur = max(self.world.timeline.duration, 1)
         mgr.camera = world.world_camera(mgr.width, mgr.height,
