@@ -195,30 +195,40 @@ def _tri_chunk_rows(qpool, segs, r0, chunk: int):
                    donate_argnums=(3,))
 def _tri_build_steps(qpool, segs, starts, out, chunk: int):
     """All build steps in ONE program, accumulating into a DONATED
-    (R, 64) buffer via dynamic_update_slice — XLA updates it in place,
+    packed buffer via dynamic_update_slice — XLA updates it in place,
     so peak memory is qpool + out + one chunk's temporaries (a
     chunk-concatenate build held TWO copies of the GB-class tri pool
-    and OOM'd the bigtex scene). The last chunk's start is clamped to
-    R - chunk: its overlap rows are recomputed with identical values."""
+    and OOM'd the bigtex scene). The last chunk's start is clamped:
+    its overlap rows are recomputed with identical values. ``starts``
+    are PACKED-row starts; each step computes 2*chunk logical rows and
+    packs texel pairs side by side into (chunk, 128) physical rows."""
     def step(i, out):
-        vals = _tri_chunk_rows(qpool, segs, starts[i], chunk)
-        return jax.lax.dynamic_update_slice(out, vals, (starts[i], 0))
+        vals = _tri_chunk_rows(qpool, segs, 2 * starts[i], 2 * chunk)
+        return jax.lax.dynamic_update_slice(
+            out, vals.reshape(chunk, 128), (starts[i], 0))
     return jax.lax.fori_loop(0, starts.shape[0], step, out)
 
 
 def _build_tri_pool(qpool, segs_h: np.ndarray):
-    """(R, 16) u8 quad pool → (R, 64) u8 tri pool, built on device in
-    _TRI_BUILD_CHUNK-row steps (host upload traffic stays the quad
-    pool's; the wide rows never cross the host link)."""
+    """(R, 16) u8 quad pool → (ceil(R/2), 128) u8 tri pool: logical
+    64 B rows (quad + 3x3 parent block), TWO texels packed per physical
+    row. u8 arrays tile at a 128-BYTE row stride on TPU (a (R, 64)
+    pool's in-program copy padded 2x and OOM'd the GB-scale scene —
+    the compile dump's `Extra memory due to padding`), so 128 B
+    physical rows carry zero padding waste; _tri_fetch addresses
+    logical row i as pool[i >> 1] + a parity select, still ONE
+    row-priced gather. Built on device in chunks — host upload traffic
+    stays the quad pool's."""
     rows = int(qpool.shape[0])
     if segs_h.size == 0:
         segs_h = np.array([[0, 1, 1, -1, 1, 1]], np.int32)
     segs = jax.device_put(np.asarray(segs_h, np.int32))
-    chunk = min(_TRI_BUILD_CHUNK, max(1 << 12, rows))
-    chunk = min(chunk, rows)
-    starts = np.arange(0, rows, chunk, dtype=np.int32)
-    starts = jnp.asarray(np.minimum(starts, rows - chunk))
-    out = jnp.zeros((rows, 64), jnp.uint8)
+    half = (rows + 1) // 2
+    chunk = min(_TRI_BUILD_CHUNK // 2, max(1 << 11, half))
+    chunk = min(chunk, half)
+    starts = np.arange(0, half, chunk, dtype=np.int32)
+    starts = jnp.asarray(np.minimum(starts, half - chunk))
+    out = jnp.zeros((half, 128), jnp.uint8)
     return _tri_build_steps(qpool, segs, starts, out, chunk)
 
 
@@ -506,6 +516,9 @@ def pool_stats(scene: DeviceScene) -> dict:
     working set that replaces the reference's compressed-in-VRAM BCn
     textures (texture.rs:12-30)."""
     rows, row_bytes = scene.mip_pool.shape
+    if row_bytes == 128:
+        rows *= 2             # tri pool: two 64 B texel rows per
+        row_bytes = 64        # physical 128 B row (_build_tri_pool)
     src = int(np.sum(np.asarray(scene.tex_size).prod(axis=1)))
     return {
         "pool_mode": scene.pool_mode,
@@ -1054,6 +1067,17 @@ def shade_fwd(scene: DeviceScene, attrs, ib, mipmap: bool = False,
     return src, covered
 
 
+def _tri_fetch(pool, idx):
+    """Logical 64 B tri row ``idx`` from the 2-texel-packed
+    (ceil(R/2), 128) tri pool: ONE row-priced gather (pinned, like
+    every pool gather) + a parity select. 128 B is the u8 tile row
+    stride on TPU, so the packing carries zero padding waste where
+    64 B physical rows padded 2x (see _build_tri_pool)."""
+    row = jax.lax.optimization_barrier(pool[idx >> 1])
+    hi = (idx & 1)[..., None] == 1
+    return jnp.where(hi, row[..., 64:], row[..., :64])
+
+
 def _tap_albedo_channels(pool, idx, fx, fy):
     """ONE pinned pool gather + the 2x2 bilinear contraction → list of
     4 albedo channel arrays shaped like ``idx`` (any rank).
@@ -1062,16 +1086,17 @@ def _tap_albedo_channels(pool, idx, fx, fy):
     without it XLA input-fuses the gather into the contraction and
     re-issues it per consumer — the frame's most expensive op silently
     duplicated (measured 1.9 ms/frame at 1080p, 12-rep scan A/B, r2)."""
-    if pool.shape[-1] not in (16, 64):
+    if pool.shape[-1] not in (16, 128):
         raise ValueError(
             "the in-kernel tap epilogue requires the quad (16 B/texel) "
             "or tri (64 B) pool; narrow pools render via the scan "
             "backend or the mipmap path (upload(..., pool_mode='quad') "
             "for this one)")
-    g = pool[jnp.maximum(idx, 0)]
-    if pool.shape[-1] == 64:
-        g = g[..., :16]       # bilinear reads the quad lanes of a tri row
-    quad = jax.lax.optimization_barrier(g)
+    if pool.shape[-1] == 128:
+        # bilinear reads the quad lanes of a tri row
+        quad = _tri_fetch(pool, jnp.maximum(idx, 0))[..., :16]
+    else:
+        quad = jax.lax.optimization_barrier(pool[jnp.maximum(idx, 0)])
     quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)
     wq = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
                     (1 - fx) * fy, fx * fy], axis=-1)
@@ -1517,13 +1542,15 @@ def _quad_bilinear(pool, off, hh, ww, u, v, planes: bool = False):
             for yy, xx in ((y0c, x0c), (y0c, x1c), (y1c, x0c), (y1c, x1c))
         ]
         quad = jnp.stack(taps, axis=-2).astype(jnp.float32)
+    elif pool.shape[-1] == 128:
+        # bilinear reads a tri row's quad lanes (one pinned gather)
+        quad = _tri_fetch(pool, off + y0c * stride + x0c)[..., :16]
+        quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)
     else:
         # barrier: pin the gather as ONE materialized op (XLA otherwise
         # re-issues it inside the fused contraction — 1.9 ms/frame, r2)
-        g = pool[off + y0c * stride + x0c]
-        if pool.shape[-1] == 64:
-            g = g[..., :16]   # bilinear reads a tri row's quad lanes
-        quad = jax.lax.optimization_barrier(g)
+        quad = jax.lax.optimization_barrier(
+            pool[off + y0c * stride + x0c])
         quad = quad.reshape(quad.shape[:-1] + (4, 4)).astype(jnp.float32)
     return _contract_quad(quad, fx, fy, planes)
 
@@ -1551,7 +1578,7 @@ def sample_trilinear(scene: DeviceScene, layer, u, v, lod,
     scene — comparing a fused and a two-gather program of the same
     scene is the layout-fusion ±1 ulp trap (CLAUDE.md)."""
     lc = jnp.clip(layer, 0, scene.mip_table.shape[0] - 1)
-    if scene.mip_pool.shape[-1] == 64:
+    if scene.mip_pool.shape[-1] == 128:
         m = scene.mip_table.shape[1]
         tflat = scene.mip_table.reshape(-1, 3)
         t0 = lc * m
@@ -1630,7 +1657,7 @@ def _trilinear_arith(pool, off0, th, tw, lod, u, v, num_mips: int,
     off_a, hm0, wm0 = _mip_arith(off0, th, tw, m0, num_mips)
     hm1 = jnp.maximum(th >> m1, 1)
     wm1 = jnp.maximum(tw >> m1, 1)
-    if pool.shape[-1] == 64:
+    if pool.shape[-1] == 128:
         # tri-row pool: BOTH mip levels from ONE gather (the row bakes
         # the 2x2 quad at m0 plus the 3x3 parent block at m0+1 —
         # gathers are row-count priced to 128 B rows, so this is
@@ -1668,7 +1695,7 @@ def _trilinear_fused(pool, off0, hm0, wm0, hm1, wm1, m0, m1, fm, u, v,
     fy = jnp.where(y0f < 0, 0.0, y - y0f)
     x0c = jnp.clip(x0f.astype(jnp.int32), 0, jnp.maximum(wm0 - 1, 0))
     y0c = jnp.clip(y0f.astype(jnp.int32), 0, jnp.maximum(hm0 - 1, 0))
-    row = jax.lax.optimization_barrier(pool[off0 + y0c * wm0 + x0c])
+    row = _tri_fetch(pool, off0 + y0c * wm0 + x0c)
     quad0 = (row[..., :16].reshape(row.shape[:-1] + (4, 4))
              .astype(jnp.float32))
     s0 = _contract_quad(quad0, fx, fy, planes)

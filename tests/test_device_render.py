@@ -607,13 +607,16 @@ class TestTriPool:
         tri = device.upload(batch, pool_mode="tri")
         st = device.pool_stats(tri)
         pyramid = sum((64 >> i) ** 2 for i in range(7))
-        assert st["rows"] == pyramid          # row indices unchanged
-        assert st["bytes"] == pyramid * 64
-        assert tri.mip_pool.shape == (pyramid, 64)
-        # lanes 0-15 ARE the quad pool (bilinear reads them unchanged)
+        assert st["rows"] == pyramid + (pyramid % 2)  # logical 64 B rows
+        assert st["bytes"] == st["rows"] * 64
+        # two texels pack per physical 128 B row (the u8 tile stride —
+        # 64 B physical rows padded 2x in-program, _build_tri_pool)
+        assert tri.mip_pool.shape == ((pyramid + 1) // 2, 128)
+        # lanes 0-15 of each logical row ARE the quad pool row
         quad = device.upload(batch)
-        np.testing.assert_array_equal(
-            np.asarray(tri.mip_pool[:, :16]), np.asarray(quad.mip_pool))
+        flat = np.asarray(tri.mip_pool).reshape(-1, 64)[:pyramid]
+        np.testing.assert_array_equal(flat[:, :16],
+                                      np.asarray(quad.mip_pool))
         # budget accounting uses the wide rows
         with pytest.raises(MemoryError):
             device.upload(batch, "tri", pool_budget_bytes=pyramid * 16)
@@ -626,7 +629,7 @@ class TestTriPool:
         tri = device.upload(batch, pool_mode="tri")
         quad = device.upload(batch)
         table = np.asarray(tri.mip_table)     # (L, M, 3)
-        pool = np.asarray(tri.mip_pool)
+        pool = np.asarray(tri.mip_pool).reshape(-1, 64)  # logical rows
         qp = np.asarray(quad.mip_pool)
         off0, h0, w0 = table[0, 0]
         off1, h1, w1 = table[0, 1]
