@@ -393,3 +393,29 @@ class TestMultichipMipmapExact:
             mipmap=True, lighting=True)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
         np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
+
+    def test_pallas_mipmap_bands_tri_pool(self):
+        """The tri-row pool (128 B packed physical rows, the production
+        trilinear pool) broadcasts through the band shard_map like any
+        scene leaf and the fused one-gather sampler runs per band —
+        banded == single-chip, and single-chip tri == quad."""
+        _, vp, bones = _scene()
+        batch = demo.build_demo_batch(instances=4, skinned=True)
+        tri = device.upload(batch, pool_mode="tri")
+        quad = device.upload(batch)
+        got, _ = render_frame_multichip(
+            tri, vp, bones, mesh=make_row_mesh(8), width=64, height=64,
+            mipmap=True, lighting=True)
+        want, _ = device.render_frame(
+            tri, vp, bones, width=64, height=64, backend="pallas",
+            mipmap=True, lighting=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        ref, _ = device.render_frame(
+            quad, vp, bones, width=64, height=64, backend="pallas",
+            mipmap=True, lighting=True)
+        # tri vs quad are differently-fused programs: the documented
+        # cross-program ±1 u8 LSB envelope (the sampler itself is
+        # bit-exact — TestTriPool's dense sweep)
+        d = np.abs(np.asarray(want).astype(np.int16)
+                   - np.asarray(ref).astype(np.int16))
+        assert d.max() <= 1 and (d != 0).mean() < 0.02
