@@ -886,6 +886,9 @@ def main(argv=None):
             ("pallas peel4 glass", ["--preset", "glass", "--peel", "4"]),
             ("pallas dense", ["--preset", "dense"]),
             ("pallas world", ["--preset", "world", "--mipmap"]),
+            # the game-scale texture envelope: 5.33 GiB tri pool on
+            # chip (16x 2048^2 + full mip chains), trilinear
+            ("pallas bigtex", ["--preset", "bigtex", "--mipmap"]),
             # no scan row: the all-triangles scan backend is O(T·pixels)
             # with no binning — a correctness/differential path (verify
             # mode + tests), not a production configuration

@@ -50,7 +50,10 @@ if SCENE in ("glass", "peelmip", "default"):
     batch = demo.build_demo_batch(instances=inst, skinned=True, subdiv=4)
     if SCENE == "glass":
         batch = demo.make_translucent(batch, inst)
-    scene = device.upload(batch)
+    # trilinear band scenes ride the production tri-row pool
+    # (tripool_ab.py) — override with MTR_BAND_POOL
+    scene = device.upload(batch, pool_mode=os.environ.get(
+        "MTR_BAND_POOL", "tri" if SCENE == "peelmip" else "quad"))
     bones_np = demo.demo_bone_mats(0.3)
     cam = demo.demo_camera(inst, W, H)
     if SCENE == "glass":
@@ -61,7 +64,8 @@ else:
                                building_subdivs=(4, 6, 8, 10, 12))
     print(f"world: {ws.info}", flush=True)
     batch = ws.batch
-    scene = device.upload(batch)
+    scene = device.upload(batch, pool_mode=os.environ.get(
+        "MTR_BAND_POOL", "tri"))
     anim = ws.animator()
     bones_np = ws.bone_palette(anim.bone_mats(np.float32(0.6)))
     cam = world_mod.world_camera(W, H, buildings=BUILDINGS)

@@ -160,13 +160,13 @@ CFGS = {
 @functools.partial(jax.jit, static_argnames=("name",))
 def run_n(scene, vps, name):
     def step(c, vp):
-        return c + prefix(scene, vp, CFGS[name]).astype(jnp.float32), None
+        return c + prefix(scene, vp, name).astype(jnp.float32), None
     return jax.lax.scan(step, jnp.float32(0), vps)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("name",))
 def run_1(scene, vp, name):
-    return prefix(scene, vp, CFGS[name]).astype(jnp.float32)
+    return prefix(scene, vp, name).astype(jnp.float32)
 
 
 _ = int(jnp.zeros((), jnp.int32))  # flip the tunnel to sync mode FIRST
