@@ -52,11 +52,15 @@ def _engine(app, mgr, scene, batch):
     e = getattr(app, "_eng", None)
     if (e is None or e.scene is not scene
             or (e.width, e.height) != (mgr.width, mgr.height)):
+        # interactive=True: the app loop reads every frame back
+        # (app/manager.py), so the per-frame overflow flush is free and
+        # a translucency spike recovers within ONE displayed frame
         app._eng = e = FrameEngine(
             scene, batch, width=mgr.width, height=mgr.height,
             backend=app.backend, mipmap=app.mipmap,
             lighting=app.lighting, peel=app.peel,
-            peel_mode=("split" if app.backend == "pallas" else "ml"))
+            peel_mode=("split" if app.backend == "pallas" else "ml"),
+            interactive=True)
     return e
 
 
@@ -147,13 +151,14 @@ class ModelViewerApp(RendererApp):
             if ob is not None:
                 batch = merge_batches(batch, ob)
         self._batch = batch
-        # trilinear viewers ride the tri-row pool: ONE gather per
-        # trilinear tap (~2.1-2.8x cheaper mip sampling for 4x the pool
-        # bytes — tools/bench/tripool_ab.py), same production wiring
-        # bench measures
+        # production-aware auto pool: trilinear viewers ride the
+        # tri-row pool when it fits the device budget (ONE gather per
+        # trilinear tap, ~2.1-2.8x cheaper mip sampling — tripool_ab),
+        # degrading to quad/narrow under memory pressure instead of
+        # OOMing — the same production wiring bench measures
         self.scene = device.upload(
-            batch,
-            pool_mode="tri" if getattr(self, "mipmap", False) else "quad")
+            batch, pool_mode="auto",
+            mipmap=getattr(self, "mipmap", False))
         self.bones = (
             np.tile(np.eye(4, dtype=np.float32),
                     (self.scene.num_joints, 1, 1))
@@ -217,8 +222,8 @@ class DemoWorldApp(RendererApp):
         self.world = world.build_world(buildings=self.buildings)
         print(f"world: {self.world.info}")
         self.scene = device.upload(
-            self.world.batch,
-            pool_mode="tri" if getattr(self, "mipmap", False) else "quad")
+            self.world.batch, pool_mode="auto",
+            mipmap=getattr(self, "mipmap", False))
         self.anim = self.world.animator()
         self._dur = max(self.world.timeline.duration, 1)
         mgr.camera = world.world_camera(mgr.width, mgr.height,

@@ -234,7 +234,8 @@ def _build_tri_pool(qpool, segs_h: np.ndarray):
 
 def upload(batch: DrawBatch, pool_mode: str = "quad", *,
            pool_budget_bytes: int | None = None,
-           pool_bias: int | str = 0) -> DeviceScene:
+           pool_bias: int | str = 0,
+           mipmap: bool | None = None) -> DeviceScene:
     """Pad + device_put a host DrawBatch. Called once at load time.
 
     ``pool_mode``: "quad" (default) stores each texel's full 2x2
@@ -250,11 +251,19 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
     Pool budget policy (r3 verdict "missing #1", the game-scale memory
     envelope): ``pool_budget_bytes`` (default ``pool_budget_default()``
     = env ``MTR_POOL_BUDGET_MB`` or 3/4 of the device memory limit)
-    bounds the DECODED pool. ``pool_mode="auto"`` picks the fastest
-    mode that fits — quad if the 16 B/row pool fits, else narrow
-    (4 B/row, logged: taps cost ~4x) — and raises ``MemoryError`` if
-    even narrow exceeds the budget (an explicit quad/narrow request
-    that exceeds it also raises rather than silently downgrading).
+    bounds the pool at its LIVE in-program cost — ``pool_bytes x 2``,
+    the runtime argument PLUS the tiled copy XLA materializes around a
+    gathered-from pool (measured r4: the tri pool's in-program copy
+    OOM'd the bigtex scene while the argument alone fit comfortably).
+    ``pool_mode="auto"`` picks the fastest mode that fits: with
+    ``mipmap=True`` (the caller will sample with mip chains) it
+    prefers "tri" — the measured production default for trilinear
+    content (-19..-58%/frame, tripool_ab.py) — then falls back to quad
+    and narrow (each fallback logged: tri->quad costs ~2.1-2.8x per
+    trilinear tap, quad->narrow ~4x per tap); without the hint it
+    picks quad-else-narrow. It raises ``MemoryError`` if even narrow
+    exceeds the budget (an explicit mode request that exceeds it also
+    raises rather than silently downgrading).
 
     ``pool_bias``: drop the top ``pool_bias`` mip levels per texture at
     decode — the streaming analog of the reference's texture LOD clamp
@@ -357,13 +366,25 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
                    for chain in chains for img in chain)
 
     _ROW_B = {"quad": 16, "auto": 16, "narrow": 4, "tri": 64}
+
+    def _pool_need(rows: int, mode: str) -> int:
+        """Live in-program bytes to budget for a gathered-from pool:
+        the runtime ARGUMENT plus the tiled copy XLA materializes
+        inside the program (measured r4: a pool at ~0.7x of HBM passed
+        the argument-only check and still OOM'd in-program)."""
+        return rows * _ROW_B[mode] * 2
+
+    # the mode auto/bias="auto" sizes against: the mode the caller
+    # would want unconstrained (tri for trilinear content, else quad)
+    want = pool_mode
+    if pool_mode == "auto":
+        want = "tri" if mipmap else "quad"
     max_bias = max((len(c) - 1 for c in tables), default=0)
     if pool_bias == "auto":
         bias = 0
         while bias < max_bias and pool_budget_bytes is not None:
             chains = [c[min(bias, len(c) - 1):] for c in tables]
-            rb = _ROW_B[pool_mode]
-            if _rows_at(chains) * rb <= pool_budget_bytes:
+            if _pool_need(_rows_at(chains), want) <= pool_budget_bytes:
                 break
             bias += 1
             logger.warning(
@@ -380,21 +401,32 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
 
     total_rows = _rows_at(tables)
     if pool_mode == "auto":
-        if pool_budget_bytes is None or total_rows * 16 <= pool_budget_bytes:
-            pool_mode = "quad"
-        else:
-            pool_mode = "narrow"
+        candidates = (want, "quad", "narrow") if want == "tri" \
+            else (want, "narrow")
+        pool_mode = candidates[-1]
+        for cand in candidates:
+            if (pool_budget_bytes is None
+                    or _pool_need(total_rows, cand) <= pool_budget_bytes):
+                pool_mode = cand
+                break
+        if pool_mode != want:
             logger.warning(
-                "texel pool auto mode: quad pool (%.0f MiB) exceeds the "
-                "%.0f MiB budget — using narrow (%.0f MiB; taps cost "
-                "~4x, gathers are row-count priced)",
-                total_rows * 16 / 2**20, pool_budget_bytes / 2**20,
-                total_rows * 4 / 2**20)
-    need = total_rows * _ROW_B[pool_mode]
+                "texel pool auto mode: %s pool (%.0f MiB live = bytes "
+                "x2 in-program) exceeds the %.0f MiB budget — using %s "
+                "(%.0f MiB; %s)",
+                want, _pool_need(total_rows, want) / 2**20,
+                pool_budget_bytes / 2**20, pool_mode,
+                _pool_need(total_rows, pool_mode) / 2**20,
+                "trilinear taps cost ~2.1-2.8x" if want == "tri"
+                and pool_mode == "quad" else
+                "taps cost ~4x, gathers are row-count priced")
+    need = _pool_need(total_rows, pool_mode)
     if pool_budget_bytes is not None and need > pool_budget_bytes:
         raise MemoryError(
-            f"texel pool ({pool_mode}) needs {need / 2**20:.0f} MiB > "
-            f"budget {pool_budget_bytes / 2**20:.0f} MiB — raise "
+            f"texel pool ({pool_mode}) needs {need / 2**20:.0f} MiB live "
+            f"({total_rows * _ROW_B[pool_mode] / 2**20:.0f} MiB argument "
+            f"x2 for the in-program gathered-from copy) > budget "
+            f"{pool_budget_bytes / 2**20:.0f} MiB — raise "
             f"MTR_POOL_BUDGET_MB / pool_budget_bytes, pass pool_bias "
             f"(LOD clamp at decode), or split the scene")
 

