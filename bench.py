@@ -69,7 +69,7 @@ def parse_args(argv):
                         " 'ml' (L-nearest single-pass), 'multipass'")
     p.add_argument("--mipmap", action="store_true",
                    help="trilinear mipmapped minification")
-    p.add_argument("--pool", choices=["quad", "narrow", "tri"],
+    p.add_argument("--pool", choices=["quad", "narrow", "tri", "bc1"],
                    default=None,
                    help="texel pool mode (default: tri — one-gather "
                         "trilinear, 64 B/texel — when --mipmap, else "

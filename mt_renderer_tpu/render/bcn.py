@@ -75,6 +75,97 @@ def decode_bc1_numpy(data, width: int, height: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# BC1 encode — the compressed-resident texel pool's content pipeline
+# ---------------------------------------------------------------------------
+
+
+def encode_bc1_numpy(img: np.ndarray) -> np.ndarray:
+    """Encode (h, w, 4) uint8 RGBA → (bh·bw, 8) uint8 BC1 blocks in
+    raster block order (little-endian words, the on-disk layout
+    ``decode_bc1_numpy`` reads).
+
+    This is the content pipeline for ``device.upload(pool_mode="bc1")``
+    — the TPU answer to the reference keeping BCn compressed in VRAM
+    (``/root/reference/src/texture.rs:12-30``): blocks stay resident
+    and decode in-register at sample time, so encode quality is a
+    CONTENT decision (the renderer is exact w.r.t. the blocks, like GPU
+    hardware is). Fast bounding-box fit: endpoints = the per-channel
+    min/max corners quantised to 565, indices = nearest decoded palette
+    entry (self-consistent with the decoder's integer interpolation by
+    construction). Alpha < 128 → the 3-color punch-through mode
+    (``c0 <= c1``) with index 3, matching the BC1 spec's 1-bit alpha.
+    """
+    h, w = img.shape[:2]
+    bh, bw = (h + 3) // 4, (w + 3) // 4
+    yi = np.minimum(np.arange(bh * 4), h - 1)
+    xi = np.minimum(np.arange(bw * 4), w - 1)
+    p = img[yi][:, xi]                       # edge-replicated pad
+    blocks = p.reshape(bh, 4, bw, 4, 4).transpose(0, 2, 1, 3, 4)
+    blocks = blocks.reshape(-1, 16, 4)
+    n = blocks.shape[0]
+    rgb = blocks[..., :3].astype(np.int32)   # (n, 16, 3)
+    transp = blocks[..., 3] < 128            # (n, 16)
+    has_t = transp.any(axis=1)
+    opq = ~transp
+    any_opq = opq.any(axis=1)
+    lo = np.where(any_opq[:, None],
+                  np.where(opq[..., None], rgb, 255).min(axis=1), 0)
+    hi = np.where(any_opq[:, None],
+                  np.where(opq[..., None], rgb, 0).max(axis=1), 0)
+
+    def q565(c):                             # (n, 3) -> (n,) u16 value
+        r = (c[:, 0] * 31 + 127) // 255
+        g = (c[:, 1] * 63 + 127) // 255
+        b = (c[:, 2] * 31 + 127) // 255
+        return ((r << 11) | (g << 5) | b).astype(np.int32)
+
+    chi, clo = q565(hi), q565(lo)
+    # opaque blocks want the 4-color mode (c0 > c1); punch-through
+    # blocks NEED c0 <= c1; equal endpoints decode as 3-color with
+    # index 0 either way
+    c0 = np.where(has_t, np.minimum(chi, clo), np.maximum(chi, clo))
+    c1 = np.where(has_t, np.maximum(chi, clo), np.minimum(chi, clo))
+
+    # decoded palette, exactly the decoder's arithmetic
+    r0, g0, b0 = _rgb565_to_rgb888(c0.astype(np.uint32))
+    r1, g1, b1 = _rgb565_to_rgb888(c1.astype(np.uint32))
+    e0 = np.stack([r0, g0, b0], axis=-1).astype(np.int32)  # (n, 3)
+    e1 = np.stack([r1, g1, b1], axis=-1).astype(np.int32)
+    four = (c0 > c1)[:, None]
+    p2 = np.where(four, (2 * e0 + e1 + 1) // 3, (e0 + e1) // 2)
+    p3 = np.where(four, (e0 + 2 * e1 + 1) // 3, 0)
+    pal = np.stack([e0, e1, p2, p3], axis=1)               # (n, 4, 3)
+    # nearest usable entry: 4-color uses all four; 3-color keeps
+    # opaque texels out of the transparent slot 3
+    d = ((rgb[:, :, None, :] - pal[:, None, :, :]) ** 2).sum(-1)
+    usable3 = ~four[:, None] & has_t[:, None, None] \
+        & (np.arange(4) == 3)[None, None, :]
+    d = np.where(usable3, np.int64(1) << 40, d)            # (n, 16, 4)
+    idx = d.argmin(axis=2).astype(np.uint32)
+    idx = np.where(transp & has_t[:, None], np.uint32(3), idx)
+
+    bits = np.zeros(n, np.uint32)
+    for t in range(16):
+        bits |= idx[:, t] << np.uint32(2 * t)
+    out = np.empty((n, 8), np.uint8)
+    out[:, 0] = c0 & 0xFF
+    out[:, 1] = c0 >> 8
+    out[:, 2] = c1 & 0xFF
+    out[:, 3] = c1 >> 8
+    for i in range(4):
+        out[:, 4 + i] = (bits >> np.uint32(8 * i)) & 0xFF
+    return out
+
+
+def decode_bc1_blocks_numpy(blocks: np.ndarray, width: int,
+                            height: int) -> np.ndarray:
+    """(bh·bw, 8) uint8 blocks → (height, width, 4) uint8 (the array
+    twin of ``decode_bc1_numpy``'s bytes interface)."""
+    return decode_bc1_numpy(np.ascontiguousarray(blocks).tobytes(),
+                            width, height)
+
+
+# ---------------------------------------------------------------------------
 # BC7: 16-byte blocks, 8 modes
 # ---------------------------------------------------------------------------
 

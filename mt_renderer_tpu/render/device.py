@@ -118,9 +118,13 @@ class DeviceScene:
     # "quad" (16 B/texel, one gather per bilinear tap), "narrow"
     # (4 B/texel, FOUR gathers per tap — gathers are row-count priced,
     # so taps cost ~4x; the memory-constrained trade, r2 verdict #5),
-    # or "tri" (64 B/texel: quad + the 3x3 parent block, so a TRILINEAR
+    # "tri" (64 B/texel: quad + the 3x3 parent block, so a TRILINEAR
     # tap is ONE gather — ~2.1-2.8x faster mip sampling for 4x the
-    # bytes; gather_width.py measured width free to 128 B rows, r4)
+    # bytes; gather_width.py measured width free to 128 B rows, r4),
+    # or "bc1" (COMPRESSED-resident, r5: 64 B per 4x4 block = 4
+    # B/texel, one row-priced gather per trilinear tap + in-register
+    # BC1 decode — the reference's keep-BCn-in-VRAM envelope,
+    # texture.rs:12-30)
     pool_mode: str = "quad"   # static
 
     def tree_flatten(self):
@@ -191,22 +195,85 @@ def _tri_chunk_rows(qpool, segs, r0, chunk: int):
     return jnp.concatenate(parts, axis=1)                  # (chunk, 64)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",),
+def _bc1_chunk_rows(cpool, segs, r0, chunk: int):
+    """One build step of the 64 B bc1 pool: logical rows [r0, r0+chunk)
+    gain their 2x2 child-block group (lanes 0-31: self, right, down,
+    down-right, clamp-to-edge) and 2x2 level-(m+1) parent-block group
+    (lanes 32-63, anchored at A = (2·bx−1)>>2 per axis — the anchor
+    that contains every parent bilinear footprint of this block, see
+    _bc1_trilinear_fused). ``cpool`` (B, 8) u8 compact blocks; ``segs``
+    (S, 6) i32 [off, bh, bw, poff, pbh, pbw] in BLOCK units sorted by
+    off; poff = -1 for a texture's last real level (parent lanes zero,
+    never read: m1 == m0 there)."""
+    rows = cpool.shape[0]
+    rid = jnp.minimum(r0 + jnp.arange(chunk, dtype=jnp.int32), rows - 1)
+    seg = jnp.searchsorted(segs[:, 0], rid, side="right") - 1
+    seg = jnp.clip(seg, 0, segs.shape[0] - 1)
+    off, bh, bw, poff, pbh, pbw = (segs[:, i][seg] for i in range(6))
+    local = rid - off
+    bx = local % jnp.maximum(bw, 1)
+    by = local // jnp.maximum(bw, 1)
+    parts = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            nx = jnp.clip(bx + dx, 0, jnp.maximum(bw - 1, 0))
+            ny = jnp.clip(by + dy, 0, jnp.maximum(bh - 1, 0))
+            parts.append(cpool[off + ny * bw + nx])
+    ax = jnp.clip((2 * bx - 1) >> 2, 0, jnp.maximum(pbw - 1, 0))
+    ay = jnp.clip((2 * by - 1) >> 2, 0, jnp.maximum(pbh - 1, 0))
+    has_p = poff >= 0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            nx = jnp.clip(ax + dx, 0, jnp.maximum(pbw - 1, 0))
+            ny = jnp.clip(ay + dy, 0, jnp.maximum(pbh - 1, 0))
+            pidx = jnp.where(has_p, poff + ny * pbw + nx, 0)
+            parts.append(jnp.where(has_p[:, None], cpool[pidx],
+                                   jnp.uint8(0)))
+    return jnp.concatenate(parts, axis=1)                  # (chunk, 64)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "rowfn"),
                    donate_argnums=(3,))
-def _tri_build_steps(qpool, segs, starts, out, chunk: int):
+def _pool_build_steps(src_pool, segs, starts, out, chunk: int, rowfn):
     """All build steps in ONE program, accumulating into a DONATED
     packed buffer via dynamic_update_slice — XLA updates it in place,
-    so peak memory is qpool + out + one chunk's temporaries (a
+    so peak memory is src_pool + out + one chunk's temporaries (a
     chunk-concatenate build held TWO copies of the GB-class tri pool
     and OOM'd the bigtex scene). The last chunk's start is clamped:
     its overlap rows are recomputed with identical values. ``starts``
-    are PACKED-row starts; each step computes 2*chunk logical rows and
-    packs texel pairs side by side into (chunk, 128) physical rows."""
+    are PACKED-row starts; each step computes 2*chunk logical 64 B rows
+    (``rowfn``: _tri_chunk_rows or _bc1_chunk_rows) and packs pairs
+    side by side into (chunk, 128) physical rows."""
     def step(i, out):
-        vals = _tri_chunk_rows(qpool, segs, 2 * starts[i], 2 * chunk)
+        vals = rowfn(src_pool, segs, 2 * starts[i], 2 * chunk)
         return jax.lax.dynamic_update_slice(
             out, vals.reshape(chunk, 128), (starts[i], 0))
     return jax.lax.fori_loop(0, starts.shape[0], step, out)
+
+
+def _packed_pool_build(src_pool, segs_h: np.ndarray, rowfn):
+    """Shared driver for the 2-texels-per-128 B packed pool builds."""
+    rows = int(src_pool.shape[0])
+    if segs_h.size == 0:
+        segs_h = np.array([[0, 1, 1, -1, 1, 1]], np.int32)
+    segs = jax.device_put(np.asarray(segs_h, np.int32))
+    half = (rows + 1) // 2
+    chunk = min(_TRI_BUILD_CHUNK // 2, max(1 << 11, half))
+    chunk = min(chunk, half)
+    starts = np.arange(0, half, chunk, dtype=np.int32)
+    starts = jnp.asarray(np.minimum(starts, half - chunk))
+    out = jnp.zeros((half, 128), jnp.uint8)
+    return _pool_build_steps(src_pool, segs, starts, out, chunk, rowfn)
+
+
+def _build_bc1_pool(cpool, segs_h: np.ndarray):
+    """(B, 8) u8 compact BC1 blocks → (ceil(B/2), 128) u8 bc1 pool:
+    logical 64 B rows (child 2x2 block group + parent 2x2 block group),
+    TWO block rows packed per physical row — the same u8 128-byte tile
+    packing as the tri pool (_build_tri_pool), addressed by _tri_fetch.
+    Built on device: host upload traffic stays the compact blocks'
+    0.5 B/src texel."""
+    return _packed_pool_build(cpool, segs_h, _bc1_chunk_rows)
 
 
 def _build_tri_pool(qpool, segs_h: np.ndarray):
@@ -219,23 +286,39 @@ def _build_tri_pool(qpool, segs_h: np.ndarray):
     logical row i as pool[i >> 1] + a parity select, still ONE
     row-priced gather. Built on device in chunks — host upload traffic
     stays the quad pool's."""
-    rows = int(qpool.shape[0])
-    if segs_h.size == 0:
-        segs_h = np.array([[0, 1, 1, -1, 1, 1]], np.int32)
-    segs = jax.device_put(np.asarray(segs_h, np.int32))
-    half = (rows + 1) // 2
-    chunk = min(_TRI_BUILD_CHUNK // 2, max(1 << 11, half))
-    chunk = min(chunk, half)
-    starts = np.arange(0, half, chunk, dtype=np.int32)
-    starts = jnp.asarray(np.minimum(starts, half - chunk))
-    out = jnp.zeros((half, 128), jnp.uint8)
-    return _tri_build_steps(qpool, segs, starts, out, chunk)
+    return _packed_pool_build(qpool, segs_h, _tri_chunk_rows)
+
+
+def _mip_downsample(img: np.ndarray) -> np.ndarray:
+    """One 2x2 box-filter mip step, (h, w, 4) u8 -> (h/2, w/2, 4) u8 —
+    the ONE definition every mip chain in the framework is built with
+    (upload, the pool-bias equivalence tests, content pipelines)."""
+    h, w = img.shape[:2]
+    h2, w2 = max(h // 2, 1), max(w // 2, 1)
+    x = img[: h2 * 2, : w2 * 2].astype(np.uint16)
+    if h >= 2 and w >= 2:
+        x = (x.reshape(h2, 2, w2, 2, 4).sum((1, 3)) + 2) >> 2
+    elif w >= 2:
+        x = (x.reshape(h2, w2, 2, 4).sum(2) + 1) >> 1
+    elif h >= 2:
+        x = (x.reshape(h2, 2, w2, 4).sum(1) + 1) >> 1
+    return x.astype(np.uint8)
+
+
+def mip_chain(img: np.ndarray) -> list:
+    """Full mip pyramid of one (h, w, 4) u8 texture down to 1x1."""
+    chain, cur = [img], img
+    while cur.shape[0] > 1 or cur.shape[1] > 1:
+        cur = _mip_downsample(cur)
+        chain.append(cur)
+    return chain
 
 
 def upload(batch: DrawBatch, pool_mode: str = "quad", *,
            pool_budget_bytes: int | None = None,
            pool_bias: int | str = 0,
-           mipmap: bool | None = None) -> DeviceScene:
+           mipmap: bool | None = None,
+           mip_chains: list | None = None) -> DeviceScene:
     """Pad + device_put a host DrawBatch. Called once at load time.
 
     ``pool_mode``: "quad" (default) stores each texel's full 2x2
@@ -285,8 +368,27 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
     sampling runs ~2.1-2.8x faster for 4x the pool bytes. Bilinear taps
     read lanes 0-15 of the same rows (row indices are unchanged). The
     wide rows are built ON DEVICE from the uploaded quad rows
-    (_build_tri_pool) — host upload traffic stays the quad pool's."""
-    if pool_mode not in ("quad", "narrow", "auto", "tri"):
+    (_build_tri_pool) — host upload traffic stays the quad pool's.
+
+    ``pool_mode="bc1"`` (the compressed-resident envelope — the
+    reference's actual texture design point, texture.rs:12-30 /
+    renderer_app_manager.rs:107): textures are BC1-encoded at load
+    (render/bcn.encode_bc1_numpy) and stay compressed on device; the
+    shade epilogue decodes in-register at sample time (exact integer
+    ops, bcn's decode arithmetic). One logical 64 B row per 4x4 BLOCK
+    bakes the 2x2 child-block group plus the 2x2 level-(m+1) parent-
+    block group — a full TRILINEAR footprint in ONE row-priced gather
+    (the tri-pool trick at block granularity). 4 B/texel resident
+    (4x under quad, 16x under tri) and 0.5 B/texel host upload (the
+    compact blocks; rows bake on device, _build_bc1_pool), and ~16
+    pixels share each gathered row where texel-pool rows are touched
+    once (the HBM gather price is miss-dominated — the bigtex lever).
+    BC1 is LOSSY (565 endpoints + 2-bit codes, 1-bit alpha), so like
+    ``pool_bias`` it is never applied implicitly — the caller opts
+    into the content change. Renders on the mipmap pallas path and the
+    scan backend (the non-mip tap kernel emits texel-row addresses;
+    use mipmap=True or scan, like narrow)."""
+    if pool_mode not in ("quad", "narrow", "auto", "tri", "bc1"):
         raise ValueError(f"unknown pool_mode {pool_mode!r}")
     if pool_budget_bytes is None:
         pool_budget_bytes = pool_budget_default()
@@ -337,35 +439,32 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
     # 2x2 bilinear footprint (self, right, down, down-right, clamping
     # baked in), so one gather serves a whole bilinear tap — gathers are
     # the dominant sampling cost on TPU.
-    def downsample(img):
-        h, w = img.shape[:2]
-        h2, w2 = max(h // 2, 1), max(w // 2, 1)
-        x = img[: h2 * 2, : w2 * 2].astype(np.uint16)
-        if h >= 2 and w >= 2:
-            x = (x.reshape(h2, 2, w2, 2, 4).sum((1, 3)) + 2) >> 2
-        elif w >= 2:
-            x = (x.reshape(h2, w2, 2, 4).sum(2) + 1) >> 1
-        elif h >= 2:
-            x = (x.reshape(h2, 2, w2, 4).sum(1) + 1) >> 1
-        return x.astype(np.uint8)
-
     pool_parts, tables = [], []
     offset = 0
     n_mips = 1
     src_texs = texs if texs else [np.zeros((4, 4, 4), np.uint8)]
-    for img in src_texs:
-        chain, cur = [], img
-        chain.append(cur)
-        while cur.shape[0] > 1 or cur.shape[1] > 1:
-            cur = downsample(cur)
-            chain.append(cur)
-        n_mips = max(n_mips, len(chain))
-        tables.append(chain)
-    def _rows_at(chains):
+    if mip_chains is not None:
+        # precomputed per-texture mip chains (content pipelines / the
+        # exactness tests pin per-level content; levels need not be
+        # box-filter related, only halving in extent)
+        tables = [list(c) for c in mip_chains]
+        assert len(tables) == len(src_texs)
+        n_mips = max(len(c) for c in tables)
+        sizes = np.array([(c[0].shape[0], c[0].shape[1])
+                          for c in tables], np.int32)
+    else:
+        for img in src_texs:
+            chain = mip_chain(img)
+            n_mips = max(n_mips, len(chain))
+            tables.append(chain)
+    def _rows_at(chains, mode="quad"):
+        if mode == "bc1":           # one pool row per 4x4 block
+            return sum(((img.shape[0] + 3) // 4) * ((img.shape[1] + 3) // 4)
+                       for chain in chains for img in chain)
         return sum(img.shape[0] * img.shape[1]
                    for chain in chains for img in chain)
 
-    _ROW_B = {"quad": 16, "auto": 16, "narrow": 4, "tri": 64}
+    _ROW_B = {"quad": 16, "auto": 16, "narrow": 4, "tri": 64, "bc1": 64}
 
     def _pool_need(rows: int, mode: str) -> int:
         """Live in-program bytes to budget for a gathered-from pool:
@@ -384,7 +483,8 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
         bias = 0
         while bias < max_bias and pool_budget_bytes is not None:
             chains = [c[min(bias, len(c) - 1):] for c in tables]
-            if _pool_need(_rows_at(chains), want) <= pool_budget_bytes:
+            if _pool_need(_rows_at(chains, want),
+                          want) <= pool_budget_bytes:
                 break
             bias += 1
             logger.warning(
@@ -399,7 +499,7 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
         sizes = np.array([(c[0].shape[0], c[0].shape[1])
                           for c in tables], np.int32)
 
-    total_rows = _rows_at(tables)
+    total_rows = _rows_at(tables, want)
     if pool_mode == "auto":
         candidates = (want, "quad", "narrow") if want == "tri" \
             else (want, "narrow")
@@ -440,16 +540,33 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
             [img, img[:, xr], img[yd], img[yd][:, xr]], axis=-1
         ).reshape(-1, 16)
 
-    row_bytes = 16 if pool_mode in ("quad", "tri") else 4
+    row_bytes = {"quad": 16, "tri": 16, "narrow": 4, "bc1": 8}[pool_mode]
     table = np.zeros((len(src_texs), n_mips, 3), np.int32)
     segs = []     # (off, h, w, parent_off|-1, ph, pw) per stored level
+                  # — texel units (quad/tri) or 4x4-block units (bc1)
+    if pool_mode == "bc1":
+        from . import bcn as _bcn
+
+        def _bdims(im):
+            return (im.shape[0] + 3) // 4, (im.shape[1] + 3) // 4
     for li, chain in enumerate(tables):
         for mi in range(n_mips):
             img = chain[min(mi, len(chain) - 1)]
             if mi < len(chain):
+                table[li, mi] = (offset, img.shape[0], img.shape[1])
+                if pool_mode == "bc1":
+                    pool_parts.append(_bcn.encode_bc1_numpy(img))
+                    bh_, bw_ = _bdims(img)
+                    if mi + 1 < len(chain):
+                        segs.append((offset, bh_, bw_,
+                                     offset + bh_ * bw_,
+                                     *_bdims(chain[mi + 1])))
+                    else:
+                        segs.append((offset, bh_, bw_, -1, 1, 1))
+                    offset += bh_ * bw_
+                    continue
                 pool_parts.append(quad_rows(img) if row_bytes == 16
                                   else img.reshape(-1, 4))
-                table[li, mi] = (offset, img.shape[0], img.shape[1])
                 h, w = img.shape[:2]
                 if mi + 1 < len(chain):
                     nxt = chain[mi + 1]
@@ -521,6 +638,11 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
     if pool_mode == "tri":
         mip_pool_dev = _build_tri_pool(dp(mip_pool),
                                        np.asarray(segs, np.int32))
+    elif pool_mode == "bc1":
+        # host uploads the COMPACT 8 B blocks (0.5 B/src texel); the
+        # neighbor+parent-baked 64 B rows assemble on device
+        mip_pool_dev = _build_bc1_pool(dp(mip_pool),
+                                       np.asarray(segs, np.int32))
     else:
         mip_pool_dev = dp(mip_pool)
     return DeviceScene(
@@ -544,18 +666,26 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
 
 
 def pool_stats(scene: DeviceScene) -> dict:
-    """Texel-pool memory accounting (r2 verdict #5): the decoded
+    """Texel-pool memory accounting (r2 verdict #5): the on-device
     working set that replaces the reference's compressed-in-VRAM BCn
-    textures (texture.rs:12-30)."""
+    textures (texture.rs:12-30) — or, for pool_mode="bc1", stays
+    compressed like them. ``upload_bytes`` is the host→device transfer
+    the pool cost (tri/bc1 pools assemble their wide rows on device
+    from a compact upload)."""
     rows, row_bytes = scene.mip_pool.shape
     if row_bytes == 128:
-        rows *= 2             # tri pool: two 64 B texel rows per
-        row_bytes = 64        # physical 128 B row (_build_tri_pool)
+        rows *= 2             # tri/bc1 pools: two 64 B logical rows
+        row_bytes = 64        # per physical 128 B row (u8 tile stride)
     src = int(np.sum(np.asarray(scene.tex_size).prod(axis=1)))
+    upload_b = rows * {"quad": 16, "narrow": 4,
+                       "tri": 16,   # device-built from the quad rows
+                       "bc1": 8,    # compact 8 B blocks
+                       }[scene.pool_mode]
     return {
         "pool_mode": scene.pool_mode,
-        "rows": int(rows),
+        "rows": int(rows),    # logical rows: texels, or 4x4 blocks (bc1)
         "bytes": int(rows * row_bytes),
+        "upload_bytes": int(upload_b),
         "src_texels": src,
         "bytes_per_src_texel": round(rows * row_bytes / max(src, 1), 2),
     }
@@ -1072,7 +1202,8 @@ def shade_fwd(scene: DeviceScene, attrs, ib, mipmap: bool = False,
         grads = [attrs[g0 + i] * inv for i in range(6)]
         lod = _analytic_lod(u, v, *grads, attrs[10], attrs[11])
         albedo = _trilinear_arith(scene.mip_pool, off0, th, tw, lod, u, v,
-                                  scene.num_mips, planes=True)
+                                  scene.num_mips, planes=True,
+                                  mode=scene.pool_mode)
     else:
         # mip-0 pool location straight from the winner's constant
         # columns — no per-pixel mip-table gathers (off/h/w lookups were
@@ -1397,7 +1528,8 @@ def _mip_albedo_channels(scene: DeviceScene, m):
     lod = _analytic_lod(u, v, *[m[:, 11 + i] for i in range(6)],
                         m[:, 5], m[:, 6])
     albedo = _trilinear_arith(scene.mip_pool, off0, th, tw, lod, u, v,
-                              scene.num_mips, planes=True)
+                              scene.num_mips, planes=True,
+                              mode=scene.pool_mode)
     return list(jax.lax.optimization_barrier(
         tuple(albedo[c] for c in range(4))))
 
@@ -1523,6 +1655,13 @@ def sample_bilinear(scene: DeviceScene, layer, u, v, planes: bool = False):
     flat texel pool. layer/u/v are (H, W); returns (H, W, 4) f32 0-255,
     or channel-plane (4, H, W) when ``planes``."""
     lc = jnp.clip(layer, 0, scene.mip_table.shape[0] - 1)
+    if scene.pool_mode == "bc1":
+        m = scene.mip_table.shape[1]
+        tflat = scene.mip_table.reshape(-1, 3)
+        tidx = lc * m
+        return _bc1_bilinear(scene.mip_pool, tflat[:, 0][tidx],
+                             tflat[:, 1][tidx], tflat[:, 2][tidx],
+                             u, v, planes=planes)
     return _sample_mip_bilinear(
         scene.mip_pool, scene.mip_table, lc, jnp.zeros_like(lc), u, v,
         planes=planes,
@@ -1608,15 +1747,17 @@ def sample_trilinear(scene: DeviceScene, layer, u, v, lod,
     one-gather sampler (_trilinear_arith, bit-identical arithmetic
     addressing) so EVERY engine shares one trilinear expression per
     scene — comparing a fused and a two-gather program of the same
-    scene is the layout-fusion ±1 ulp trap (CLAUDE.md)."""
+    scene is the layout-fusion ±1 ulp trap (CLAUDE.md). On a bc1 pool
+    the same fused sampler decodes the blocks in-register."""
     lc = jnp.clip(layer, 0, scene.mip_table.shape[0] - 1)
-    if scene.mip_pool.shape[-1] == 128:
+    if scene.pool_mode == "bc1" or scene.mip_pool.shape[-1] == 128:
         m = scene.mip_table.shape[1]
         tflat = scene.mip_table.reshape(-1, 3)
         t0 = lc * m
         return _trilinear_arith(
             scene.mip_pool, tflat[:, 0][t0], tflat[:, 1][t0],
-            tflat[:, 2][t0], lod, u, v, scene.num_mips, planes=planes)
+            tflat[:, 2][t0], lod, u, v, scene.num_mips, planes=planes,
+            mode=scene.pool_mode)
     lod = jnp.clip(lod, 0.0, float(scene.num_mips - 1))
     m0 = jnp.floor(lod).astype(jnp.int32)
     m1 = jnp.minimum(m0 + 1, scene.num_mips - 1)
@@ -1668,11 +1809,14 @@ def _mip_arith(off0, th, tw, m, num_mips: int):
 
 
 def _trilinear_arith(pool, off0, th, tw, lod, u, v, num_mips: int,
-                     planes: bool = False):
+                     planes: bool = False, mode: str = "texel"):
     """Trilinear sample with arithmetic mip addressing (see _mip_arith).
     Reproduces sample_trilinear exactly: lod clips to [0, num_mips-1],
     levels clamp to the texture's last real level (the table repeats it,
-    so blending past the end degenerates to that level)."""
+    so blending past the end degenerates to that level). ``mode`` is
+    the scene's pool_mode: "bc1" routes the block-row pool through the
+    in-register decode sampler (off0/the offset walk are then in BLOCK
+    rows); anything else dispatches texel pools by row width."""
     big = jnp.maximum(th, tw)
     mmax = jnp.zeros_like(th)
     for m in range(1, num_mips):
@@ -1683,6 +1827,12 @@ def _trilinear_arith(pool, off0, th, tw, lod, u, v, num_mips: int,
     fm = fm[None] if planes else fm[..., None]
     m0 = jnp.minimum(m0f.astype(jnp.int32), mmax)
     m1 = jnp.minimum(m0 + 1, mmax)
+    if mode == "bc1":
+        off_a, hm0, wm0 = _mip_arith_bc1(off0, th, tw, m0, num_mips)
+        hm1 = jnp.maximum(th >> m1, 1)
+        wm1 = jnp.maximum(tw >> m1, 1)
+        return _bc1_trilinear_fused(pool, off_a, hm0, wm0, hm1, wm1,
+                                    m0, m1, fm, u, v, planes)
     # ONE offset walk: levels are contiguous in the pool, so
     # off(m0+1) = off(m0) + rows(m0) — saves the second num_mips-long
     # where chain per pixel (bit-identical to walking m1)
@@ -1759,6 +1909,183 @@ def _trilinear_fused(pool, off0, hm0, wm0, hm1, wm1, m0, m1, fm, u, v,
 
     quad1 = (jnp.stack([tap(0), tap(1), tap(3), tap(4)], axis=-2)
              .astype(jnp.float32))
+    s1p = _contract_quad(quad1, fx1, fy1, planes)
+    deep = m1 > m0
+    deep = deep[None] if planes else deep[..., None]
+    s1 = jnp.where(deep, s1p, s0)
+    return s0 * (1 - fm) + s1 * fm
+
+
+# ------------------------------------------------- bc1-resident sampling
+
+
+def _bc1_words(row, n: int = 8):
+    """(…, 64) u8 bc1 row → per-sub-block endpoint words (c0, c1) i32
+    and 32-bit index words u32, for the first ``n`` of the 8 baked
+    sub-blocks (0-3 child group, 4-7 parent group). Pure lane slices —
+    XLA DCEs any sub-block no tap selects."""
+    u = row.astype(jnp.int32)
+    ub = row.astype(jnp.uint32)
+    c0s, c1s, bits = [], [], []
+    for s in range(n):
+        o = 8 * s
+        c0s.append(u[..., o] | (u[..., o + 1] << 8))
+        c1s.append(u[..., o + 2] | (u[..., o + 3] << 8))
+        bits.append(ub[..., o + 4] | (ub[..., o + 5] << 8)
+                    | (ub[..., o + 6] << 16) | (ub[..., o + 7] << 24))
+    return c0s, c1s, bits
+
+
+def _bc1_texel(c0, c1, bits, xt, yt):
+    """Decode ONE BC1 texel at global texel coords (xt, yt) from its
+    block's words — the exact integer arithmetic of
+    ``bcn.decode_bc1_numpy`` (565 expand, (2a+b+1)//3 interpolants,
+    3-color punch-through), ~30 VPU ops. Returns [r, g, b, a] i32."""
+    sh = (2 * ((yt & 3) * 4 + (xt & 3))).astype(jnp.uint32)
+    code = jax.lax.shift_right_logical(bits, sh).astype(jnp.int32) & 3
+
+    def expand(c):
+        r = (c >> 11) & 31
+        g = (c >> 5) & 63
+        b = c & 31
+        return ((r << 3) | (r >> 2), (g << 2) | (g >> 4),
+                (b << 3) | (b >> 2))
+
+    e0 = expand(c0)
+    e1 = expand(c1)
+    four = c0 > c1
+    out = []
+    for a, b in zip(e0, e1):
+        p2 = jnp.where(four, (2 * a + b + 1) // 3, (a + b) >> 1)
+        p3 = jnp.where(four, (a + 2 * b + 1) // 3, 0)
+        out.append(jnp.where(code == 0, a,
+                             jnp.where(code == 1, b,
+                                       jnp.where(code == 2, p2, p3))))
+    out.append(jnp.where((code == 3) & ~four, 0, 255))
+    return out
+
+
+def _bc1_quad(c0s, c1s, bits, base: int, taps):
+    """2x2 bilinear footprint decoded from a baked 2x2 BLOCK group
+    (sub-blocks base..base+3): ``taps`` = 4 tuples (xt, yt, sx, sy) in
+    _contract_quad weight order, sx/sy the tap's block coord within the
+    group — traced {0, 1} arrays, or None where statically 0 (the
+    anchor tap). Returns (…, 4, 4) f32 quad."""
+    def pick(vals, sx, sy):
+        if sx is None and sy is None:
+            return vals[base]
+        if sy is None:
+            return jnp.where(sx == 1, vals[base + 1], vals[base])
+        if sx is None:
+            return jnp.where(sy == 1, vals[base + 2], vals[base])
+        lo = jnp.where(sx == 1, vals[base + 1], vals[base])
+        hi = jnp.where(sx == 1, vals[base + 3], vals[base + 2])
+        return jnp.where(sy == 1, hi, lo)
+
+    texels = [
+        _bc1_texel(pick(c0s, sx, sy), pick(c1s, sx, sy),
+                   pick(bits, sx, sy), xt, yt)
+        for xt, yt, sx, sy in taps
+    ]
+    return jnp.stack(
+        [jnp.stack([t[c] for c in range(4)], axis=-1).astype(jnp.float32)
+         for t in texels], axis=-2)
+
+
+def _bc1_footprint(wm, hm, u, v):
+    """Shared bilinear addressing at one level (the exact expressions
+    _quad_bilinear computes): returns (x0c, y0c, x1c, y1c, fx, fy)."""
+    tw = wm.astype(jnp.float32)
+    th = hm.astype(jnp.float32)
+    x = u * tw - 0.5
+    y = v * th - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = jnp.where(x0f < 0, 0.0, x - x0f)
+    fy = jnp.where(y0f < 0, 0.0, y - y0f)
+    x0c = jnp.clip(x0f.astype(jnp.int32), 0, jnp.maximum(wm - 1, 0))
+    y0c = jnp.clip(y0f.astype(jnp.int32), 0, jnp.maximum(hm - 1, 0))
+    x1c = jnp.minimum(x0c + 1, jnp.maximum(wm - 1, 0))
+    y1c = jnp.minimum(y0c + 1, jnp.maximum(hm - 1, 0))
+    return x0c, y0c, x1c, y1c, fx, fy
+
+
+def _bc1_bilinear(pool, off, hh, ww, u, v, planes: bool = False):
+    """Bilinear tap from the bc1 pool: ONE row-priced gather of the
+    block row at (x0c>>2, y0c>>2) — its baked child group contains the
+    whole footprint — then 4 in-register texel decodes. ``off`` is the
+    level's BLOCK-row offset; hh/ww its texel extents."""
+    x0c, y0c, x1c, y1c, fx, fy = _bc1_footprint(ww, hh, u, v)
+    bx = x0c >> 2
+    by = y0c >> 2
+    bw = (ww + 3) >> 2
+    row = _tri_fetch(pool, off + by * bw + bx)
+    c0s, c1s, bits = _bc1_words(row, n=4)
+    rx = jnp.clip((x1c >> 2) - bx, 0, 1)
+    ry = jnp.clip((y1c >> 2) - by, 0, 1)
+    quad = _bc1_quad(c0s, c1s, bits, 0,
+                     [(x0c, y0c, None, None), (x1c, y0c, rx, None),
+                      (x0c, y1c, None, ry), (x1c, y1c, rx, ry)])
+    return _contract_quad(quad, fx, fy, planes)
+
+
+def _mip_arith_bc1(off0, th, tw, m, num_mips: int):
+    """Level-m BLOCK-row offset + texel extents from the mip-0
+    constants — the bc1 twin of _mip_arith (levels are contiguous and
+    level i spans ceil(h_i/4)·ceil(w_i/4) block rows, exactly how
+    upload() lays the bc1 pool out)."""
+    hm = jnp.maximum(th >> m, 1)
+    wm = jnp.maximum(tw >> m, 1)
+    off = off0
+    for i in range(num_mips - 1):
+        bh = (jnp.maximum(th >> i, 1) + 3) >> 2
+        bw = (jnp.maximum(tw >> i, 1) + 3) >> 2
+        off = off + jnp.where(m > i, bh * bw, 0)
+    return off, hm, wm
+
+
+def _bc1_trilinear_fused(pool, off0, hm0, wm0, hm1, wm1, m0, m1, fm,
+                         u, v, planes: bool):
+    """Trilinear from ONE 64 B bc1 row gather + 8 in-register BC1 texel
+    decodes (pool_mode="bc1") — the tri-pool trick at block
+    granularity. The row bakes the child 2x2 BLOCK group at
+    (x0c>>2, y0c>>2) (any level-m0 bilinear footprint starting in the
+    anchor block stays inside it) and the parent 2x2 block group
+    anchored at A = (2·bx−1)>>2 per axis: the level-m1 footprint spans
+    texels [2·bx−1, 2·bx+2] (x1c = floor(u·wm1−0.5) ∈
+    {x0c>>1 − 1, x0c>>1} for both parities — the tri pool's law), i.e.
+    at most two consecutive parent blocks {A, A+1} for either bx
+    parity. Decoded integers equal the decoded-texture pools', so
+    _contract_quad reproduces the quad/tri paths bit-for-bit; where
+    m1 == m0 (the texture's last real level) s1 := s0 without reading
+    the parent lanes (baked zero)."""
+    x0c, y0c, x1c, y1c, fx, fy = _bc1_footprint(wm0, hm0, u, v)
+    bx = x0c >> 2
+    by = y0c >> 2
+    bw0 = (wm0 + 3) >> 2
+    row = _tri_fetch(pool, off0 + by * bw0 + bx)
+    c0s, c1s, bits = _bc1_words(row)
+    rx = jnp.clip((x1c >> 2) - bx, 0, 1)
+    ry = jnp.clip((y1c >> 2) - by, 0, 1)
+    quad0 = _bc1_quad(c0s, c1s, bits, 0,
+                      [(x0c, y0c, None, None), (x1c, y0c, rx, None),
+                       (x0c, y1c, None, ry), (x1c, y1c, rx, ry)])
+    s0 = _contract_quad(quad0, fx, fy, planes)
+
+    xp0, yp0, xp1, yp1, fx1, fy1 = _bc1_footprint(wm1, hm1, u, v)
+    pbw = (wm1 + 3) >> 2
+    pbh = (hm1 + 3) >> 2
+    ax = jnp.clip((2 * bx - 1) >> 2, 0, jnp.maximum(pbw - 1, 0))
+    ay = jnp.clip((2 * by - 1) >> 2, 0, jnp.maximum(pbh - 1, 0))
+    # every parent tap may land in either group column/row (unlike the
+    # child group, whose anchor tap is its own block by construction)
+    sx0 = jnp.clip((xp0 >> 2) - ax, 0, 1)
+    sx1 = jnp.clip((xp1 >> 2) - ax, 0, 1)
+    sy0 = jnp.clip((yp0 >> 2) - ay, 0, 1)
+    sy1 = jnp.clip((yp1 >> 2) - ay, 0, 1)
+    quad1 = _bc1_quad(c0s, c1s, bits, 4,
+                      [(xp0, yp0, sx0, sy0), (xp1, yp0, sx1, sy0),
+                       (xp0, yp1, sx0, sy1), (xp1, yp1, sx1, sy1)])
     s1p = _contract_quad(quad1, fx1, fy1, planes)
     deep = m1 > m0
     deep = deep[None] if planes else deep[..., None]
@@ -2287,6 +2614,7 @@ def render_frame(scene: DeviceScene, view_proj: jax.Array,
     ``packed`` (pallas only): color is (H, W) uint32 RGBA-packed instead
     — the production frame-loop format (the channel interleave costs
     1.6 ms/frame on device; ``unpack_rgba`` views it on host for free)."""
+    _check_pool_backend(scene, backend, mipmap)
     color, depth, n_over = _render_frame_core(
         scene, view_proj, bone_mats, width=width, height=height,
         chunk=chunk, clear_color=clear_color, backend=backend, maxc=maxc,
@@ -2296,6 +2624,18 @@ def render_frame(scene: DeviceScene, view_proj: jax.Array,
     if check_overflow and n_over is not None:
         _queue_frame_overflow(n_over, maxc, tap_tiles, width, height)
     return color, depth
+
+
+def _check_pool_backend(scene: DeviceScene, backend: str, mipmap: bool):
+    """bc1 pools sample through the arithmetic mip epilogue (u, v and
+    block offsets travel as planes); the non-mip tap kernel emits
+    TEXEL-row addresses the block pool cannot serve. Fail loudly, like
+    the narrow pool's tap-path guard."""
+    if scene.pool_mode == "bc1" and backend == "pallas" and not mipmap:
+        raise ValueError(
+            "bc1 pools render via the mipmap pallas path (mipmap=True) "
+            "or the scan backend: the non-mip tap kernel addresses "
+            "texel rows, not 4x4 blocks")
 
 
 def _queue_frame_overflow(n_over, maxc, tap_tiles, width, height):
@@ -2633,6 +2973,7 @@ def render_frame_peeled(scene: DeviceScene, view_proj: jax.Array,
     that many live (tile, layer) rows — size with
     ``measure_live_tap_tiles``; None = dense/exact; overflow is
     queue-checked like bin overflow."""
+    _check_pool_backend(scene, backend, mipmap)
     color, depth, n_over = _render_frame_peeled_core(
         scene, view_proj, bone_mats, width=width, height=height,
         layers=layers, chunk=chunk, clear_color=clear_color,

@@ -801,6 +801,171 @@ class TestTriPool:
         assert (d != 0).mean() < 0.02, (d != 0).mean()
 
 
+class TestBc1Pool:
+    """pool_mode="bc1" — the compressed-resident texture envelope
+    (reference: BCn stays in VRAM, texture.rs:12-30): one logical 64 B
+    row per 4x4 block bakes the child 2x2 BLOCK group + the level-(m+1)
+    parent 2x2 block group, so a trilinear tap is ONE row-priced gather
+    + 8 in-register integer decodes. Contract: bit-identical pixels to
+    a QUAD pool built from the decoded BC1 mip chains — the blocks ARE
+    the content (like GPU hardware decode), and the decode arithmetic
+    reproduces bcn.decode_bc1_numpy exactly."""
+
+    def _batch(self, alpha=False):
+        from mt_renderer_tpu.scene import demo
+
+        batch = demo.build_demo_batch(instances=4, skinned=False)
+        if alpha:
+            import dataclasses as dc
+
+            rng = np.random.default_rng(3)
+            texs = []
+            for t in batch.textures:
+                t = t.copy()
+                # punch-through regions (alpha < 128 -> 3-color mode);
+                # keep opaque texels at 255 so the conservative
+                # tex_opaque flag agrees between original and decoded
+                t[..., 3] = np.where(rng.random(t.shape[:2]) < 0.3,
+                                     10, 255).astype(np.uint8)
+                texs.append(t)
+            batch = dc.replace(batch, textures=texs)
+        return batch
+
+    @staticmethod
+    def _decoded_chains(batch):
+        from mt_renderer_tpu.render import bcn
+
+        return [[bcn.decode_bc1_blocks_numpy(
+                    bcn.encode_bc1_numpy(img), img.shape[1], img.shape[0])
+                 for img in device.mip_chain(t)]
+                for t in batch.textures]
+
+    def _pair(self, batch):
+        """(bc1 scene, quad-scene-of-the-decoded-chains oracle)."""
+        return (device.upload(batch, pool_mode="bc1"),
+                device.upload(batch, mip_chains=self._decoded_chains(batch)))
+
+    def test_bc1_pool_stats(self):
+        batch = self._batch()
+        scene = device.upload(batch, pool_mode="bc1")
+        st = device.pool_stats(scene)
+        # demo texture 64x64: blocks per chain level = ceil(s/4)^2
+        blocks = sum(max(64 >> i, 4) ** 2 // 16 for i in range(5)) + 1 + 1
+        assert st["rows"] == blocks + (blocks % 2)
+        assert st["bytes"] == st["rows"] * 64
+        assert st["upload_bytes"] == st["rows"] * 8
+        assert scene.mip_pool.shape == ((blocks + 1) // 2, 128)
+        # 4 B/texel + mips ≈ 5.33 resident (16x under tri, 4x under
+        # quad); small tail mips round up to whole blocks
+        assert 5.0 < st["bytes_per_src_texel"] < 5.8
+        # budget charges the block rows x2 live
+        with pytest.raises(MemoryError):
+            device.upload(batch, "bc1", pool_budget_bytes=blocks * 64)
+
+    def test_bc1_row_content(self):
+        """Child lanes 0-31 are the 2x2 block group (clamp-to-edge);
+        parent lanes 32-63 the 2x2 level-(m+1) group anchored at
+        A = (2·bx−1)>>2; a texture's last real level bakes zeros."""
+        from mt_renderer_tpu.render import bcn
+
+        batch = self._batch()
+        scene = device.upload(batch, pool_mode="bc1")
+        pool = np.asarray(scene.mip_pool).reshape(-1, 64)
+        table = np.asarray(scene.mip_table)
+        chain = device.mip_chain(batch.textures[0])
+        blk = [bcn.encode_bc1_numpy(img) for img in chain]
+        off0 = table[0, 0, 0]
+        bw0, bw1 = 64 // 4, 32 // 4
+        rng = np.random.default_rng(0)
+        for _ in range(16):
+            bx = int(rng.integers(0, bw0))
+            by = int(rng.integers(0, bw0))
+            row = pool[off0 + by * bw0 + bx]
+            for k, (dx, dy) in enumerate(
+                    ((0, 0), (1, 0), (0, 1), (1, 1))):
+                nx, ny = min(bx + dx, bw0 - 1), min(by + dy, bw0 - 1)
+                np.testing.assert_array_equal(
+                    row[8 * k: 8 * k + 8], blk[0][ny * bw0 + nx])
+            ax = min(max((2 * bx - 1) >> 2, 0), bw1 - 1)
+            ay = min(max((2 * by - 1) >> 2, 0), bw1 - 1)
+            for k, (dx, dy) in enumerate(
+                    ((0, 0), (1, 0), (0, 1), (1, 1))):
+                nx, ny = min(ax + dx, bw1 - 1), min(ay + dy, bw1 - 1)
+                np.testing.assert_array_equal(
+                    row[32 + 8 * k: 40 + 8 * k], blk[1][ny * bw1 + nx])
+        # last real level: parent lanes zero
+        offl = table[0, scene.num_mips - 1, 0]
+        assert (pool[offl, 32:] == 0).all()
+
+    def test_bc1_sampler_matches_decoded_quad_dense(self):
+        """sample_trilinear/sample_bilinear, bc1 vs decoded-quad, dense
+        (u, v, lod) sweep on an ODD-sized texture (both block and wm
+        parities, every clamp case, punch-through blocks) — bit-exact."""
+        import dataclasses as dc
+
+        batch = self._batch()
+        rng = np.random.default_rng(1)
+        odd = []
+        for _ in batch.textures:
+            t = rng.integers(0, 256, (37, 23, 4)).astype(np.uint8)
+            t[..., 3] = np.where(rng.random((37, 23)) < 0.25, 7, 255)
+            odd.append(t)
+        batch = dc.replace(batch, textures=odd)
+        bc1, quad = self._pair(batch)
+        n = 64
+        u = jnp.asarray(rng.uniform(-0.1, 1.1, (n, n)).astype(np.float32))
+        v = jnp.asarray(rng.uniform(-0.1, 1.1, (n, n)).astype(np.float32))
+        lod = jnp.asarray(
+            rng.uniform(-1.0, quad.num_mips + 1.0,
+                        (n, n)).astype(np.float32))
+        layer = jnp.zeros((n, n), jnp.int32)
+        for ld in (lod, jnp.floor(lod)):
+            want = device.sample_trilinear(quad, layer, u, v, ld)
+            got = device.sample_trilinear(bc1, layer, u, v, ld)
+            np.testing.assert_array_equal(np.asarray(got),
+                                          np.asarray(want))
+        np.testing.assert_array_equal(
+            np.asarray(device.sample_bilinear(bc1, layer, u, v)),
+            np.asarray(device.sample_bilinear(quad, layer, u, v)))
+
+    def test_bc1_matches_decoded_quad_scan(self):
+        batch = self._batch(alpha=True)
+        vp = _vp()
+        bc1, quad = self._pair(batch)
+        for mip in (False, True):
+            want, wd = device.render_frame(quad, vp, width=96, height=96,
+                                           backend="scan", mipmap=mip)
+            got, gd = device.render_frame(bc1, vp, width=96, height=96,
+                                          backend="scan", mipmap=mip)
+            np.testing.assert_array_equal(np.asarray(got),
+                                          np.asarray(want))
+            np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
+
+    @pytest.mark.slow
+    def test_bc1_matches_decoded_quad_mipmap_pallas(self):
+        """The production path: tile-major compacted trilinear shade
+        through _trilinear_arith's bc1 in-register-decode branch."""
+        batch = self._batch()
+        vp = _vp()
+        bc1, quad = self._pair(batch)
+        want, _ = device.render_frame(quad, vp, width=96, height=96,
+                                      backend="pallas", mipmap=True)
+        got, _ = device.render_frame(bc1, vp, width=96, height=96,
+                                     backend="pallas", mipmap=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_bc1_rejects_nonmip_pallas(self):
+        batch = self._batch()
+        scene = device.upload(batch, pool_mode="bc1")
+        with pytest.raises(ValueError, match="mipmap"):
+            device.render_frame(scene, _vp(), width=96, height=96,
+                                backend="pallas")
+        with pytest.raises(ValueError, match="mipmap"):
+            device.render_frame_peeled(scene, _vp(), width=96, height=96,
+                                       backend="pallas", layers=2,
+                                       peel_mode="split")
+
+
 class TestSingleLayerTapCompaction:
     """shade_tap_flat_channels tap_tiles (covered-tile compaction on the
     packed production path): host-sized cap must bound live tiles and

@@ -60,12 +60,29 @@ if SCENE in ("glass", "peelmip", "default"):
         cam.position = cam.position * 0.3
         cam.yaw = 15.0
 else:
-    ws = world_mod.build_world(buildings=BUILDINGS,
-                               building_subdivs=(4, 6, 8, 10, 12))
-    print(f"world: {ws.info}", flush=True)
+    # MTR_BAND_SCENE=bigtex: the GB-texture envelope (16 distinct
+    # 2048^2 + mips — r4's only workload without a measured path to
+    # 60 fps). Bands split the COVERED PIXELS, so the HBM-regime
+    # sampling (~80% of the bigtex frame) should divide ~n-fold while
+    # the pool replicates; this measures whether it does.
+    # MTR_BAND_POOL=bc1 rides the compressed-resident pool instead.
+    if SCENE == "bigtex":
+        wkw = dict(buildings=int(os.environ.get("MTR_BAND_B", 140)),
+                   variants=16, tex_sizes=(2048,),
+                   building_subdivs=(4, 6, 8))
+    else:
+        wkw = dict(buildings=BUILDINGS,
+                   building_subdivs=(4, 6, 8, 10, 12))
+    ws = world_mod.build_world(**wkw)
+    print(f"{SCENE}: {ws.info}", flush=True)
     batch = ws.batch
     scene = device.upload(batch, pool_mode=os.environ.get(
         "MTR_BAND_POOL", "tri"))
+    if SCENE == "bigtex":   # GB pool: force the upload before timing
+        _ = int(np.asarray(scene.mip_pool[0, 0]))
+        st = device.pool_stats(scene)
+        print(f"bigtex pool: {st['pool_mode']} "
+              f"{st['bytes'] / 2**30:.2f} GiB resident", flush=True)
     anim = ws.animator()
     bones_np = ws.bone_palette(anim.bone_mats(np.float32(0.6)))
     cam = world_mod.world_camera(W, H, buildings=BUILDINGS)
@@ -156,8 +173,8 @@ def make_runner(y0, pb, tap_tiles=None):
         color = pr.unflatten_tiles(colort, pb, PW)
         return chk(color) + chk(zb[:, 0, ::31])
 
-    band = {"world": band_world, "default": band_default}.get(
-        SCENE, band_peel)
+    band = {"world": band_world, "bigtex": band_world,
+            "default": band_default}.get(SCENE, band_peel)
 
     def run_n(scene, vps):
         def step(c, vp):
