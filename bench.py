@@ -69,6 +69,12 @@ def parse_args(argv):
                         " 'ml' (L-nearest single-pass), 'multipass'")
     p.add_argument("--mipmap", action="store_true",
                    help="trilinear mipmapped minification")
+    p.add_argument("--hud", action="store_true",
+                   help="the literal BASELINE config-5 composite: "
+                        "joint-cube overlay geometry merged into the "
+                        "frame + the HUD band composited in the timed "
+                        "program (world/bigtex presets); the host text "
+                        "raster is timed separately (hud_host_ms)")
     p.add_argument("--pool", choices=["quad", "narrow", "tri", "bc1"],
                    default=None,
                    help="texel pool mode (default: tri — one-gather "
@@ -420,6 +426,24 @@ def run_once(args, width, height, instances, frames, png=None):
         ws = world_mod.build_world(**wkw)
         print(f"# world: {ws.info}", file=sys.stderr)
         batch = ws.batch
+        if getattr(args, "hud", False):
+            # config-5 composite: joint-cube debug overlay at every
+            # character joint (debug_overlay.rs) — plain geometry, so
+            # it rides the normal raster with zero extra passes
+            from mt_renderer_tpu.scene.model import merge_batches
+            from mt_renderer_tpu.scene.overlay import DebugOverlay
+
+            ov = DebugOverlay()
+            jp = ws.skeleton.joint_world_positions()
+            for cm in ws.char_mats:
+                for p in jp:
+                    w4 = cm @ np.array([*p, 1.0], np.float32)
+                    ov.add_cube_at(w4[:3], scale=0.06)
+            ob = ov.batch()
+            if ob is not None:
+                batch = merge_batches(batch, ob)
+            print(f"# hud composite: +{ov.num_instances} joint cubes",
+                  file=sys.stderr)
         t1 = time.perf_counter()
         scene = device.upload(batch, pool_mode=pool_mode(args))
         jax.block_until_ready(scene.mip_pool)
@@ -521,6 +545,33 @@ def run_once(args, width, height, instances, frames, png=None):
         from mt_renderer_tpu.parallel import tiles
 
         mesh = tiles.make_row_mesh(args.multichip)
+
+    hud_ov = None
+    hud_host_ms = None
+    if getattr(args, "hud", False):
+        # the HUD band: host-rastered canvas (the per-frame-uniform
+        # traffic class) + ONE src-alpha packed composite on device,
+        # inside the timed program. The host raster is pure NumPy and
+        # overlaps device time in a real loop — timed separately.
+        from mt_renderer_tpu.app import hud as hud_mod
+
+        band = hud_mod.Hud(width)
+        c = band.overlay.canvas
+        t0h = time.perf_counter()
+        hud_reps = 50
+        for i in range(hud_reps):
+            c.clear()
+            c.fill_rect(0, 0, c.width, c.height, (0, 0, 0, 150))
+            c.draw_text(4, 4, f"{59.9:6.1f} fps  frame {i:5d}  "
+                              f"{width}x{height}",
+                        (255, 255, 255, 255), scale=2)
+            pk = c.packed()
+        hud_host_ms = (time.perf_counter() - t0h) / hud_reps * 1e3
+        import jax.numpy as _jnp
+
+        hud_ov = _jnp.asarray(pk)
+        print(f"# hud band: {c.width}x{c.height}, host raster "
+              f"{hud_host_ms:.3f} ms/frame", file=sys.stderr)
 
     def frame(t):
         cam.yaw = base_yaw + 8.0 * np.sin(0.25 * t)
@@ -678,6 +729,10 @@ def run_once(args, width, height, instances, frames, png=None):
                 chunk=chunk, backend=args.backend, maxc=maxc,
                 mipmap=args.mipmap, lighting=args.lighting,
                 packed=args.backend == "pallas", tap_tiles=tap_tiles)
+        if hud_ov is not None and c.ndim == 2:
+            from mt_renderer_tpu.scene import gui
+
+            c = gui._composite_packed(c, hud_ov, 0)
         f = c.reshape(-1)
         s = f[:: max(f.size // 512, 1)]
         return (jnp.sum(s.astype(jnp.float32))
@@ -722,6 +777,8 @@ def run_once(args, width, height, instances, frames, png=None):
     mtri_s = tris * fps_device / 1e6
 
     extras = {}
+    if hud_host_ms is not None:
+        extras["hud_host_ms"] = round(hud_host_ms, 3)
     if args.preset == "bigtex":
         # confirm the gather law AT THIS POOL SIZE: scan-of-N
         # differenced ns/row for one covered-1080p-frame's worth of
@@ -886,9 +943,17 @@ def main(argv=None):
             ("pallas peel4 glass", ["--preset", "glass", "--peel", "4"]),
             ("pallas dense", ["--preset", "dense"]),
             ("pallas world", ["--preset", "world", "--mipmap"]),
+            # the literal BASELINE config-5 composite: world +
+            # joint-cube overlay + HUD band in the timed program
+            ("pallas world+hud", ["--preset", "world", "--mipmap",
+                                  "--hud"]),
             # the game-scale texture envelope: 5.33 GiB tri pool on
             # chip (16x 2048^2 + full mip chains), trilinear
             ("pallas bigtex", ["--preset", "bigtex", "--mipmap"]),
+            # the same envelope COMPRESSED-resident: 0.34 GiB of BC1
+            # blocks decoded in-register at sample time
+            ("pallas bigtex bc1", ["--preset", "bigtex", "--mipmap",
+                                   "--pool", "bc1"]),
             # no scan row: the all-triangles scan backend is O(T·pixels)
             # with no binning — a correctness/differential path (verify
             # mode + tests), not a production configuration

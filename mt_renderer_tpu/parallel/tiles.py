@@ -42,11 +42,53 @@ def make_row_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devices[:n]), ("rows",))
 
 
+def _scene_tri_shard(scene, lo, size: int, tp: int):
+    """Triangle-range view [lo, lo+size) of a DeviceScene — the
+    sharded-setup unit: contiguous dynamic slices of every per-triangle
+    array (the corner-PLANAR vertex arrays slice as three corner
+    blocks, so the layout invariant setup_packed_cols reshapes by is
+    preserved). The last shard's range is clamped into the scene; rows
+    that alias earlier shards' triangles (or the ceil padding past
+    ``tp``) are masked out of ``tri_vis`` so their columns bake REJECT
+    exactly like padding — the all-gathered column matrix then carries
+    each real triangle LIVE exactly once, in global order (an
+    order-preserving id shift on the last shard only, so the
+    later-triangle tie rule is unchanged)."""
+    import dataclasses
+
+    start = jnp.clip(lo, 0, max(tp - size, 0))
+    rid = start + jnp.arange(size, dtype=jnp.int32)
+
+    def sl(a, axis=0):
+        return jax.lax.dynamic_slice_in_dim(a, start, size, axis=axis)
+
+    def slv(a):                       # (3Tp, …) corner-planar
+        return jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(a, c * tp + start, size, 0)
+             for c in range(3)])
+
+    vis = sl(scene.tri_vis) & (rid >= lo) & (rid < tp)
+    return dataclasses.replace(
+        scene,
+        positions=slv(scene.positions), uvs=slv(scene.uvs),
+        normals=slv(scene.normals), joints=slv(scene.joints),
+        weights=slv(scene.weights),
+        tri_texture=sl(scene.tri_texture),
+        tri_debug_id=sl(scene.tri_debug_id),
+        tri_flat=sl(scene.tri_flat),
+        tri_material=sl(scene.tri_material),
+        tri_valid=sl(scene.tri_valid),
+        tri_parts=sl(scene.tri_parts),
+        cols_const=sl(scene.cols_const, axis=1),
+        tri_vis=vis,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "chunk", "clear_color",
                      "backend", "maxc", "mipmap", "lighting", "packed",
-                     "tap_tiles", "peel_layers"),
+                     "tap_tiles", "peel_layers", "setup_shard"),
 )
 def _render_frame_multichip_core(
     scene: dev.DeviceScene,
@@ -65,6 +107,7 @@ def _render_frame_multichip_core(
     packed: bool = False,
     tap_tiles: int | None = None,
     peel_layers: int = 0,
+    setup_shard: bool = False,
 ):
     """Jitted band-sharded frame body → (color, depth, n_over (n,) i32).
 
@@ -72,17 +115,34 @@ def _render_frame_multichip_core(
     rasterises a tile-aligned padded band and crops, and the caller
     crops the padded global frame back to ``height`` (1080 / 8 chips =
     135-row bands padded to 144 in-kernel — same pad-and-crop the
-    single-chip path does, device.py:_render_frame_core)."""
+    single-chip path does, device.py:_render_frame_core).
+
+    ``setup_shard`` (pallas, non-peel): shard the O(T) vertex + setup
+    work over the mesh — each chip computes its triangle range's
+    columns, ONE ``all_gather`` (the band split's only collective)
+    assembles the full column matrix, and the band raster proceeds as
+    usual. Trades the per-chip replicated setup floor (~1 ms of the
+    8-chip 2.18 ms default band frame, docs/MULTICHIP.md) for a
+    cols-sized ICI gather; bit-identical frames (the shard view is an
+    order-preserving row partition of the same arithmetic)."""
     if backend == "scan" and packed:
         raise ValueError("packed output requires the pallas backend")
     if peel_layers and backend != "pallas":
         raise ValueError("multichip peel (split OIT) requires the "
                          "pallas backend")
+    if setup_shard and (backend != "pallas" or peel_layers):
+        raise ValueError("setup_shard needs the pallas non-peel path "
+                         "(the split peel builds two column sets; "
+                         "shard those the same way if it ever shows "
+                         "up in a profile)")
     n = mesh.devices.size
     band_h = -(-height // n)              # ceil: rows per chip pre-crop
+    tp = scene.tri_valid.shape[0]
+    shard_t = -(-tp // (n * dev.TRI_PAD)) * dev.TRI_PAD
 
     def band_render(scene, view_proj, bone_mats):
-        clip = dev.vertex_stage(scene, view_proj, bone_mats)
+        if not setup_shard:
+            clip = dev.vertex_stage(scene, view_proj, bone_mats)
         y0 = jax.lax.axis_index("rows") * band_h
         if backend == "pallas":
             from ..render import pallas_raster as pr
@@ -113,10 +173,25 @@ def _render_frame_multichip_core(
                                                          jnp.uint8)
                 return (color[:band_h, :width], zbf[:band_h, :width],
                         jnp.stack(list(n_over))[None])
-            cols, bbox, n_attr = dev.setup_packed_cols(
-                scene, clip, width, height, bone_mats=bone_mats,
-                lighting=lighting,
-            )
+            if setup_shard:
+                r = jax.lax.axis_index("rows")
+                shard = _scene_tri_shard(scene, r * shard_t, shard_t,
+                                         tp)
+                clip_s = dev.vertex_stage(shard, view_proj, bone_mats)
+                cols_s, bbox_s, n_attr = dev.setup_packed_cols(
+                    shard, clip_s, width, height, bone_mats=bone_mats,
+                    lighting=lighting,
+                )
+                cols = jax.lax.all_gather(cols_s, "rows", axis=0,
+                                          tiled=True)
+                bbox = tuple(
+                    jax.lax.all_gather(b, "rows", axis=0, tiled=True)
+                    for b in bbox_s)
+            else:
+                cols, bbox, n_attr = dev.setup_packed_cols(
+                    scene, clip, width, height, bone_mats=bone_mats,
+                    lighting=lighting,
+                )
             if not mipmap and packed:
                 # the single-chip production path, per band: tile-major
                 # flat epilogue with the covered-row compacted tap
@@ -222,7 +297,8 @@ def render_frame_multichip(scene, view_proj, bone_mats=None, *,
                            check_overflow: bool = True,
                            packed: bool = False,
                            tap_tiles: int | None = None,
-                           peel_layers: int = 0):
+                           peel_layers: int = 0,
+                           setup_shard: bool = False):
     """Render one frame with the raster+shade stages sharded over screen
     bands. Returns ((H, W, 4) uint8, (H, W) f32), row-sharded over the
     mesh (``packed``: (H, W) uint32 RGBA — see ``device.render_frame``).
@@ -237,12 +313,19 @@ def render_frame_multichip(scene, view_proj, bone_mats=None, *,
     peel is per-pixel so bands still compose with zero collectives);
     ``tap_tiles`` may then be the (opaque, translucent) per-band cap
     pair. Pixel-identical to the single-chip
-    ``render_frame_peeled(peel_mode="split")``."""
+    ``render_frame_peeled(peel_mode="split")``.
+
+    ``setup_shard`` shards the O(T) vertex+setup stages over the mesh
+    and all-gathers the column matrix (the band split's only
+    collective) — see ``_render_frame_multichip_core``; bit-identical
+    frames."""
+    dev._check_pool_backend(scene, backend, mipmap)
     color, depth, n_over = _render_frame_multichip_core(
         scene, view_proj, bone_mats, mesh=mesh, width=width, height=height,
         chunk=chunk, clear_color=clear_color, backend=backend, maxc=maxc,
         mipmap=mipmap, lighting=lighting, packed=packed,
         tap_tiles=tap_tiles, peel_layers=peel_layers,
+        setup_shard=setup_shard,
     )
     if check_overflow and backend == "pallas":
         from ..render import pallas_raster as pr
