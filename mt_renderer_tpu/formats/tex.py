@@ -126,6 +126,30 @@ class TextureFile:
     def mip_size(self, level: int) -> tuple[int, int]:
         return max(1, self.width >> level), max(1, self.height >> level)
 
+    def bc1_chain(self) -> list:
+        """The stored BC1 mip chain as ``[(blocks (nb, 8) u8, h, w),
+        …]`` — the zero-recompression feed for
+        ``device.upload(pool_mode="bc1", bc1_chains=…)``: the asset's
+        own compressed blocks go to the device verbatim, exactly the
+        reference's texture upload (rtexture.rs:126-130 uploads raw
+        BCn; the GPU decodes in hardware, our shade epilogue decodes
+        in-register)."""
+        if self.format != TextureFormat.BC1:
+            raise ValueError(
+                f"bc1_chain needs a BC1 texture (format {self.format})")
+        chain = []
+        for lv in range(self.level_count):
+            w, h = self.mip_size(lv)
+            nb = ((h + 3) // 4) * ((w + 3) // 4)
+            raw = self.image_bytes(lv)
+            if len(raw) < nb * 8:
+                raise ValueError(
+                    f"BC1 mip {lv} truncated: {len(raw)} < {nb * 8}")
+            blocks = np.frombuffer(raw[: nb * 8],
+                                   dtype=np.uint8).reshape(nb, 8)
+            chain.append((blocks, h, w))
+        return chain
+
     def decode_rgba8(self) -> np.ndarray:
         """Decode the top image to an (H, W, 4) uint8 array on host."""
         from ..render import bcn

@@ -318,7 +318,8 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
            pool_budget_bytes: int | None = None,
            pool_bias: int | str = 0,
            mipmap: bool | None = None,
-           mip_chains: list | None = None) -> DeviceScene:
+           mip_chains: list | None = None,
+           bc1_chains: list | None = None) -> DeviceScene:
     """Pad + device_put a host DrawBatch. Called once at load time.
 
     ``pool_mode``: "quad" (default) stores each texel's full 2x2
@@ -387,7 +388,16 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
     ``pool_bias`` it is never applied implicitly — the caller opts
     into the content change. Renders on the mipmap pallas path and the
     scan backend (the non-mip tap kernel emits texel-row addresses;
-    use mipmap=True or scan, like narrow)."""
+    use mipmap=True or scan, like narrow).
+
+    ``bc1_chains`` (pool_mode="bc1" only): per-texture lists of
+    ``(blocks (nb, 8) u8, height, width)`` — ALREADY-compressed mip
+    chains, e.g. straight out of a BC1 ``.tex`` asset
+    (``formats.tex.TextureFile.bc1_chain``). The blocks go into the
+    pool VERBATIM (no decode→box-filter→re-encode generation loss, and
+    the asset's own mip chain is honored — exactly the reference's
+    upload, rtexture.rs); each level is host-decoded once for the
+    budget/bias/opacity bookkeeping."""
     if pool_mode not in ("quad", "narrow", "auto", "tri", "bc1"):
         raise ValueError(f"unknown pool_mode {pool_mode!r}")
     if pool_budget_bytes is None:
@@ -443,6 +453,29 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
     offset = 0
     n_mips = 1
     src_texs = texs if texs else [np.zeros((4, 4, 4), np.uint8)]
+    raw_chains = None
+    if bc1_chains is not None:
+        # pre-compressed asset chains: decode each level ONCE for the
+        # bookkeeping (budget/bias/opacity all read decoded shapes and
+        # alpha), keep the raw blocks for the pool
+        if pool_mode != "bc1":
+            raise ValueError("bc1_chains requires pool_mode='bc1'")
+        if mip_chains is not None:
+            raise ValueError("pass mip_chains OR bc1_chains, not both")
+        from .. import native as _nat
+
+        assert len(bc1_chains) == len(src_texs)
+        raw_chains = [
+            [np.ascontiguousarray(blocks, np.uint8).reshape(-1, 8)
+             for blocks, _h, _w in chain]
+            for chain in bc1_chains
+        ]
+        mip_chains = [
+            [_nat.decode_bc1(
+                np.ascontiguousarray(blocks, np.uint8).tobytes(), w, h)
+             for blocks, h, w in chain]
+            for chain in bc1_chains
+        ]
     if mip_chains is not None:
         # precomputed per-texture mip chains (content pipelines / the
         # exactness tests pin per-level content; levels need not be
@@ -494,6 +527,8 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
     else:
         bias = int(pool_bias)
     if bias:
+        if raw_chains is not None:
+            raw_chains = [c[min(bias, len(c) - 1):] for c in raw_chains]
         tables = [c[min(bias, len(c) - 1):] for c in tables]
         n_mips = max(len(c) for c in tables)
         sizes = np.array([(c[0].shape[0], c[0].shape[1])
@@ -545,7 +580,7 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
     segs = []     # (off, h, w, parent_off|-1, ph, pw) per stored level
                   # — texel units (quad/tri) or 4x4-block units (bc1)
     if pool_mode == "bc1":
-        from . import bcn as _bcn
+        from .. import native as _native
 
         def _bdims(im):
             return (im.shape[0] + 3) // 4, (im.shape[1] + 3) // 4
@@ -555,8 +590,14 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
             if mi < len(chain):
                 table[li, mi] = (offset, img.shape[0], img.shape[1])
                 if pool_mode == "bc1":
-                    pool_parts.append(_bcn.encode_bc1_numpy(img))
                     bh_, bw_ = _bdims(img)
+                    if raw_chains is not None:
+                        blk = raw_chains[li][mi]
+                        assert blk.shape[0] == bh_ * bw_, (
+                            blk.shape, img.shape)
+                        pool_parts.append(blk)
+                    else:
+                        pool_parts.append(_native.encode_bc1(img))
                     if mi + 1 < len(chain):
                         segs.append((offset, bh_, bw_,
                                      offset + bh_ * bw_,

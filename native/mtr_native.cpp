@@ -196,6 +196,127 @@ extern "C" int mtr_decode_bc1(const uint8_t* blocks, int width, int height,
   return 0;
 }
 
+// Encode (height, width, 4) RGBA8 -> BC1 blocks (8 B each, raster
+// block order). Bit-exact port of render/bcn.py::encode_bc1_numpy
+// (bounding-box fit, nearest decoded palette entry, alpha<128 ->
+// 3-color punch-through) — the content pipeline for the compressed-
+// resident texel pool; the NumPy path measured ~150 s for the bigtex
+// texture set, this threads it down to seconds. nthreads<=0 -> auto.
+extern "C" int mtr_encode_bc1(const uint8_t* src, int width, int height,
+                              uint8_t* out, int nthreads) {
+  const int bw = (width + 3) / 4, bh = (height + 3) / 4;
+  const int n = bw * bh;
+  if (nthreads <= 0) {
+    unsigned hc = std::thread::hardware_concurrency();
+    nthreads = hc ? static_cast<int>(hc) : 1;
+  }
+  if (nthreads > n) nthreads = n > 0 ? n : 1;
+
+  auto q565 = [](const int* c) -> uint32_t {
+    uint32_t r = (c[0] * 31 + 127) / 255;
+    uint32_t g = (c[1] * 63 + 127) / 255;
+    uint32_t b = (c[2] * 31 + 127) / 255;
+    return (r << 11) | (g << 5) | b;
+  };
+  auto expand = [](uint32_t c, int* rgb) {
+    uint32_t r5 = (c >> 11) & 0x1F, g6 = (c >> 5) & 0x3F, b5 = c & 0x1F;
+    rgb[0] = static_cast<int>((r5 << 3) | (r5 >> 2));
+    rgb[1] = static_cast<int>((g6 << 2) | (g6 >> 4));
+    rgb[2] = static_cast<int>((b5 << 3) | (b5 >> 2));
+  };
+
+  auto work = [&](int lo_b, int hi_b) {
+    for (int b = lo_b; b < hi_b; b++) {
+      const int bx = b % bw, by = b / bw;
+      int rgb[16][3];
+      bool transp[16];
+      bool has_t = false, any_opq = false;
+      for (int t = 0; t < 16; t++) {
+        int px = bx * 4 + (t % 4), py = by * 4 + (t / 4);
+        if (px > width - 1) px = width - 1;    // edge-replicate pad
+        if (py > height - 1) py = height - 1;
+        const uint8_t* p = src + (py * width + px) * 4;
+        rgb[t][0] = p[0]; rgb[t][1] = p[1]; rgb[t][2] = p[2];
+        transp[t] = p[3] < 128;
+        has_t |= transp[t];
+        any_opq |= !transp[t];
+      }
+      int lo[3] = {0, 0, 0}, hi[3] = {0, 0, 0};
+      if (any_opq) {
+        for (int c = 0; c < 3; c++) { lo[c] = 255; hi[c] = 0; }
+        for (int t = 0; t < 16; t++) {
+          if (transp[t]) continue;
+          for (int c = 0; c < 3; c++) {
+            if (rgb[t][c] < lo[c]) lo[c] = rgb[t][c];
+            if (rgb[t][c] > hi[c]) hi[c] = rgb[t][c];
+          }
+        }
+      }
+      uint32_t chi = q565(hi), clo = q565(lo);
+      uint32_t c0 = has_t ? (chi < clo ? chi : clo)
+                          : (chi > clo ? chi : clo);
+      uint32_t c1 = has_t ? (chi > clo ? chi : clo)
+                          : (chi < clo ? chi : clo);
+      const bool four = c0 > c1;
+      int e0[3], e1[3], pal[4][3];
+      expand(c0, e0);
+      expand(c1, e1);
+      for (int c = 0; c < 3; c++) {
+        pal[0][c] = e0[c];
+        pal[1][c] = e1[c];
+        pal[2][c] = four ? (2 * e0[c] + e1[c] + 1) / 3
+                         : (e0[c] + e1[c]) / 2;
+        pal[3][c] = four ? (e0[c] + 2 * e1[c] + 1) / 3 : 0;
+      }
+      const bool mask3 = !four && has_t;  // slot 3 = transparent
+      uint32_t bits = 0;
+      for (int t = 0; t < 16; t++) {
+        uint32_t idx;
+        if (transp[t] && has_t) {
+          idx = 3;
+        } else {
+          int best = 0x7fffffff;
+          idx = 0;
+          const int ne = mask3 ? 3 : 4;
+          for (int e = 0; e < ne; e++) {
+            int d = 0;
+            for (int c = 0; c < 3; c++) {
+              int df = rgb[t][c] - pal[e][c];
+              d += df * df;
+            }
+            if (d < best) { best = d; idx = static_cast<uint32_t>(e); }
+          }
+        }
+        bits |= idx << (2 * t);
+      }
+      uint8_t* o = out + b * 8;
+      o[0] = static_cast<uint8_t>(c0 & 0xFF);
+      o[1] = static_cast<uint8_t>(c0 >> 8);
+      o[2] = static_cast<uint8_t>(c1 & 0xFF);
+      o[3] = static_cast<uint8_t>(c1 >> 8);
+      o[4] = static_cast<uint8_t>(bits & 0xFF);
+      o[5] = static_cast<uint8_t>((bits >> 8) & 0xFF);
+      o[6] = static_cast<uint8_t>((bits >> 16) & 0xFF);
+      o[7] = static_cast<uint8_t>(bits >> 24);
+    }
+  };
+
+  if (nthreads == 1) {
+    work(0, n);
+    return 0;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(nthreads);
+  int chunk = (n + nthreads - 1) / nthreads;
+  for (int i = 0; i < nthreads; i++) {
+    int lo_b = i * chunk, hi_b = lo_b + chunk < n ? lo_b + chunk : n;
+    if (lo_b >= hi_b) break;
+    threads.emplace_back(work, lo_b, hi_b);
+  }
+  for (auto& t : threads) t.join();
+  return 0;
+}
+
 // ---------------------------------------------------------------- BC7
 //
 // All 8 modes per the BC7 spec; partition/anchor/weight tables are the

@@ -954,6 +954,59 @@ class TestBc1Pool:
                                      backend="pallas", mipmap=True)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    def test_bc1_asset_passthrough(self):
+        """A BC1 ``.tex`` asset's own mip chain uploads VERBATIM
+        (``bc1_chains`` — no decode→re-encode generation loss, the
+        asset's chain honored even when it stops early): the pool rows
+        bake the asset's blocks and sampling equals a quad pool of the
+        asset's decoded levels bit-exactly. The fixture levels are
+        encoded with a DIFFERENT encoder (fixtures.encode_bc1_simple)
+        and are not box-filter related — re-encoding would not round-
+        trip, so equality proves the blocks passed through untouched."""
+        from mt_renderer_tpu import native
+        from mt_renderer_tpu.formats import tex as tex_mod
+        from mt_renderer_tpu.fixtures import encode_bc1_simple
+
+        rng = np.random.default_rng(7)
+        level_blobs = []
+        for lv in range(4):                  # 32..4 — partial chain
+            s = 32 >> lv
+            img = rng.integers(0, 256, (s, s, 4)).astype(np.uint8)
+            img[..., 3] = 255
+            level_blobs.append(encode_bc1_simple(img))
+        blob = tex_mod.write_texture(32, 32,
+                                     int(tex_mod.TextureFormat.BC1),
+                                     level_blobs,
+                                     levels=len(level_blobs))
+        tf = tex_mod.TextureFile(blob)
+        chain = tf.bc1_chain()
+        assert len(chain) == 4
+        batch = self._batch()                # one 64x64 demo texture
+        bc1 = device.upload(batch, pool_mode="bc1", bc1_chains=[chain])
+        assert bc1.num_mips == 4
+        # verbatim blocks in the pool's child anchor lanes
+        pool = np.asarray(bc1.mip_pool).reshape(-1, 64)
+        table = np.asarray(bc1.mip_table)
+        for lv, (blocks, h, w) in enumerate(chain):
+            off = table[0, lv, 0]
+            np.testing.assert_array_equal(pool[off, :8], blocks[0])
+        # oracle: quad pool of the asset's DECODED levels
+        dec = [native.decode_bc1(
+                   np.ascontiguousarray(b).tobytes(), w, h)
+               for b, h, w in chain]
+        quad = device.upload(batch, mip_chains=[dec])
+        n = 48
+        u = jnp.asarray(rng.uniform(-0.1, 1.1, (n, n)).astype(np.float32))
+        v = jnp.asarray(rng.uniform(-0.1, 1.1, (n, n)).astype(np.float32))
+        lod = jnp.asarray(rng.uniform(-1.0, 5.0, (n, n)).astype(np.float32))
+        layer = jnp.zeros((n, n), jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(device.sample_trilinear(bc1, layer, u, v, lod)),
+            np.asarray(device.sample_trilinear(quad, layer, u, v, lod)))
+        np.testing.assert_array_equal(
+            np.asarray(device.sample_bilinear(bc1, layer, u, v)),
+            np.asarray(device.sample_bilinear(quad, layer, u, v)))
+
     def test_bc1_rejects_nonmip_pallas(self):
         batch = self._batch()
         scene = device.upload(batch, pool_mode="bc1")

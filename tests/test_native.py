@@ -83,6 +83,30 @@ class TestNativeBc1:
         assert got[0, 3, 3] == 0   # transparent black texel
 
 
+class TestNativeBc1Encode:
+    def test_matches_python_encoder(self):
+        """The threaded native encoder (the compressed-resident pool's
+        content pipeline — ~90x the NumPy path on 2048^2 textures) must
+        match render.bcn.encode_bc1_numpy bit-for-bit: odd sizes (edge
+        padding), punch-through alpha, flat/degenerate blocks."""
+        from mt_renderer_tpu.render.bcn import encode_bc1_numpy
+
+        rng = np.random.default_rng(5)
+        cases = []
+        for h, w in ((37, 23), (64, 64), (4, 4), (1, 1), (5, 9)):
+            img = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+            img[..., 3] = np.where(rng.random((h, w)) < 0.3, 10, 255)
+            cases.append(img)
+        flat = np.full((8, 8, 4), [40, 41, 42, 255], np.uint8)
+        cases.append(flat)
+        allt = np.zeros((8, 8, 4), np.uint8)       # fully transparent
+        cases.append(allt)
+        for img in cases:
+            np.testing.assert_array_equal(
+                np.asarray(native.encode_bc1(img)),
+                encode_bc1_numpy(img))
+
+
 class TestNativeBc7:
     def test_matches_python_decoder_all_modes(self):
         """Random blocks hit every mode (lowest-set-bit selection) plus
