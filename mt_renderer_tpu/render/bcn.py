@@ -742,3 +742,248 @@ def decode_bc7_device(data, width: int, height: int):
 
     img = texels.reshape(bh, bw, 4, 4, 4).transpose(0, 2, 1, 3, 4)
     return img.reshape(bh * 4, bw * 4, 4)[:height, :width]
+
+
+# ---------------------------------------------------------------------------
+# single-texel BC7 decode — the compressed-resident SAMPLE-TIME arithmetic
+# ---------------------------------------------------------------------------
+
+
+def _bc7_weight(idx, ib: int):
+    """BC7 interpolation weight from the index value, ARITHMETICALLY —
+    ``(i*64 + (N-1)//2) // (N-1)`` with ``N = 2**ib`` reproduces the
+    spec weight tables exactly for ib=2/3/4 (pinned by
+    ``test_bc7_weight_formula``), so the per-pixel path pays integer
+    ops instead of a row-priced table gather."""
+    import jax.numpy as jnp
+
+    n1 = (1 << ib) - 1
+    return (idx.astype(jnp.int32) * 64 + (n1 >> 1)) // n1
+
+
+def bc7_block_hints(blocks: np.ndarray) -> np.ndarray:
+    """Bake per-block partition hints for the sample-time decode:
+    (B, 16) u8 BC7 blocks → (B, 2) uint32 ``[subset_word, anchors]``.
+    ``subset_word`` packs the block's 16 per-texel subset ids (2 bits
+    each, texel order); ``anchors`` packs anchor texels 1 and 2 (bytes
+    0-1; 0 where absent). Single-subset blocks (modes 4-6) bake zeros.
+    Passing these to ``bc7_texel_device(hint=...)`` replaces the
+    per-pixel 64-entry spec-table gathers of the partitioned modes with
+    plain integer ops — hints are pure functions of the block bits, so
+    they bake at upload, not per frame."""
+    blocks = np.ascontiguousarray(blocks, np.uint8).reshape(-1, 16)
+    byte0 = blocks[:, 0].astype(np.uint32)
+    lo = np.zeros(len(blocks), np.uint64)
+    for i in range(8):
+        lo |= blocks[:, i].astype(np.uint64) << (8 * i)
+    out = np.zeros((len(blocks), 2), np.uint32)
+    for mode in (0, 1, 2, 3, 7):
+        nsub, pbits_n = _MODES[mode][0], _MODES[mode][1]
+        is_mode = (byte0 & ((1 << (mode + 1)) - 1)) == (1 << mode)
+        if not is_mode.any():
+            continue
+        part = ((lo >> np.uint64(mode + 1))
+                & np.uint64((1 << pbits_n) - 1)).astype(np.int32)
+        if nsub == 2:
+            subs = _P2[part]
+            a1 = _ANCHOR2_1[part].astype(np.uint32)
+            a2 = np.zeros_like(a1)
+        else:
+            subs = _P3[part]
+            a1 = _ANCHOR3_1[part].astype(np.uint32)
+            a2 = _ANCHOR3_2[part].astype(np.uint32)
+        word = np.zeros(len(blocks), np.uint32)
+        for tx in range(16):
+            word |= subs[:, tx].astype(np.uint32) << (2 * tx)
+        out[is_mode, 0] = word[is_mode]
+        out[is_mode, 1] = (a1 | (a2 << 8))[is_mode]
+    return out
+
+
+def bc7_texel_device(w, t, modes=tuple(range(8)), hint=None):
+    """Decode ONE BC7 texel per pixel from its block's four u32 words.
+
+    The per-pixel twin of ``decode_bc7_device`` — what a compressed-
+    resident BC7 texel pool would run in the shade epilogue (the
+    reference's hardware sample-time decode, texture.rs:12-30). ``w``
+    is (..., 4) uint32 (the 16 B block little-endian), ``t`` (...)
+    int32 texel index ``(yt&3)*4 + (xt&3)``; ``modes`` statically
+    restricts which BC7 modes are computed (every listed mode is
+    evaluated for every pixel and the block's mode byte selects — the
+    all-modes cost is the sum of the listed modes' costs, which is the
+    whole pricing question ``tools/bench/bc7_probe.py`` answers).
+    ``hint`` (..., 2) uint32 from ``bc7_block_hints`` replaces the
+    partitioned modes' per-pixel subset/anchor table gathers with
+    integer ops (exact: the hint IS the block's true partition data;
+    non-matching modes' decodes are mask-discarded anyway).
+    Byte-exact vs ``decode_bc7_numpy`` for blocks of the listed modes.
+    Returns [r, g, b, a] int32 arrays (the ``_bc1_texel`` convention).
+    """
+    import jax.numpy as jnp
+
+    words = [w[..., i].astype(jnp.uint32) for i in range(4)]
+    t = t.astype(jnp.int32)
+
+    def bits_static(pos: int, count: int):
+        if count == 0:
+            return jnp.zeros_like(words[0])
+        wi, bo = divmod(pos, 32)
+        v = words[wi] >> bo
+        if bo + count > 32:
+            v = v | (words[wi + 1] << (32 - bo))
+        return v & jnp.uint32((1 << count) - 1)
+
+    def word_at(wi):
+        return jnp.where(
+            wi <= 1,
+            jnp.where(wi == 0, words[0], words[1]),
+            jnp.where(wi == 2, words[2], words[3]))
+
+    def bits_dynamic(start, count):
+        """start (...,) i32 traced bit position, count (...,) <= 8."""
+        wi = start >> 5
+        bo = (start & 31).astype(jnp.uint32)
+        wlo = word_at(wi)
+        whi = word_at(jnp.minimum(wi + 1, 3))
+        hi = jnp.where(bo > 0, whi << (jnp.uint32(32) - bo), jnp.uint32(0))
+        val = (wlo >> bo) | jnp.where(
+            bo.astype(jnp.int32) + count > 32, hi, jnp.uint32(0))
+        mask = (jnp.uint32(1) << count.astype(jnp.uint32)) - 1
+        return val & mask
+
+    def unquant(ep, bits: int, pbit):
+        ep = ep.astype(jnp.uint32)
+        if pbit is not None:
+            ep = (ep << 1) | pbit.astype(jnp.uint32)
+            bits = bits + 1
+        ep = ep << (8 - bits)
+        return ep | (ep >> bits)
+
+    p2f = jnp.asarray(_P2.reshape(-1).astype(np.int32))
+    p3f = jnp.asarray(_P3.reshape(-1).astype(np.int32))
+    a2_1 = jnp.asarray(_ANCHOR2_1.astype(np.int32))
+    a3_1 = jnp.asarray(_ANCHOR3_1.astype(np.int32))
+    a3_2 = jnp.asarray(_ANCHOR3_2.astype(np.int32))
+
+    def decode_mode(mode: int):
+        (nsub, pbits_n, rot_n, isb_n, cb, ab, npb, shared_pb, ib, ib2) = \
+            _MODES[mode]
+        pos = mode + 1
+        partition = bits_static(pos, pbits_n).astype(jnp.int32)
+        pos += pbits_n
+        rotation = bits_static(pos, rot_n).astype(jnp.int32)
+        pos += rot_n
+        idx_mode = bits_static(pos, isb_n).astype(jnp.int32)
+        pos += isb_n
+
+        neps = nsub * 2
+        nchan = 3 + (1 if ab else 0)
+        raw = [[None] * neps for _ in range(nchan)]
+        for c in range(nchan):
+            bits_c = cb if c < 3 else ab
+            for e in range(neps):
+                raw[c][e] = bits_static(pos, bits_c)
+                pos += bits_c
+        pvals = None
+        if npb:
+            pv = []
+            for _i in range(npb):
+                pv.append(bits_static(pos, 1))
+                pos += 1
+            if shared_pb:
+                pvals = [pv[e // 2] for e in range(neps)]
+            else:
+                pvals = pv
+
+        # this texel's subset + the block's anchor texels
+        if nsub == 1:
+            subset = jnp.zeros_like(t)
+            anchors = []                      # besides texel 0
+        elif hint is not None:
+            subset = ((hint[..., 0] >> (2 * t).astype(jnp.uint32))
+                      & 3).astype(jnp.int32)
+            anchors = [(hint[..., 1] & 0xFF).astype(jnp.int32)]
+            if nsub == 3:
+                anchors.append(
+                    ((hint[..., 1] >> 8) & 0xFF).astype(jnp.int32))
+        elif nsub == 2:
+            subset = p2f[partition * 16 + t]
+            anchors = [a2_1[partition]]
+        else:
+            subset = p3f[partition * 16 + t]
+            anchors = [a3_1[partition], a3_2[partition]]
+
+        # index-bit offset of texel t: every preceding texel contributes
+        # ib bits, minus one for each anchor (incl. texel 0) before it
+        off = ib * t - (t > 0).astype(jnp.int32)
+        is_anchor = t == 0
+        for a in anchors:
+            off = off - (a < t).astype(jnp.int32)
+            is_anchor = is_anchor | (t == a)
+        width = ib - is_anchor.astype(jnp.int32)
+        idx1 = bits_dynamic(pos + off, width)
+
+        if ib2:
+            pos2 = pos + 16 * ib - (1 + len(anchors))
+            off2 = ib2 * t - (t > 0).astype(jnp.int32)
+            width2 = ib2 - (t == 0).astype(jnp.int32)
+            idx2 = bits_dynamic(pos2 + off2, width2)
+        else:
+            idx2 = None
+
+        def pick(vals):
+            """select vals[2s(+1)] for this texel's subset s (<=3 opts)."""
+            if nsub == 1:
+                return vals[0]
+            if nsub == 2:
+                return jnp.where(subset == 0, vals[0], vals[1])
+            return jnp.where(subset == 0, vals[0],
+                             jnp.where(subset == 1, vals[1], vals[2]))
+
+        eps = []                              # [e0/e1][chan]
+        for k in range(2):
+            chans = []
+            for c in range(4):
+                if c < nchan:
+                    bits_c = cb if c < 3 else ab
+                    vals = [unquant(raw[c][2 * s + k], bits_c,
+                                    pvals[2 * s + k] if pvals else None)
+                            for s in range(nsub)]
+                    chans.append(pick(vals))
+                else:
+                    chans.append(jnp.full_like(words[0], 255))
+            eps.append(chans)
+
+        if mode == 4:
+            wa = _bc7_weight(idx1, 2)
+            wb = _bc7_weight(idx2, 3)
+            w_color = jnp.where(idx_mode == 0, wa, wb)
+            w_alpha = jnp.where(idx_mode == 0, wb, wa)
+        elif mode == 5:
+            w_color = _bc7_weight(idx1, 2)
+            w_alpha = _bc7_weight(idx2, 2)
+        else:
+            w_color = _bc7_weight(idx1, ib)
+            w_alpha = w_color
+
+        out = []
+        for c in range(4):
+            wgt = w_color if c < 3 else w_alpha
+            out.append(((eps[0][c].astype(jnp.int32) * (64 - wgt)
+                         + eps[1][c].astype(jnp.int32) * wgt + 32) >> 6))
+
+        if rot_n:
+            for r, c in ((1, 0), (2, 1), (3, 2)):
+                m = rotation == r
+                col, alp = out[c], out[3]
+                out[c] = jnp.where(m, alp, col)
+                out[3] = jnp.where(m, col, alp)
+        return out
+
+    byte0 = (words[0] & 0xFF).astype(jnp.int32)
+    out = [jnp.zeros_like(t) for _ in range(4)]
+    for mode in modes:
+        is_mode = (byte0 & ((1 << (mode + 1)) - 1)) == (1 << mode)
+        dec = decode_mode(mode)
+        out = [jnp.where(is_mode, d, o) for d, o in zip(dec, out)]
+    return out

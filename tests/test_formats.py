@@ -581,6 +581,74 @@ class TestBc7Device:
         got = np.asarray(f(np.frombuffer(data, np.uint8), 32, 16))
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize("mode", range(8))
+    def test_single_texel_matches_numpy(self, mode):
+        """The per-pixel sample-time decode (what a compressed-resident
+        BC7 pool would run in the shade epilogue, priced by
+        tools/bench/bc7_probe.py) is byte-exact vs the full-block
+        oracle at every texel position of every mode."""
+        import jax.numpy as jnp
+
+        from mt_renderer_tpu.render.bcn import (bc7_texel_device,
+                                                decode_bc7_numpy)
+
+        rng = np.random.default_rng(100 + mode)
+        nb = 32
+        blocks = self._random_blocks_of_mode(mode, nb, rng)
+        want = decode_bc7_numpy(blocks.tobytes(), 4 * nb, 4)
+        w32 = blocks.reshape(nb, 4, 4).astype(np.uint32)
+        w = (w32[:, :, 0] | (w32[:, :, 1] << 8) | (w32[:, :, 2] << 16)
+             | (w32[:, :, 3] << 24))
+        got = bc7_texel_device(
+            jnp.asarray(np.repeat(w, 16, axis=0)),
+            jnp.asarray(np.tile(np.arange(16, dtype=np.int32), nb)),
+            modes=(mode,))
+        got = np.stack([np.asarray(g) for g in got], -1).reshape(nb, 16, 4)
+        wantb = np.stack(
+            [want[:, 4 * b:4 * b + 4].reshape(16, 4) for b in range(nb)])
+        np.testing.assert_array_equal(got, wantb)
+
+    @pytest.mark.parametrize("mode", (0, 1, 2, 3, 7))
+    def test_single_texel_hint_matches(self, mode):
+        """Baked per-block partition hints (subset word + anchors)
+        reproduce the table-gather path exactly for every partitioned
+        mode — the hint variant is what a compressed-resident BC7 pool
+        would gather alongside the blocks."""
+        import jax.numpy as jnp
+
+        from mt_renderer_tpu.render.bcn import (bc7_block_hints,
+                                                bc7_texel_device,
+                                                decode_bc7_numpy)
+
+        rng = np.random.default_rng(200 + mode)
+        nb = 32
+        blocks = self._random_blocks_of_mode(mode, nb, rng)
+        want = decode_bc7_numpy(blocks.tobytes(), 4 * nb, 4)
+        w32 = blocks.reshape(nb, 4, 4).astype(np.uint32)
+        w = (w32[:, :, 0] | (w32[:, :, 1] << 8) | (w32[:, :, 2] << 16)
+             | (w32[:, :, 3] << 24))
+        hints = bc7_block_hints(blocks)
+        got = bc7_texel_device(
+            jnp.asarray(np.repeat(w, 16, axis=0)),
+            jnp.asarray(np.tile(np.arange(16, dtype=np.int32), nb)),
+            modes=(mode,),
+            hint=jnp.asarray(np.repeat(hints, 16, axis=0)))
+        got = np.stack([np.asarray(g) for g in got], -1).reshape(nb, 16, 4)
+        wantb = np.stack(
+            [want[:, 4 * b:4 * b + 4].reshape(16, 4) for b in range(nb)])
+        np.testing.assert_array_equal(got, wantb)
+
+    def test_weight_formula_matches_tables(self):
+        """_bc7_weight's arithmetic reproduces the spec weight tables
+        (so the per-pixel path pays integer ops, not table gathers)."""
+        import jax.numpy as jnp
+
+        from mt_renderer_tpu.render.bcn import _WEIGHTS, _bc7_weight
+
+        for ib, table in _WEIGHTS.items():
+            calc = np.asarray(_bc7_weight(jnp.arange(len(table)), ib))
+            np.testing.assert_array_equal(calc, table.astype(np.int64))
+
 
 class TestConcurrency:
     def test_concurrent_archive_reads(self, tmp_path):
