@@ -761,6 +761,87 @@ def _bc7_weight(idx, ib: int):
     return (idx.astype(jnp.int32) * 64 + (n1 >> 1)) // n1
 
 
+def encode_bc7_mode6_numpy(img: np.ndarray) -> np.ndarray:
+    """Encode (h, w, 4) u8 RGBA → (bh·bw, 16) u8 BC7 blocks, mode 6.
+
+    The synthetic-content pipeline for a compressed-resident BC7 pool
+    (the bc7 twin of ``encode_bc1_numpy``; real assets pass their own
+    blocks through verbatim). Mode 6 is the single-subset RGBA mode
+    (7-bit endpoints + per-endpoint pbit, 4-bit indices): endpoints =
+    per-channel min/max reconstructed through the pbit quantizer,
+    indices by projection onto the endpoint diagonal, the anchor
+    texel's implicit-MSB constraint handled by endpoint swap
+    (weights[15-i] = 64-weights[i]). Deterministic; quality is
+    fixture-grade, not a production encoder — decode defines truth.
+    """
+    img = np.ascontiguousarray(img[..., :4], np.uint8)
+    h, w = img.shape[:2]
+    bh, bw = (h + 3) // 4, (w + 3) // 4
+    pad = np.pad(img, ((0, bh * 4 - h), (0, bw * 4 - w), (0, 0)),
+                 mode="edge")
+    blocks = pad.reshape(bh, 4, bw, 4, 4).transpose(0, 2, 1, 3, 4)
+    blocks = blocks.reshape(-1, 16, 4).astype(np.int32)     # (B, 16, 4)
+    nb = len(blocks)
+
+    def quant(e):
+        """8-bit endpoint vector → (v7 (B, 4), pbit (B,)) minimizing L1
+        under the shared-pbit constraint; returns the reconstruction."""
+        best = None
+        for p in (0, 1):
+            v7 = np.clip((e - p + 1) >> 1, 0, 127)
+            r = (v7 << 1) | p
+            err = np.abs(r - e).sum(1)
+            if best is None:
+                best = (err, v7, np.full(nb, p), r)
+            else:
+                take = err < best[0]
+                best = (np.where(take, err, best[0]),
+                        np.where(take[:, None], v7, best[1]),
+                        np.where(take, p, best[2]),
+                        np.where(take[:, None], r, best[3]))
+        return best[1], best[2], best[3]
+
+    v70, p0, r0 = quant(blocks.min(1))
+    v71, p1, r1 = quant(blocks.max(1))
+    d = (r1 - r0).astype(np.float32)
+    dd = np.maximum((d * d).sum(1), 1e-9)
+    t = (((blocks - r0[:, None]).astype(np.float32)
+          * d[:, None]).sum(2) / dd[:, None])               # (B, 16)
+    wtab = _WEIGHTS[4].astype(np.float32) / 64.0
+    idx = np.abs(t[:, :, None] - wtab[None, None]).argmin(2)
+
+    swap = idx[:, 0] >= 8
+    v70s = np.where(swap[:, None], v71, v70)
+    v71s = np.where(swap[:, None], v70, v71)
+    p0s = np.where(swap, p1, p0)
+    p1s = np.where(swap, p0, p1)
+    idx = np.where(swap[:, None], 15 - idx, idx)
+
+    bits = np.zeros((nb, 128), np.uint8)
+
+    def put(pos, vals, count):
+        for k in range(count):
+            bits[:, pos + k] = (vals >> k) & 1
+
+    bits[:, 6] = 1                                          # mode 6
+    pos = 7
+    for c in range(4):
+        for v in (v70s[:, c], v71s[:, c]):
+            put(pos, v, 7)
+            pos += 7
+    put(pos, p0s, 1)
+    put(pos + 1, p1s, 1)
+    pos += 2
+    put(pos, idx[:, 0], 3)                                  # anchor: 3 bits
+    pos += 3
+    for tx in range(1, 16):
+        put(pos, idx[:, tx], 4)
+        pos += 4
+    assert pos == 128
+    weights = (1 << (np.arange(8, dtype=np.uint16) % 8)).astype(np.uint8)
+    return (bits.reshape(nb, 16, 8) * weights).sum(2).astype(np.uint8)
+
+
 def bc7_block_hints(blocks: np.ndarray) -> np.ndarray:
     """Bake per-block partition hints for the sample-time decode:
     (B, 16) u8 BC7 blocks → (B, 2) uint32 ``[subset_word, anchors]``.

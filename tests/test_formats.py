@@ -638,6 +638,28 @@ class TestBc7Device:
             [want[:, 4 * b:4 * b + 4].reshape(16, 4) for b in range(nb)])
         np.testing.assert_array_equal(got, wantb)
 
+    def test_encode_mode6_roundtrip(self):
+        """The synthetic-content mode-6 encoder produces decodable
+        blocks: solid blocks round-trip within the shared-pbit +-1,
+        smooth gradients within interpolation granularity."""
+        from mt_renderer_tpu.render.bcn import (decode_bc7_numpy,
+                                                encode_bc7_mode6_numpy)
+
+        rng = np.random.default_rng(3)
+        solid = np.repeat(np.repeat(
+            rng.integers(0, 256, (4, 4, 4), np.uint8), 4, 0), 4, 1)
+        dec = decode_bc7_numpy(
+            encode_bc7_mode6_numpy(solid).tobytes(), 16, 16)
+        assert np.abs(dec.astype(int) - solid.astype(int)).max() <= 1
+
+        y, x = np.mgrid[0:32, 0:32]
+        grad = np.stack([x * 8, y * 8, (x + y) * 4,
+                         np.full_like(x, 255)], -1).astype(np.uint8)
+        blk = encode_bc7_mode6_numpy(grad)
+        assert set((blk[:, 0] & 0x7F).tolist()) == {0x40}   # all mode 6
+        dec = decode_bc7_numpy(blk.tobytes(), 32, 32)
+        assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 16
+
     def test_weight_formula_matches_tables(self):
         """_bc7_weight's arithmetic reproduces the spec weight tables
         (so the per-pixel path pays integer ops, not table gathers)."""
