@@ -137,16 +137,30 @@ class TextureFile:
         if self.format != TextureFormat.BC1:
             raise ValueError(
                 f"bc1_chain needs a BC1 texture (format {self.format})")
+        return self._bcn_chain(8)
+
+    def bc7_chain(self) -> list:
+        """The stored BC7 mip chain as ``[(blocks (nb, 16) u8, h, w),
+        …]`` — the zero-recompression feed for
+        ``device.upload(pool_mode="bc7", bc7_chains=…)`` (see
+        ``bc1_chain``)."""
+        if self.format not in (TextureFormat.BC7, TextureFormat.BC7_42):
+            raise ValueError(
+                f"bc7_chain needs a BC7 texture (format {self.format})")
+        return self._bcn_chain(16)
+
+    def _bcn_chain(self, block_bytes: int) -> list:
         chain = []
         for lv in range(self.level_count):
             w, h = self.mip_size(lv)
             nb = ((h + 3) // 4) * ((w + 3) // 4)
             raw = self.image_bytes(lv)
-            if len(raw) < nb * 8:
+            if len(raw) < nb * block_bytes:
                 raise ValueError(
-                    f"BC1 mip {lv} truncated: {len(raw)} < {nb * 8}")
-            blocks = np.frombuffer(raw[: nb * 8],
-                                   dtype=np.uint8).reshape(nb, 8)
+                    f"BCn mip {lv} truncated: "
+                    f"{len(raw)} < {nb * block_bytes}")
+            blocks = np.frombuffer(raw[: nb * block_bytes],
+                                   dtype=np.uint8).reshape(nb, block_bytes)
             chain.append((blocks, h, w))
         return chain
 

@@ -124,8 +124,20 @@ class DeviceScene:
     # or "bc1" (COMPRESSED-resident, r5: 64 B per 4x4 block = 4
     # B/texel, one row-priced gather per trilinear tap + in-register
     # BC1 decode — the reference's keep-BCn-in-VRAM envelope,
-    # texture.rs:12-30)
+    # texture.rs:12-30), or "bc7" (ditto at 16 B/block = 1 B/texel
+    # logical rows of 128 B: 2x2 child + 2x2 parent BLOCK groups, 8
+    # in-register all-mode BC7 texel decodes per trilinear tap)
     pool_mode: str = "quad"   # static
+    # pool_mode="bc7" only: the packed per-block partition-hint pool
+    # (bcn.bc7_block_hints baked into 64 B logical rows mirroring the
+    # block rows — replaces the partitioned modes' per-pixel 64-entry
+    # spec-table gathers with ONE extra row-priced gather); a (1, 128)
+    # dummy otherwise
+    aux_pool: jax.Array = None
+    # pool_mode="bc7" only: the BC7 modes actually present in the
+    # uploaded blocks (static — the sampler compiles ONLY these modes'
+    # decodes; mode-6 synthetic content pays mode 6 alone)
+    bc7_modes: tuple = ()     # static
 
     def tree_flatten(self):
         children = (
@@ -136,14 +148,17 @@ class DeviceScene:
             self.tri_valid, self.tri_parts, self.parts_mask,
             self.tex_size,
             self.mip_pool, self.mip_table,
-            self.cols_const, self.tri_vis,
+            self.cols_const, self.tri_vis, self.aux_pool,
         )
         return children, (self.num_joints, self.skinned, self.num_mips,
-                          self.pool_mode)
+                          self.pool_mode, self.bc7_modes)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        *main, aux_pool = children
+        num_joints, skinned, num_mips, pool_mode, bc7_modes = aux
+        return cls(*main, num_joints, skinned, num_mips, pool_mode,
+                   aux_pool, bc7_modes)
 
 
 def pool_budget_default() -> int | None:
@@ -276,6 +291,37 @@ def _build_bc1_pool(cpool, segs_h: np.ndarray):
     return _packed_pool_build(cpool, segs_h, _bc1_chunk_rows)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",),
+                   donate_argnums=(3,))
+def _bc7_pool_build_steps(src_pool, segs, starts, out, chunk: int):
+    """Unpacked twin of _pool_build_steps for 128 B logical rows
+    (bc7: 8 x 16 B blocks fill the physical row exactly — no pair
+    packing). Same donated-accumulate structure."""
+    def step(i, out):
+        vals = _bc1_chunk_rows(src_pool, segs, starts[i], chunk)
+        return jax.lax.dynamic_update_slice(out, vals, (starts[i], 0))
+    return jax.lax.fori_loop(0, starts.shape[0], step, out)
+
+
+def _build_bc7_pool(cpool, segs_h: np.ndarray):
+    """(B, 16) u8 compact BC7 blocks → (B, 128) u8 bc7 pool: each row
+    the 2x2 child-block group + 2x2 parent-block group of one 4x4
+    block (the _bc1_chunk_rows geometry at 16 B/block — 8 blocks fill
+    the 128 B u8 tile row exactly, one physical row per logical row).
+    Built on device: host upload traffic stays the compact blocks'
+    1 B/src texel."""
+    rows = int(cpool.shape[0])
+    if segs_h.size == 0:
+        segs_h = np.array([[0, 1, 1, -1, 1, 1]], np.int32)
+    segs = jax.device_put(np.asarray(segs_h, np.int32))
+    chunk = min(_TRI_BUILD_CHUNK, max(1 << 11, rows))
+    chunk = min(chunk, rows)
+    starts = np.arange(0, rows, chunk, dtype=np.int32)
+    starts = jnp.asarray(np.minimum(starts, rows - chunk))
+    out = jnp.zeros((rows, 128), jnp.uint8)
+    return _bc7_pool_build_steps(cpool, segs, starts, out, chunk)
+
+
 def _build_tri_pool(qpool, segs_h: np.ndarray):
     """(R, 16) u8 quad pool → (ceil(R/2), 128) u8 tri pool: logical
     64 B rows (quad + 3x3 parent block), TWO texels packed per physical
@@ -319,7 +365,8 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
            pool_bias: int | str = 0,
            mipmap: bool | None = None,
            mip_chains: list | None = None,
-           bc1_chains: list | None = None) -> DeviceScene:
+           bc1_chains: list | None = None,
+           bc7_chains: list | None = None) -> DeviceScene:
     """Pad + device_put a host DrawBatch. Called once at load time.
 
     ``pool_mode``: "quad" (default) stores each texel's full 2x2
@@ -397,8 +444,24 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
     pool VERBATIM (no decode→box-filter→re-encode generation loss, and
     the asset's own mip chain is honored — exactly the reference's
     upload, rtexture.rs); each level is host-decoded once for the
-    budget/bias/opacity bookkeeping."""
-    if pool_mode not in ("quad", "narrow", "auto", "tri", "bc1"):
+    budget/bias/opacity bookkeeping.
+
+    ``pool_mode="bc7"`` (r5): the same compressed-resident envelope for
+    BC7 content — 16 B blocks stay resident (1 B/texel logical rows of
+    128 B: 2x2 child + 2x2 parent BLOCK groups, _build_bc7_pool) and
+    the shade epilogue runs 8 in-register single-texel BC7 decodes per
+    trilinear tap (bcn.bc7_texel_device — exact, all modes). Only the
+    modes PRESENT in the uploaded blocks compile (static
+    ``scene.bc7_modes``); blocks of the partitioned modes (0-3, 7)
+    additionally gather a baked per-block partition-hint row
+    (bcn.bc7_block_hints, ``aux_pool``) instead of per-pixel spec-table
+    lookups. Synthetic content encodes via the mode-6 fixture encoder
+    (lossy — opt-in like bc1); real assets pass ``bc7_chains``
+    (``(blocks (nb, 16) u8, height, width)`` per level, e.g.
+    ``TextureFile.bc7_chain``) through VERBATIM. Sampling cost is
+    priced by tools/bench/bc7_probe.py; same backend constraints as
+    bc1 (mipmap pallas path or scan)."""
+    if pool_mode not in ("quad", "narrow", "auto", "tri", "bc1", "bc7"):
         raise ValueError(f"unknown pool_mode {pool_mode!r}")
     if pool_budget_bytes is None:
         pool_budget_bytes = pool_budget_default()
@@ -454,27 +517,35 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
     n_mips = 1
     src_texs = texs if texs else [np.zeros((4, 4, 4), np.uint8)]
     raw_chains = None
-    if bc1_chains is not None:
+    if bc1_chains is not None or bc7_chains is not None:
         # pre-compressed asset chains: decode each level ONCE for the
         # bookkeeping (budget/bias/opacity all read decoded shapes and
         # alpha), keep the raw blocks for the pool
-        if pool_mode != "bc1":
-            raise ValueError("bc1_chains requires pool_mode='bc1'")
+        bcn_chains, want_mode, blk_b = (
+            (bc1_chains, "bc1", 8) if bc1_chains is not None
+            else (bc7_chains, "bc7", 16))
+        if pool_mode != want_mode:
+            raise ValueError(
+                f"{want_mode}_chains requires pool_mode={want_mode!r}")
         if mip_chains is not None:
-            raise ValueError("pass mip_chains OR bc1_chains, not both")
+            raise ValueError(
+                f"pass mip_chains OR {want_mode}_chains, not both")
+        if bc1_chains is not None and bc7_chains is not None:
+            raise ValueError("pass bc1_chains OR bc7_chains, not both")
         from .. import native as _nat
 
-        assert len(bc1_chains) == len(src_texs)
+        assert len(bcn_chains) == len(src_texs)
         raw_chains = [
-            [np.ascontiguousarray(blocks, np.uint8).reshape(-1, 8)
+            [np.ascontiguousarray(blocks, np.uint8).reshape(-1, blk_b)
              for blocks, _h, _w in chain]
-            for chain in bc1_chains
+            for chain in bcn_chains
         ]
+        _dec = _nat.decode_bc1 if want_mode == "bc1" else _nat.decode_bc7
         mip_chains = [
-            [_nat.decode_bc1(
+            [_dec(
                 np.ascontiguousarray(blocks, np.uint8).tobytes(), w, h)
              for blocks, h, w in chain]
-            for chain in bc1_chains
+            for chain in bcn_chains
         ]
     if mip_chains is not None:
         # precomputed per-texture mip chains (content pipelines / the
@@ -491,13 +562,16 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
             n_mips = max(n_mips, len(chain))
             tables.append(chain)
     def _rows_at(chains, mode="quad"):
-        if mode == "bc1":           # one pool row per 4x4 block
+        if mode in ("bc1", "bc7"):  # one pool row per 4x4 block
             return sum(((img.shape[0] + 3) // 4) * ((img.shape[1] + 3) // 4)
                        for chain in chains for img in chain)
         return sum(img.shape[0] * img.shape[1]
                    for chain in chains for img in chain)
 
-    _ROW_B = {"quad": 16, "auto": 16, "narrow": 4, "tri": 64, "bc1": 64}
+    # live bytes per logical row; bc7 = 128 B block row + the hint
+    # pool's 64 B/block physical share (both gathered-from)
+    _ROW_B = {"quad": 16, "auto": 16, "narrow": 4, "tri": 64, "bc1": 64,
+              "bc7": 192}
 
     def _pool_need(rows: int, mode: str) -> int:
         """Live in-program bytes to budget for a gathered-from pool:
@@ -575,12 +649,14 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
             [img, img[:, xr], img[yd], img[yd][:, xr]], axis=-1
         ).reshape(-1, 16)
 
-    row_bytes = {"quad": 16, "tri": 16, "narrow": 4, "bc1": 8}[pool_mode]
+    row_bytes = {"quad": 16, "tri": 16, "narrow": 4, "bc1": 8,
+                 "bc7": 16}[pool_mode]
     table = np.zeros((len(src_texs), n_mips, 3), np.int32)
     segs = []     # (off, h, w, parent_off|-1, ph, pw) per stored level
-                  # — texel units (quad/tri) or 4x4-block units (bc1)
-    if pool_mode == "bc1":
+                  # — texel units (quad/tri) or 4x4-block units (bc1/bc7)
+    if pool_mode in ("bc1", "bc7"):
         from .. import native as _native
+        from . import bcn
 
         def _bdims(im):
             return (im.shape[0] + 3) // 4, (im.shape[1] + 3) // 4
@@ -589,13 +665,15 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
             img = chain[min(mi, len(chain) - 1)]
             if mi < len(chain):
                 table[li, mi] = (offset, img.shape[0], img.shape[1])
-                if pool_mode == "bc1":
+                if pool_mode in ("bc1", "bc7"):
                     bh_, bw_ = _bdims(img)
                     if raw_chains is not None:
                         blk = raw_chains[li][mi]
                         assert blk.shape[0] == bh_ * bw_, (
                             blk.shape, img.shape)
                         pool_parts.append(blk)
+                    elif pool_mode == "bc7":
+                        pool_parts.append(bcn.encode_bc7_mode6_numpy(img))
                     else:
                         pool_parts.append(_native.encode_bc1(img))
                     if mi + 1 < len(chain):
@@ -676,6 +754,8 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
                              ).astype(np.float32)
 
     dp = jax.device_put
+    aux_pool_dev = None
+    bc7_modes = ()
     if pool_mode == "tri":
         mip_pool_dev = _build_tri_pool(dp(mip_pool),
                                        np.asarray(segs, np.int32))
@@ -684,8 +764,27 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
         # neighbor+parent-baked 64 B rows assemble on device
         mip_pool_dev = _build_bc1_pool(dp(mip_pool),
                                        np.asarray(segs, np.int32))
+    elif pool_mode == "bc7":
+        # compact 16 B blocks up; 128 B child+parent block-group rows
+        # bake on device. Only the modes PRESENT compile into the
+        # sampler (static), and the partition-hint pool exists only
+        # when partitioned modes (0-3, 7) do.
+        from . import bcn as _bcn
+
+        mip_pool_dev = _build_bc7_pool(dp(mip_pool),
+                                       np.asarray(segs, np.int32))
+        byte0 = mip_pool[:, 0]
+        bc7_modes = tuple(
+            m for m in range(8)
+            if ((byte0 & ((1 << (m + 1)) - 1)) == (1 << m)).any())
+        if any(m in (0, 1, 2, 3, 7) for m in bc7_modes):
+            hints = _bcn.bc7_block_hints(mip_pool).view(np.uint8)
+            aux_pool_dev = _build_bc1_pool(dp(hints),
+                                           np.asarray(segs, np.int32))
     else:
         mip_pool_dev = dp(mip_pool)
+    if aux_pool_dev is None:
+        aux_pool_dev = dp(np.zeros((1, 128), np.uint8))
     return DeviceScene(
         positions=dp(pos_src[corner]),
         uvs=dp(uv_src[corner]),
@@ -703,6 +802,7 @@ def upload(batch: DrawBatch, pool_mode: str = "quad", *,
         tri_vis=dp(valid & parts_mask[tri_parts]),
         num_joints=nj, skinned=bool(batch.skinned), num_mips=n_mips,
         pool_mode=pool_mode,
+        aux_pool=aux_pool_dev, bc7_modes=bc7_modes,
     )
 
 
@@ -714,21 +814,28 @@ def pool_stats(scene: DeviceScene) -> dict:
     the pool cost (tri/bc1 pools assemble their wide rows on device
     from a compact upload)."""
     rows, row_bytes = scene.mip_pool.shape
-    if row_bytes == 128:
+    if row_bytes == 128 and scene.pool_mode != "bc7":
         rows *= 2             # tri/bc1 pools: two 64 B logical rows
         row_bytes = 64        # per physical 128 B row (u8 tile stride)
     src = int(np.sum(np.asarray(scene.tex_size).prod(axis=1)))
     upload_b = rows * {"quad": 16, "narrow": 4,
                        "tri": 16,   # device-built from the quad rows
                        "bc1": 8,    # compact 8 B blocks
+                       "bc7": 16,   # compact 16 B blocks
                        }[scene.pool_mode]
+    total_b = rows * row_bytes
+    if scene.pool_mode == "bc7" and scene.aux_pool.shape[0] > 1:
+        # the baked partition-hint pool (present only when partitioned
+        # modes are): 8 B/block compact upload, 64 B/block resident
+        upload_b += rows * 8
+        total_b += int(np.prod(scene.aux_pool.shape))
     return {
         "pool_mode": scene.pool_mode,
-        "rows": int(rows),    # logical rows: texels, or 4x4 blocks (bc1)
-        "bytes": int(rows * row_bytes),
+        "rows": int(rows),    # logical rows: texels, or 4x4 blocks (bcn)
+        "bytes": int(total_b),
         "upload_bytes": int(upload_b),
         "src_texels": src,
-        "bytes_per_src_texel": round(rows * row_bytes / max(src, 1), 2),
+        "bytes_per_src_texel": round(total_b / max(src, 1), 2),
     }
 
 
@@ -1244,7 +1351,9 @@ def shade_fwd(scene: DeviceScene, attrs, ib, mipmap: bool = False,
         lod = _analytic_lod(u, v, *grads, attrs[10], attrs[11])
         albedo = _trilinear_arith(scene.mip_pool, off0, th, tw, lod, u, v,
                                   scene.num_mips, planes=True,
-                                  mode=scene.pool_mode)
+                                  mode=scene.pool_mode,
+                                  aux=scene.aux_pool,
+                                  bc7_modes=scene.bc7_modes)
     else:
         # mip-0 pool location straight from the winner's constant
         # columns — no per-pixel mip-table gathers (off/h/w lookups were
@@ -1570,7 +1679,8 @@ def _mip_albedo_channels(scene: DeviceScene, m):
                         m[:, 5], m[:, 6])
     albedo = _trilinear_arith(scene.mip_pool, off0, th, tw, lod, u, v,
                               scene.num_mips, planes=True,
-                              mode=scene.pool_mode)
+                              mode=scene.pool_mode, aux=scene.aux_pool,
+                              bc7_modes=scene.bc7_modes)
     return list(jax.lax.optimization_barrier(
         tuple(albedo[c] for c in range(4))))
 
@@ -1696,10 +1806,15 @@ def sample_bilinear(scene: DeviceScene, layer, u, v, planes: bool = False):
     flat texel pool. layer/u/v are (H, W); returns (H, W, 4) f32 0-255,
     or channel-plane (4, H, W) when ``planes``."""
     lc = jnp.clip(layer, 0, scene.mip_table.shape[0] - 1)
-    if scene.pool_mode == "bc1":
+    if scene.pool_mode in ("bc1", "bc7"):
         m = scene.mip_table.shape[1]
         tflat = scene.mip_table.reshape(-1, 3)
         tidx = lc * m
+        if scene.pool_mode == "bc7":
+            return _bc7_bilinear(scene.mip_pool, scene.aux_pool,
+                                 scene.bc7_modes, tflat[:, 0][tidx],
+                                 tflat[:, 1][tidx], tflat[:, 2][tidx],
+                                 u, v, planes=planes)
         return _bc1_bilinear(scene.mip_pool, tflat[:, 0][tidx],
                              tflat[:, 1][tidx], tflat[:, 2][tidx],
                              u, v, planes=planes)
@@ -1791,14 +1906,16 @@ def sample_trilinear(scene: DeviceScene, layer, u, v, lod,
     scene is the layout-fusion ±1 ulp trap (CLAUDE.md). On a bc1 pool
     the same fused sampler decodes the blocks in-register."""
     lc = jnp.clip(layer, 0, scene.mip_table.shape[0] - 1)
-    if scene.pool_mode == "bc1" or scene.mip_pool.shape[-1] == 128:
+    if (scene.pool_mode in ("bc1", "bc7")
+            or scene.mip_pool.shape[-1] == 128):
         m = scene.mip_table.shape[1]
         tflat = scene.mip_table.reshape(-1, 3)
         t0 = lc * m
         return _trilinear_arith(
             scene.mip_pool, tflat[:, 0][t0], tflat[:, 1][t0],
             tflat[:, 2][t0], lod, u, v, scene.num_mips, planes=planes,
-            mode=scene.pool_mode)
+            mode=scene.pool_mode, aux=scene.aux_pool,
+            bc7_modes=scene.bc7_modes)
     lod = jnp.clip(lod, 0.0, float(scene.num_mips - 1))
     m0 = jnp.floor(lod).astype(jnp.int32)
     m1 = jnp.minimum(m0 + 1, scene.num_mips - 1)
@@ -1850,14 +1967,17 @@ def _mip_arith(off0, th, tw, m, num_mips: int):
 
 
 def _trilinear_arith(pool, off0, th, tw, lod, u, v, num_mips: int,
-                     planes: bool = False, mode: str = "texel"):
+                     planes: bool = False, mode: str = "texel",
+                     aux=None, bc7_modes: tuple = ()):
     """Trilinear sample with arithmetic mip addressing (see _mip_arith).
     Reproduces sample_trilinear exactly: lod clips to [0, num_mips-1],
     levels clamp to the texture's last real level (the table repeats it,
     so blending past the end degenerates to that level). ``mode`` is
-    the scene's pool_mode: "bc1" routes the block-row pool through the
-    in-register decode sampler (off0/the offset walk are then in BLOCK
-    rows); anything else dispatches texel pools by row width."""
+    the scene's pool_mode: "bc1"/"bc7" route the block-row pool through
+    the in-register decode samplers (off0/the offset walk are then in
+    BLOCK rows; bc7 reads ``aux``/``bc7_modes`` — the hint pool and the
+    static modes-present tuple); anything else dispatches texel pools
+    by row width."""
     big = jnp.maximum(th, tw)
     mmax = jnp.zeros_like(th)
     for m in range(1, num_mips):
@@ -1868,10 +1988,14 @@ def _trilinear_arith(pool, off0, th, tw, lod, u, v, num_mips: int,
     fm = fm[None] if planes else fm[..., None]
     m0 = jnp.minimum(m0f.astype(jnp.int32), mmax)
     m1 = jnp.minimum(m0 + 1, mmax)
-    if mode == "bc1":
+    if mode in ("bc1", "bc7"):
         off_a, hm0, wm0 = _mip_arith_bc1(off0, th, tw, m0, num_mips)
         hm1 = jnp.maximum(th >> m1, 1)
         wm1 = jnp.maximum(tw >> m1, 1)
+        if mode == "bc7":
+            return _bc7_trilinear_fused(pool, aux, bc7_modes, off_a,
+                                        hm0, wm0, hm1, wm1, m0, m1, fm,
+                                        u, v, planes)
         return _bc1_trilinear_fused(pool, off_a, hm0, wm0, hm1, wm1,
                                     m0, m1, fm, u, v, planes)
     # ONE offset walk: levels are contiguous in the pool, so
@@ -2127,6 +2251,143 @@ def _bc1_trilinear_fused(pool, off0, hm0, wm0, hm1, wm1, m0, m1, fm,
     quad1 = _bc1_quad(c0s, c1s, bits, 4,
                       [(xp0, yp0, sx0, sy0), (xp1, yp0, sx1, sy0),
                        (xp0, yp1, sx0, sy1), (xp1, yp1, sx1, sy1)])
+    s1p = _contract_quad(quad1, fx1, fy1, planes)
+    deep = m1 > m0
+    deep = deep[None] if planes else deep[..., None]
+    s1 = jnp.where(deep, s1p, s0)
+    return s0 * (1 - fm) + s1 * fm
+
+
+# ------------------------------------------------- bc7-resident sampling
+
+
+def _bc7_needs_hint(modes) -> bool:
+    """Partitioned modes (2/3 subsets) read the baked hint pool."""
+    return any(m in (0, 1, 2, 3, 7) for m in modes)
+
+
+def _bc7_row_words(row, n: int = 8):
+    """(…, 128) u8 bc7 row → list of n (…, 4) u32 word vectors, one
+    per baked 16 B sub-block (0-3 child group, 4-7 parent group). Pure
+    lane slices — XLA DCEs any sub-block no tap selects."""
+    u = row.astype(jnp.uint32)
+    out = []
+    for s in range(n):
+        o = 16 * s
+        out.append(jnp.stack(
+            [u[..., o + 4 * k] | (u[..., o + 4 * k + 1] << 8)
+             | (u[..., o + 4 * k + 2] << 16)
+             | (u[..., o + 4 * k + 3] << 24) for k in range(4)],
+            axis=-1))
+    return out
+
+
+def _bc7_row_hints(hrow, n: int = 8):
+    """(…, 64) u8 hint row (bc7_block_hints baked by _build_bc1_pool's
+    group geometry) → list of n (…, 2) u32 [subset_word, anchors]."""
+    u = hrow.astype(jnp.uint32)
+    out = []
+    for s in range(n):
+        o = 8 * s
+        out.append(jnp.stack(
+            [u[..., o] | (u[..., o + 1] << 8) | (u[..., o + 2] << 16)
+             | (u[..., o + 3] << 24),
+             u[..., o + 4] | (u[..., o + 5] << 8) | (u[..., o + 6] << 16)
+             | (u[..., o + 7] << 24)], axis=-1))
+    return out
+
+
+def _bc7_pick(vals, base: int, sx, sy):
+    """Select the tap's sub-block data from a 2x2 group (vals: list of
+    (…, K) arrays, group at base..base+3; sx/sy traced {0, 1} arrays or
+    None where statically 0 — the _bc1_quad pick at (…, K) width)."""
+    if sx is None and sy is None:
+        return vals[base]
+    if sy is None:
+        return jnp.where((sx == 1)[..., None], vals[base + 1], vals[base])
+    if sx is None:
+        return jnp.where((sy == 1)[..., None], vals[base + 2], vals[base])
+    lo = jnp.where((sx == 1)[..., None], vals[base + 1], vals[base])
+    hi = jnp.where((sx == 1)[..., None], vals[base + 3], vals[base + 2])
+    return jnp.where((sy == 1)[..., None], hi, lo)
+
+
+def _bc7_quad(words, hints, base: int, taps, modes):
+    """2x2 bilinear footprint decoded from a baked 2x2 BC7 BLOCK group:
+    4 single-texel all-present-mode decodes (bcn.bc7_texel_device) in
+    _contract_quad weight order. Returns (…, 4, 4) f32."""
+    from . import bcn
+
+    texels = []
+    for xt, yt, sx, sy in taps:
+        w = _bc7_pick(words, base, sx, sy)
+        h = _bc7_pick(hints, base, sx, sy) if hints is not None else None
+        t = (yt & 3) * 4 + (xt & 3)
+        texels.append(bcn.bc7_texel_device(w, t, modes=modes, hint=h))
+    return jnp.stack(
+        [jnp.stack([tx[c] for c in range(4)], axis=-1).astype(jnp.float32)
+         for tx in texels], axis=-2)
+
+
+def _bc7_bilinear(pool, aux, modes, off, hh, ww, u, v,
+                  planes: bool = False):
+    """Bilinear tap from the bc7 pool: ONE row-priced gather of the
+    block row at (x0c>>2, y0c>>2) — its baked child group contains the
+    whole footprint — plus (partitioned modes only) the matching hint
+    row, then 4 in-register texel decodes."""
+    x0c, y0c, x1c, y1c, fx, fy = _bc1_footprint(ww, hh, u, v)
+    bx = x0c >> 2
+    by = y0c >> 2
+    bw = (ww + 3) >> 2
+    idx = off + by * bw + bx
+    row = jax.lax.optimization_barrier(pool[idx])
+    words = _bc7_row_words(row, n=4)
+    hints = (_bc7_row_hints(_tri_fetch(aux, idx), n=4)
+             if _bc7_needs_hint(modes) else None)
+    rx = jnp.clip((x1c >> 2) - bx, 0, 1)
+    ry = jnp.clip((y1c >> 2) - by, 0, 1)
+    quad = _bc7_quad(words, hints, 0,
+                     [(x0c, y0c, None, None), (x1c, y0c, rx, None),
+                      (x0c, y1c, None, ry), (x1c, y1c, rx, ry)], modes)
+    return _contract_quad(quad, fx, fy, planes)
+
+
+def _bc7_trilinear_fused(pool, aux, modes, off0, hm0, wm0, hm1, wm1,
+                         m0, m1, fm, u, v, planes: bool):
+    """Trilinear from ONE 128 B bc7 row gather (+ the 64 B hint row for
+    partitioned modes) + 8 in-register BC7 texel decodes — exactly
+    _bc1_trilinear_fused's group addressing at 16 B blocks (see its
+    docstring for the parent-anchor law). Decoded integers equal
+    decode_bc7's, so _contract_quad reproduces a quad pool built from
+    the decoded chains bit-for-bit."""
+    x0c, y0c, x1c, y1c, fx, fy = _bc1_footprint(wm0, hm0, u, v)
+    bx = x0c >> 2
+    by = y0c >> 2
+    bw0 = (wm0 + 3) >> 2
+    idx = off0 + by * bw0 + bx
+    row = jax.lax.optimization_barrier(pool[idx])
+    words = _bc7_row_words(row)
+    hints = (_bc7_row_hints(_tri_fetch(aux, idx))
+             if _bc7_needs_hint(modes) else None)
+    rx = jnp.clip((x1c >> 2) - bx, 0, 1)
+    ry = jnp.clip((y1c >> 2) - by, 0, 1)
+    quad0 = _bc7_quad(words, hints, 0,
+                      [(x0c, y0c, None, None), (x1c, y0c, rx, None),
+                       (x0c, y1c, None, ry), (x1c, y1c, rx, ry)], modes)
+    s0 = _contract_quad(quad0, fx, fy, planes)
+
+    xp0, yp0, xp1, yp1, fx1, fy1 = _bc1_footprint(wm1, hm1, u, v)
+    pbw = (wm1 + 3) >> 2
+    pbh = (hm1 + 3) >> 2
+    ax = jnp.clip((2 * bx - 1) >> 2, 0, jnp.maximum(pbw - 1, 0))
+    ay = jnp.clip((2 * by - 1) >> 2, 0, jnp.maximum(pbh - 1, 0))
+    sx0 = jnp.clip((xp0 >> 2) - ax, 0, 1)
+    sx1 = jnp.clip((xp1 >> 2) - ax, 0, 1)
+    sy0 = jnp.clip((yp0 >> 2) - ay, 0, 1)
+    sy1 = jnp.clip((yp1 >> 2) - ay, 0, 1)
+    quad1 = _bc7_quad(words, hints, 4,
+                      [(xp0, yp0, sx0, sy0), (xp1, yp0, sx1, sy0),
+                       (xp0, yp1, sx0, sy1), (xp1, yp1, sx1, sy1)], modes)
     s1p = _contract_quad(quad1, fx1, fy1, planes)
     deep = m1 > m0
     deep = deep[None] if planes else deep[..., None]
@@ -2672,11 +2933,12 @@ def _check_pool_backend(scene: DeviceScene, backend: str, mipmap: bool):
     block offsets travel as planes); the non-mip tap kernel emits
     TEXEL-row addresses the block pool cannot serve. Fail loudly, like
     the narrow pool's tap-path guard."""
-    if scene.pool_mode == "bc1" and backend == "pallas" and not mipmap:
+    if (scene.pool_mode in ("bc1", "bc7") and backend == "pallas"
+            and not mipmap):
         raise ValueError(
-            "bc1 pools render via the mipmap pallas path (mipmap=True) "
-            "or the scan backend: the non-mip tap kernel addresses "
-            "texel rows, not 4x4 blocks")
+            f"{scene.pool_mode} pools render via the mipmap pallas "
+            "path (mipmap=True) or the scan backend: the non-mip tap "
+            "kernel addresses texel rows, not 4x4 blocks")
 
 
 def _queue_frame_overflow(n_over, maxc, tap_tiles, width, height):

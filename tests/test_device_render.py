@@ -1019,6 +1019,211 @@ class TestBc1Pool:
                                        peel_mode="split")
 
 
+class TestBc7Pool:
+    """pool_mode="bc7" — the compressed-resident envelope for the
+    reference's OTHER hardware-decoded format (texture.rs:12-30): one
+    128 B row per 4x4 block bakes the child 2x2 + parent 2x2 BLOCK
+    groups (16 B blocks fill the u8 tile row exactly), a trilinear tap
+    is ONE row gather (+ the baked partition-hint row when partitioned
+    modes are present) + 8 in-register all-present-mode BC7 decodes.
+    Contract: bit-identical to a QUAD pool of the decoded chains."""
+
+    def _batch(self):
+        from mt_renderer_tpu.scene import demo
+
+        return demo.build_demo_batch(instances=4, skinned=False)
+
+    @staticmethod
+    def _decoded_chains(batch):
+        from mt_renderer_tpu.render import bcn
+
+        return [[bcn.decode_bc7_numpy(
+                    bcn.encode_bc7_mode6_numpy(img).tobytes(),
+                    img.shape[1], img.shape[0])
+                 for img in device.mip_chain(t)]
+                for t in batch.textures]
+
+    def _pair(self, batch):
+        """(bc7 scene, quad-scene-of-the-decoded-chains oracle)."""
+        return (device.upload(batch, pool_mode="bc7"),
+                device.upload(batch, mip_chains=self._decoded_chains(batch)))
+
+    @staticmethod
+    def _random_chains(batch, rng):
+        """All-8-modes random-block chains + their decoded oracle —
+        exercises the partition-hint pool (modes 0-3, 7)."""
+        from mt_renderer_tpu.render import bcn
+
+        bc7_chains, dec_chains = [], []
+        for t in batch.textures:
+            ch, dch = [], []
+            for img in device.mip_chain(t):
+                h, w = img.shape[:2]
+                nb = ((h + 3) // 4) * ((w + 3) // 4)
+                blk = rng.integers(0, 256, (nb, 16), dtype=np.uint8)
+                m = rng.integers(0, 8, nb)
+                blk[:, 0] = ((1 << m) | (
+                    (blk[:, 0].astype(np.int64) << (m + 1)) & 0xFF
+                )).astype(np.uint8)
+                ch.append((blk, h, w))
+                dch.append(bcn.decode_bc7_numpy(blk.tobytes(), w, h))
+            bc7_chains.append(ch)
+            dec_chains.append(dch)
+        return bc7_chains, dec_chains
+
+    def test_bc7_pool_stats_and_modes(self):
+        batch = self._batch()
+        scene = device.upload(batch, pool_mode="bc7")
+        st = device.pool_stats(scene)
+        blocks = sum(max(64 >> i, 4) ** 2 // 16 for i in range(5)) + 1 + 1
+        assert st["rows"] == blocks
+        assert scene.mip_pool.shape == (blocks, 128)
+        assert st["bytes"] == blocks * 128
+        assert st["upload_bytes"] == blocks * 16
+        # synthetic content is mode-6 only: no hints, only mode 6
+        # compiles into the sampler
+        assert scene.bc7_modes == (6,)
+        assert scene.aux_pool.shape == (1, 128)
+        # budget charges the block rows x2 live (+ hint share)
+        with pytest.raises(MemoryError):
+            device.upload(batch, "bc7", pool_budget_bytes=blocks * 128)
+
+    def test_bc7_sampler_matches_decoded_quad_dense(self):
+        """Dense (u, v, lod) sweep on an ODD-sized texture (both block
+        and wm parities, every clamp case) — bit-exact vs the
+        decoded-chain quad oracle."""
+        import dataclasses as dc
+
+        batch = self._batch()
+        rng = np.random.default_rng(1)
+        odd = [rng.integers(0, 256, (37, 23, 4)).astype(np.uint8)
+               for _ in batch.textures]
+        batch = dc.replace(batch, textures=odd)
+        bc7, quad = self._pair(batch)
+        n = 64
+        u = jnp.asarray(rng.uniform(-0.1, 1.1, (n, n)).astype(np.float32))
+        v = jnp.asarray(rng.uniform(-0.1, 1.1, (n, n)).astype(np.float32))
+        lod = jnp.asarray(
+            rng.uniform(-1.0, quad.num_mips + 1.0,
+                        (n, n)).astype(np.float32))
+        layer = jnp.zeros((n, n), jnp.int32)
+        for ld in (lod, jnp.floor(lod)):
+            np.testing.assert_array_equal(
+                np.asarray(device.sample_trilinear(bc7, layer, u, v, ld)),
+                np.asarray(device.sample_trilinear(quad, layer, u, v, ld)))
+        np.testing.assert_array_equal(
+            np.asarray(device.sample_bilinear(bc7, layer, u, v)),
+            np.asarray(device.sample_bilinear(quad, layer, u, v)))
+
+    def test_bc7_all_modes_hint_path_matches(self):
+        """All-8-modes random blocks (via bc7_chains): the partition-
+        hint pool exists, all modes compile, sampling stays bit-exact
+        vs the decoded oracle."""
+        batch = self._batch()
+        rng = np.random.default_rng(5)
+        bc7_chains, dec_chains = self._random_chains(batch, rng)
+        bc7 = device.upload(batch, pool_mode="bc7", bc7_chains=bc7_chains)
+        quad = device.upload(batch, mip_chains=dec_chains)
+        assert bc7.bc7_modes == tuple(range(8))
+        assert bc7.aux_pool.shape[0] > 1
+        n = 48
+        L = len(batch.textures)
+        layer = jnp.asarray(rng.integers(0, L, (n, n)).astype(np.int32))
+        u = jnp.asarray(rng.uniform(-0.1, 1.1, (n, n)).astype(np.float32))
+        v = jnp.asarray(rng.uniform(-0.1, 1.1, (n, n)).astype(np.float32))
+        lod = jnp.asarray(
+            rng.uniform(-1.0, quad.num_mips + 1.0,
+                        (n, n)).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(device.sample_trilinear(bc7, layer, u, v, lod)),
+            np.asarray(device.sample_trilinear(quad, layer, u, v, lod)))
+        np.testing.assert_array_equal(
+            np.asarray(device.sample_bilinear(bc7, layer, u, v)),
+            np.asarray(device.sample_bilinear(quad, layer, u, v)))
+
+    def test_bc7_matches_decoded_quad_scan(self):
+        batch = self._batch()
+        vp = _vp()
+        bc7, quad = self._pair(batch)
+        for mip in (False, True):
+            want, wd = device.render_frame(quad, vp, width=96, height=96,
+                                           backend="scan", mipmap=mip)
+            got, gd = device.render_frame(bc7, vp, width=96, height=96,
+                                          backend="scan", mipmap=mip)
+            np.testing.assert_array_equal(np.asarray(got),
+                                          np.asarray(want))
+            np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
+
+    @pytest.mark.slow
+    def test_bc7_matches_decoded_quad_mipmap_pallas(self):
+        """The production path: tile-major compacted trilinear shade
+        through _trilinear_arith's bc7 in-register-decode branch."""
+        batch = self._batch()
+        vp = _vp()
+        bc7, quad = self._pair(batch)
+        want, _ = device.render_frame(quad, vp, width=96, height=96,
+                                      backend="pallas", mipmap=True)
+        got, _ = device.render_frame(bc7, vp, width=96, height=96,
+                                     backend="pallas", mipmap=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_bc7_asset_passthrough(self):
+        """A BC7 ``.tex`` asset's own mip chain uploads VERBATIM
+        (``bc7_chains``): the fixture levels are random valid blocks no
+        encoder in this repo produces and are not box-filter related —
+        equality vs their decoded quad oracle proves the bytes passed
+        through untouched."""
+        from mt_renderer_tpu.formats import tex as tex_mod
+        from mt_renderer_tpu.render import bcn
+
+        rng = np.random.default_rng(7)
+        level_blobs = []
+        for lv in range(4):                  # 32..4 — partial chain
+            s = 32 >> lv
+            nb = ((s + 3) // 4) ** 2
+            blk = rng.integers(0, 256, (nb, 16), dtype=np.uint8)
+            m = rng.integers(0, 8, nb)
+            blk[:, 0] = ((1 << m) | (
+                (blk[:, 0].astype(np.int64) << (m + 1)) & 0xFF
+            )).astype(np.uint8)
+            level_blobs.append(blk.tobytes())
+        blob = tex_mod.write_texture(32, 32,
+                                     int(tex_mod.TextureFormat.BC7),
+                                     level_blobs,
+                                     levels=len(level_blobs))
+        tf = tex_mod.TextureFile(blob)
+        chain = tf.bc7_chain()
+        assert len(chain) == 4
+        batch = self._batch()                # one 64x64 demo texture
+        bc7 = device.upload(batch, pool_mode="bc7", bc7_chains=[chain])
+        assert bc7.num_mips == 4
+        # verbatim blocks in the pool's child anchor lanes
+        pool = np.asarray(bc7.mip_pool)
+        table = np.asarray(bc7.mip_table)
+        for lv, (blocks, h, w) in enumerate(chain):
+            off = table[0, lv, 0]
+            np.testing.assert_array_equal(pool[off, :16], blocks[0])
+        dec = [bcn.decode_bc7_numpy(
+                   np.ascontiguousarray(b).tobytes(), w, h)
+               for b, h, w in chain]
+        quad = device.upload(batch, mip_chains=[dec])
+        n = 48
+        u = jnp.asarray(rng.uniform(-0.1, 1.1, (n, n)).astype(np.float32))
+        v = jnp.asarray(rng.uniform(-0.1, 1.1, (n, n)).astype(np.float32))
+        lod = jnp.asarray(rng.uniform(-1.0, 5.0, (n, n)).astype(np.float32))
+        layer = jnp.zeros((n, n), jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(device.sample_trilinear(bc7, layer, u, v, lod)),
+            np.asarray(device.sample_trilinear(quad, layer, u, v, lod)))
+
+    def test_bc7_rejects_nonmip_pallas(self):
+        batch = self._batch()
+        scene = device.upload(batch, pool_mode="bc7")
+        with pytest.raises(ValueError, match="mipmap"):
+            device.render_frame(scene, _vp(), width=96, height=96,
+                                backend="pallas")
+
+
 class TestSingleLayerTapCompaction:
     """shade_tap_flat_channels tap_tiles (covered-tile compaction on the
     packed production path): host-sized cap must bound live tiles and
