@@ -75,7 +75,8 @@ def parse_args(argv):
                         "frame + the HUD band composited in the timed "
                         "program (world/bigtex presets); the host text "
                         "raster is timed separately (hud_host_ms)")
-    p.add_argument("--pool", choices=["quad", "narrow", "tri", "bc1"],
+    p.add_argument("--pool", choices=["quad", "narrow", "tri", "bc1",
+                                      "bc7"],
                    default=None,
                    help="texel pool mode (default: tri — one-gather "
                         "trilinear, 64 B/texel — when --mipmap, else "
@@ -954,6 +955,10 @@ def main(argv=None):
             # blocks decoded in-register at sample time
             ("pallas bigtex bc1", ["--preset", "bigtex", "--mipmap",
                                    "--pool", "bc1"]),
+            # BC7-resident (r5): 0.72 GiB of 16 B blocks, 8 in-register
+            # mode-6 texel decodes per trilinear tap
+            ("pallas bigtex bc7", ["--preset", "bigtex", "--mipmap",
+                                   "--pool", "bc7"]),
             # no scan row: the all-triangles scan backend is O(T·pixels)
             # with no binning — a correctness/differential path (verify
             # mode + tests), not a production configuration
