@@ -445,3 +445,19 @@ class TestMultichipMipmapExact:
         d = np.abs(np.asarray(want).astype(np.int16)
                    - np.asarray(ref).astype(np.int16))
         assert d.max() <= 1 and (d != 0).mean() < 0.02
+
+    def test_pallas_mipmap_bands_bc7_pool(self):
+        """The compressed-resident bc7 pool (block rows + the partition
+        hint pool) broadcasts through the band shard_map like any scene
+        leaf — banded == single-chip bit-exactly, in-register decode
+        and all."""
+        _, vp, bones = _scene()
+        batch = demo.build_demo_batch(instances=4, skinned=True)
+        bc7 = device.upload(batch, pool_mode="bc7")
+        got, _ = render_frame_multichip(
+            bc7, vp, bones, mesh=make_row_mesh(8), width=64, height=64,
+            mipmap=True, lighting=True)
+        want, _ = device.render_frame(
+            bc7, vp, bones, width=64, height=64, backend="pallas",
+            mipmap=True, lighting=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
