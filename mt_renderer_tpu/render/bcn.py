@@ -887,13 +887,17 @@ def bc7_texel_device(w, t, modes=tuple(range(8)), hint=None):
     The per-pixel twin of ``decode_bc7_device`` — what a compressed-
     resident BC7 texel pool would run in the shade epilogue (the
     reference's hardware sample-time decode, texture.rs:12-30). ``w``
-    is (..., 4) uint32 (the 16 B block little-endian), ``t`` (...)
+    is a LIST of four (...) uint32 arrays (the 16 B block little-
+    endian words — kept as separate per-pixel scalars, never stacked:
+    a stacked (..., 4) minor dim lane-pads 4 → 128 when materialized
+    and cost ~13x the decode itself, bc7_probe.py r5), ``t`` (...)
     int32 texel index ``(yt&3)*4 + (xt&3)``; ``modes`` statically
     restricts which BC7 modes are computed (every listed mode is
     evaluated for every pixel and the block's mode byte selects — the
     all-modes cost is the sum of the listed modes' costs, which is the
     whole pricing question ``tools/bench/bc7_probe.py`` answers).
-    ``hint`` (..., 2) uint32 from ``bc7_block_hints`` replaces the
+    ``hint`` — an optional PAIR of (...) uint32 arrays
+    ``(subset_word, anchors)`` from ``bc7_block_hints`` — replaces the
     partitioned modes' per-pixel subset/anchor table gathers with
     integer ops (exact: the hint IS the block's true partition data;
     non-matching modes' decodes are mask-discarded anyway).
@@ -902,7 +906,7 @@ def bc7_texel_device(w, t, modes=tuple(range(8)), hint=None):
     """
     import jax.numpy as jnp
 
-    words = [w[..., i].astype(jnp.uint32) for i in range(4)]
+    words = [wi.astype(jnp.uint32) for wi in w]
     t = t.astype(jnp.int32)
 
     def bits_static(pos: int, count: int):
@@ -981,12 +985,12 @@ def bc7_texel_device(w, t, modes=tuple(range(8)), hint=None):
             subset = jnp.zeros_like(t)
             anchors = []                      # besides texel 0
         elif hint is not None:
-            subset = ((hint[..., 0] >> (2 * t).astype(jnp.uint32))
+            subset = ((hint[0] >> (2 * t).astype(jnp.uint32))
                       & 3).astype(jnp.int32)
-            anchors = [(hint[..., 1] & 0xFF).astype(jnp.int32)]
+            anchors = [(hint[1] & 0xFF).astype(jnp.int32)]
             if nsub == 3:
                 anchors.append(
-                    ((hint[..., 1] >> 8) & 0xFF).astype(jnp.int32))
+                    ((hint[1] >> 8) & 0xFF).astype(jnp.int32))
         elif nsub == 2:
             subset = p2f[partition * 16 + t]
             anchors = [a2_1[partition]]

@@ -2267,49 +2267,55 @@ def _bc7_needs_hint(modes) -> bool:
 
 
 def _bc7_row_words(row, n: int = 8):
-    """(…, 128) u8 bc7 row → list of n (…, 4) u32 word vectors, one
-    per baked 16 B sub-block (0-3 child group, 4-7 parent group). Pure
-    lane slices — XLA DCEs any sub-block no tap selects."""
+    """(…, 128) u8 bc7 row → list of n per-sub-block word LISTS (four
+    (…,) u32 scalars each; sub-blocks 0-3 child group, 4-7 parent
+    group). Kept unstacked: a (…, 4) minor dim lane-pads 4 → 128 when
+    materialized and cost ~13x the decode itself (bc7_probe.py r5).
+    Pure lane slices — XLA DCEs any sub-block no tap selects."""
     u = row.astype(jnp.uint32)
     out = []
     for s in range(n):
         o = 16 * s
-        out.append(jnp.stack(
+        out.append(
             [u[..., o + 4 * k] | (u[..., o + 4 * k + 1] << 8)
              | (u[..., o + 4 * k + 2] << 16)
-             | (u[..., o + 4 * k + 3] << 24) for k in range(4)],
-            axis=-1))
+             | (u[..., o + 4 * k + 3] << 24) for k in range(4)])
     return out
 
 
 def _bc7_row_hints(hrow, n: int = 8):
     """(…, 64) u8 hint row (bc7_block_hints baked by _build_bc1_pool's
-    group geometry) → list of n (…, 2) u32 [subset_word, anchors]."""
+    group geometry) → list of n (subset_word, anchors) PAIRS of (…,)
+    u32 scalars (unstacked, like _bc7_row_words)."""
     u = hrow.astype(jnp.uint32)
     out = []
     for s in range(n):
         o = 8 * s
-        out.append(jnp.stack(
-            [u[..., o] | (u[..., o + 1] << 8) | (u[..., o + 2] << 16)
+        out.append(
+            (u[..., o] | (u[..., o + 1] << 8) | (u[..., o + 2] << 16)
              | (u[..., o + 3] << 24),
              u[..., o + 4] | (u[..., o + 5] << 8) | (u[..., o + 6] << 16)
-             | (u[..., o + 7] << 24)], axis=-1))
+             | (u[..., o + 7] << 24)))
     return out
 
 
 def _bc7_pick(vals, base: int, sx, sy):
     """Select the tap's sub-block data from a 2x2 group (vals: list of
-    (…, K) arrays, group at base..base+3; sx/sy traced {0, 1} arrays or
-    None where statically 0 — the _bc1_quad pick at (…, K) width)."""
+    n per-sub-block LISTS of (…,) scalars, group at base..base+3;
+    sx/sy traced {0, 1} arrays or None where statically 0 — the
+    _bc1_quad pick, elementwise over the unstacked scalars)."""
+    def sel(cond, a, b):
+        return [jnp.where(cond, x, y) for x, y in zip(a, b)]
+
     if sx is None and sy is None:
-        return vals[base]
+        return list(vals[base])
     if sy is None:
-        return jnp.where((sx == 1)[..., None], vals[base + 1], vals[base])
+        return sel(sx == 1, vals[base + 1], vals[base])
     if sx is None:
-        return jnp.where((sy == 1)[..., None], vals[base + 2], vals[base])
-    lo = jnp.where((sx == 1)[..., None], vals[base + 1], vals[base])
-    hi = jnp.where((sx == 1)[..., None], vals[base + 3], vals[base + 2])
-    return jnp.where((sy == 1)[..., None], hi, lo)
+        return sel(sy == 1, vals[base + 2], vals[base])
+    lo = sel(sx == 1, vals[base + 1], vals[base])
+    hi = sel(sx == 1, vals[base + 3], vals[base + 2])
+    return sel(sy == 1, hi, lo)
 
 
 def _bc7_quad(words, hints, base: int, taps, modes):

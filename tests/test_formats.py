@@ -599,8 +599,9 @@ class TestBc7Device:
         w32 = blocks.reshape(nb, 4, 4).astype(np.uint32)
         w = (w32[:, :, 0] | (w32[:, :, 1] << 8) | (w32[:, :, 2] << 16)
              | (w32[:, :, 3] << 24))
+        wrep = np.repeat(w, 16, axis=0)
         got = bc7_texel_device(
-            jnp.asarray(np.repeat(w, 16, axis=0)),
+            [jnp.asarray(wrep[:, k]) for k in range(4)],
             jnp.asarray(np.tile(np.arange(16, dtype=np.int32), nb)),
             modes=(mode,))
         got = np.stack([np.asarray(g) for g in got], -1).reshape(nb, 16, 4)
@@ -627,12 +628,13 @@ class TestBc7Device:
         w32 = blocks.reshape(nb, 4, 4).astype(np.uint32)
         w = (w32[:, :, 0] | (w32[:, :, 1] << 8) | (w32[:, :, 2] << 16)
              | (w32[:, :, 3] << 24))
-        hints = bc7_block_hints(blocks)
+        wrep = np.repeat(w, 16, axis=0)
+        hrep = np.repeat(bc7_block_hints(blocks), 16, axis=0)
         got = bc7_texel_device(
-            jnp.asarray(np.repeat(w, 16, axis=0)),
+            [jnp.asarray(wrep[:, k]) for k in range(4)],
             jnp.asarray(np.tile(np.arange(16, dtype=np.int32), nb)),
             modes=(mode,),
-            hint=jnp.asarray(np.repeat(hints, 16, axis=0)))
+            hint=(jnp.asarray(hrep[:, 0]), jnp.asarray(hrep[:, 1])))
         got = np.stack([np.asarray(g) for g in got], -1).reshape(nb, 16, 4)
         wantb = np.stack(
             [want[:, 4 * b:4 * b + 4].reshape(16, 4) for b in range(nb)])

@@ -80,13 +80,15 @@ def probe(pool, hints, idx, rows: int, length: int, stage: str):
             texs = []
             for s in range(8):                # 8 baked 16 B blocks
                 o = 16 * s
-                w = jnp.stack(
-                    [u[:, o + 4 * k] | (u[:, o + 4 * k + 1] << 8)
+                # UNSTACKED per-pixel word scalars — a stacked (P, 4)
+                # minor dim lane-pads 4 -> 128 and cost ~13x the decode
+                # itself (measured in this probe's first run)
+                w = [u[:, o + 4 * k] | (u[:, o + 4 * k + 1] << 8)
                      | (u[:, o + 4 * k + 2] << 16)
-                     | (u[:, o + 4 * k + 3] << 24) for k in range(4)],
-                    axis=-1)
+                     | (u[:, o + 4 * k + 3] << 24) for k in range(4)]
                 t = (i + 5 * s) & 15
-                hint = hrow[:, 2 * s:2 * s + 2] if hrow is not None else None
+                hint = ((hrow[:, 2 * s], hrow[:, 2 * s + 1])
+                        if hrow is not None else None)
                 texs += bcn.bc7_texel_device(w, t, modes=modes, hint=hint)
             acc += _checksum(texs)
         return (acc, salt + 1), None
