@@ -54,13 +54,13 @@ def probe(pool, hints, idx, rows: int, length: int, stage: str):
     def step(c, _):
         acc, salt = c
         i = (idx + salt) % rows
-        row = jax.lax.optimization_barrier(pool[i])          # (P, 128) u8
+        row = jax.lax.optimization_barrier(pool[i])       # (G, 128, 128)
         if stage == "gather":
-            acc += jnp.sum(row[::4096, 0].astype(jnp.float32))
+            acc += jnp.sum(row[::32, ::32, 0].astype(jnp.float32))
         elif stage == "bc1x8":
             # the shipped bc1 tap: 8 single-texel decodes from the 8
             # baked 8 B sub-blocks (device._bc1_trilinear_fused's work)
-            c0s, c1s, bits = dev._bc1_words(row[:, :64])
+            c0s, c1s, bits = dev._bc1_words(row[..., :64])
             texs = []
             for s in range(8):
                 xt = (i + 3 * s) & 3
@@ -71,24 +71,23 @@ def probe(pool, hints, idx, rows: int, length: int, stage: str):
             modes = {"bc7m6x8": (6,), "bc7m456x8": (4, 5, 6),
                      "bc7allx8": tuple(range(8)),
                      "bc7hintx8": tuple(range(8))}[stage]
-            hrow = None
+            hrows = None
             if stage == "bc7hintx8":
                 # the baked partition hints ride ONE extra row-priced
                 # 64 B gather per pixel (same index)
-                hrow = jax.lax.optimization_barrier(hints[i])  # (P, 16) u32
+                hrows = jax.lax.optimization_barrier(hints[i])
             u = row.astype(jnp.uint32)
             texs = []
             for s in range(8):                # 8 baked 16 B blocks
                 o = 16 * s
-                # UNSTACKED per-pixel word scalars — a stacked (P, 4)
-                # minor dim lane-pads 4 -> 128 and cost ~13x the decode
-                # itself (measured in this probe's first run)
-                w = [u[:, o + 4 * k] | (u[:, o + 4 * k + 1] << 8)
-                     | (u[:, o + 4 * k + 2] << 16)
-                     | (u[:, o + 4 * k + 3] << 24) for k in range(4)]
+                # UNSTACKED per-pixel word scalars (a stacked (…, 4)
+                # minor dim lane-pads 4 -> 128)
+                w = [u[..., o + 4 * k] | (u[..., o + 4 * k + 1] << 8)
+                     | (u[..., o + 4 * k + 2] << 16)
+                     | (u[..., o + 4 * k + 3] << 24) for k in range(4)]
                 t = (i + 5 * s) & 15
-                hint = ((hrow[:, 2 * s], hrow[:, 2 * s + 1])
-                        if hrow is not None else None)
+                hint = ((hrows[..., 2 * s], hrows[..., 2 * s + 1])
+                        if hrows is not None else None)
                 texs += bcn.bc7_texel_device(w, t, modes=modes, hint=hint)
             acc += _checksum(texs)
         return (acc, salt + 1), None
@@ -121,8 +120,15 @@ def build_pool(rows: int):
 
 
 def measure(pool, hints, rows: int, stage: str) -> float:
+    # 2-D (G, 128) indices: every per-pixel scalar derived from the
+    # gathered rows is then 128-lane-minor, matching the production
+    # tile-major shade. The SAME decode on flat (P,) 1-D arrays
+    # measured 23x slower (186.7 vs 8.0 ms for the index-read stage —
+    # the T(1024) 1-D tiling relayouts per op); never price per-pixel
+    # epilogue work on 1-D shapes.
     idx = jnp.asarray(
-        np.random.default_rng(0).integers(0, rows, N_IDX).astype(np.int32))
+        np.random.default_rng(0).integers(
+            0, rows, N_IDX // 128 * 128).astype(np.int32).reshape(-1, 128))
     jax.block_until_ready(probe(pool, hints, idx, rows, N, stage))
     jax.block_until_ready(probe(pool, hints, idx, rows, 1, stage))
     ests = []
